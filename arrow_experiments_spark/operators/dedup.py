@@ -1,0 +1,291 @@
+"""Deduplication operators over the documents/embeddings tables — the
+training-data-pipeline north star (SURVEY.md §7): exact hash dedup,
+MinHash+LSH banding, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale posture (100 TB): every variant avoids the O(n²) all-pairs trap —
+exact dedup is a hash groupBy; MinHash/SimHash generate candidates by
+*bucket equi-join* (band value / simhash value), so the shuffle key is the
+bucket and only same-bucket pairs materialize; cosine near-dup pre-blocks
+on the IVF-style label cell.  Pairwise verification only runs inside
+candidate groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_experiments_spark.functions.numeric import snap6
+from arrow_experiments_spark.functions.text import (
+    SHINGLES3_SQL,
+    TOKENS_SQL,
+    md5_str,
+    minhash_sig,
+    minhash_sig_sql,
+    shingles3,
+    tokens,
+)
+from arrow_experiments_spark.functions.vectors import cosine_sql, dot
+from arrow_experiments_spark.functions.vectors import norm as vnorm
+from arrow_experiments_spark.registry import register
+from arrow_experiments_spark.tables import table
+
+_N_SIGS = 8  # MinHash signatures
+_N_BANDS = 4  # bands of r=2 signatures each
+
+_SH_SQL = SHINGLES3_SQL.format(t=TOKENS_SQL.format(col="text"))
+
+
+@register(
+    "dedup_exact",
+    "dedup",
+    doc="exact content dedup: md5 content hash → groupBy → canonical id "
+    "(min doc_id) + copy count. One shuffle on the hash key.",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "documents")
+        .select(md5_str(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_val): 8 min-hash sigs → 4 bands of 2.
+
+    The shingle stage is persisted before fanning out to 8 signature
+    expressions: Catalyst's projection collapse would otherwise inline the
+    tokenize→shingle→distinct chain into every signature (no CSE across
+    higher-order-function lambdas), an ~8× recompute that measured 180s
+    even at sf0.01.  At cluster scale this materialization is the standard
+    LSH shape: compute signatures once, reuse across bands and the
+    candidate join.
+    """
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles3(tokens(F.col("text")))).alias("sh")
+    ).persist()
+    sigs = sh.select(
+        "doc_id",
+        *[minhash_sig(F.col("sh"), i).alias(f"s{i}") for i in range(_N_SIGS)],
+    ).persist()
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias("band_val"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+
+
+def _minhash_bands_sql() -> str:
+    sigs = ",\n               ".join(
+        f"{minhash_sig_sql('sh', i)} AS s{i}" for i in range(_N_SIGS)
+    )
+    band_rows = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, {b} AS band_idx, s{2 * b} || s{2 * b + 1} AS band_val FROM sigs"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+        WITH sh_t AS (
+            SELECT doc_id, list_distinct({_SH_SQL}) AS sh FROM documents
+        ), sigs AS (
+            SELECT doc_id,
+               {sigs}
+            FROM sh_t
+        ), bands AS (
+            {band_rows}
+        )
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    "dedup",
+    doc="MinHash+LSH near-dup candidates: 3-word shingles → 8 salted-md5 "
+    "min-hashes → 4 bands of 2 → band-bucket self-join (shuffle key = "
+    "band value; no all-pairs compare).",
+    oracle=_minhash_bands_sql()
+    + """
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               COUNT(DISTINCT a.band_idx) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.countDistinct("a.band_idx").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "dedup",
+    doc="n-gram Jaccard similarity within language blocks: pairwise over "
+    "distinct 3-word shingle sets, |A∩B|/|A∪B| ≥ 0.02. Blocking key (lang) "
+    "bounds the pair explosion; at scale the block would be (lang, "
+    "length-bucket, LSH band).",
+    oracle=f"""
+        WITH sh_t AS (
+            SELECT doc_id, lang, list_distinct({_SH_SQL}) AS sh FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # persist: both join sides and the intersect/union expressions reuse the
+    # shingle arrays; recomputing the tokenize→shingle chain per pair is the
+    # same Catalyst-inlining trap as in _minhash_bands.
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.array_distinct(shingles3(tokens(F.col("text")))).alias("sh")
+    ).persist()
+    a = docs.alias("a")
+    b = docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.02)
+    )
+
+
+def _simhash_bit_sums_sql() -> str:
+    cases = ",\n               ".join(
+        f"SUM(CASE WHEN (v >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"
+        for p in range(16)
+    )
+    bits = " + ".join(f"(CASE WHEN b{p} >= 0 THEN {1 << p} ELSE 0 END)" for p in range(16))
+    hexv = (
+        "((strpos('0123456789abcdef', md5(tok)[1]) - 1) * 4096"
+        " + (strpos('0123456789abcdef', md5(tok)[2]) - 1) * 256"
+        " + (strpos('0123456789abcdef', md5(tok)[3]) - 1) * 16"
+        " + (strpos('0123456789abcdef', md5(tok)[4]) - 1))"
+    )
+    toks = TOKENS_SQL.format(col="text")
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({toks}) AS tok FROM documents
+        ), tv AS (
+            SELECT doc_id, {hexv} AS v FROM tok
+        ), bitsum AS (
+            SELECT doc_id,
+               {cases}
+            FROM tv GROUP BY doc_id
+        ), sh AS (
+            SELECT doc_id, {bits} AS simhash FROM bitsum
+        )
+        SELECT doc_id, simhash,
+               COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+        FROM sh
+    """
+
+
+@register(
+    "dedup_simhash",
+    "dedup",
+    doc="16-bit SimHash per document from md5-derived token hashes "
+    "(per-bit ±1 vote, sign → bit); bucket_size groups identical "
+    "fingerprints. At scale: groupBy simhash replaces any pairwise pass.",
+    oracle=_simhash_bit_sums_sql(),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(md5_str(F.col("tok")), 1, 4), 16, 10).cast("long").alias("v"),
+    )
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("v"), p).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"b{p}")
+            for p in range(16)
+        ]
+    )
+    simhash = sum(
+        [F.when(F.col(f"b{p}") >= 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(16)],
+        start=F.lit(0),
+    )
+    w = Window.partitionBy("simhash")
+    return bit_sums.select("doc_id", simhash.cast("bigint").alias("simhash")).select(
+        "doc_id", "simhash", F.count(F.lit(1)).over(w).alias("bucket_size")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    "dedup",
+    doc="embedding-cosine near-dup: pairs within the same label cell "
+    "(IVF-style blocking) with cosine ≥ 0.3; exact double fold, snapped "
+    "to 6 decimals.",
+    oracle=f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               CAST(CAST({cosine_sql('a.embedding', 'b.embedding')} AS DECIMAL(28,6)) AS DOUBLE)
+                   AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE CAST(CAST({cosine_sql('a.embedding', 'b.embedding')} AS DECIMAL(28,6)) AS DOUBLE)
+              >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-vector norms below the join (see similarity.knn_bruteforce_cosine)
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", vnorm(F.col("embedding")).alias("nrm")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = snap6(
+        dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )

@@ -1,0 +1,173 @@
+"""Time-window operators over the events table (SURVEY.md §2.6 Streaming
+row, batch-checkable form).
+
+``F.window`` / ``F.session_window`` work identically on static DataFrames
+and Structured Streaming inputs; the streaming variants (withWatermark +
+writeStream) live in arrow_experiments_spark/streaming/ and are exercised by
+tests, while these batch forms are the DuckDB-oracle-checkable contract.
+
+Window starts are epoch-aligned in both engines (Spark window origin =
+Unix epoch; DuckDB time_bucket origin 2000-01-01 is a whole multiple of
+the bucket widths used here), so boundaries agree exactly.  events.ts is
+nanosecond parquet; the oracle casts to µs TIMESTAMP to match the Spark-side
+conversion (tables.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arrow_experiments_spark.functions.numeric import dsum
+from arrow_experiments_spark.registry import register
+from arrow_experiments_spark.tables import table
+
+_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+_FMT_SPARK_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_FMT_DUCK_US = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@register(
+    "events_tumbling_window",
+    "events",
+    doc="15-minute tumbling window per event_type: count + exact sum.",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)),
+                        '{_FMT_DUCK}') AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    "events",
+    doc="10-minute window sliding every 5 minutes: each event lands in two "
+    "windows (oracle unnests the two candidate starts).",
+    oracle=f"""
+        SELECT strftime(w, '{_FMT_DUCK}') AS window_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                               - INTERVAL '5 minutes']) AS w,
+                   value
+            FROM events
+        )
+        GROUP BY w
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    "events",
+    doc="session windows with 10-minute gap per user "
+    "(oracle: gaps-and-islands via lag + cumulative flag sum). Session end "
+    "= last event + gap, per Spark session_window semantics.",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                   CASE WHEN CAST(ts AS TIMESTAMP)
+                             - LAG(CAST(ts AS TIMESTAMP)) OVER
+                               (PARTITION BY user_id ORDER BY ts, event_id)
+                             >= INTERVAL '10 minutes'
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER
+                     (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '{_FMT_DUCK_US}') AS session_start,
+               strftime(MAX(ts) + INTERVAL '10 minutes', '{_FMT_DUCK_US}') AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT_SPARK_US).alias("session_start"),
+            F.date_format("w.end", _FMT_SPARK_US).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_dedup_first",
+    "events",
+    doc="stateful-dedup batch analog (dropDuplicatesWithinWatermark "
+    "contract): keep the earliest event per (user_id, event_type) under a "
+    "deterministic total order.",
+    oracle=f"""
+        SELECT user_id, event_type, event_id,
+               strftime(CAST(ts AS TIMESTAMP), '{_FMT_DUCK_US}') AS first_ts
+        FROM (
+            SELECT user_id, event_type, event_id, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", _FMT_SPARK_US).alias("first_ts"),
+        )
+    )

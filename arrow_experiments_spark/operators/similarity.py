@@ -1,0 +1,124 @@
+"""Similarity search over the embeddings table (SURVEY.md §7 north star).
+
+Two paths:
+  * ``knn_bruteforce_cosine`` — exact top-k for a small query set; the
+    query side is broadcast, candidates stream (at 100 TB this is the
+    "score everything against a handful of probes" shape — one scan, no
+    shuffle of the big side).
+  * ``ann_ivf_label`` — IVF-style: the ``label`` column acts as the coarse
+    quantizer cell; search only inside the query's cell.  At scale the
+    cell id comes from a k-means codebook (broadcast), and the candidate
+    join is an equi-join on cell — shuffle bounded by cell population.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from arrow_experiments_spark.functions.numeric import snap6
+from arrow_experiments_spark.functions.vectors import cosine_sql, dot, norm
+from arrow_experiments_spark.registry import register
+from arrow_experiments_spark.tables import table
+
+_COS_SNAP_SQL = (
+    "CAST(CAST(" + cosine_sql("q.embedding", "c.embedding") + " AS DECIMAL(28,6)) AS DOUBLE)"
+)
+
+
+@register(
+    "knn_bruteforce_cosine",
+    "similarity",
+    doc="exact brute-force cosine top-5 for 10 probe vectors; probes "
+    "broadcast against the candidate scan, window top-k per probe.",
+    oracle=f"""
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SNAP_SQL} AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rnk <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Norms are projected BELOW the join (once per vector, not once per
+    # pair) — the per-pair work is a single dot-product fold.  Identical
+    # arithmetic to the oracle's per-pair formula, 3× less of it.
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            snap6(
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(F.col("rnk") <= 5)
+
+
+@register(
+    "ann_ivf_label",
+    "similarity",
+    doc="ANN via IVF-style cell restriction: candidates limited to the "
+    "probe's label cell; top-3 per probe. Equi-join on cell id keeps the "
+    "shuffle proportional to cell size, not corpus size.",
+    oracle=f"""
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SNAP_SQL} AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+            FROM embeddings q
+            JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rnk <= 3
+    """,
+)
+def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_label") == F.col("c_label"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            snap6(
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(F.col("rnk") <= 3)

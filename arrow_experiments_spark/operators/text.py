@@ -1,0 +1,141 @@
+"""Text-analysis operators over the documents table (SURVEY.md §7 north
+star): language-ID heuristic, quality scoring, token counting, document
+fingerprinting.  All row-local column expressions — embarrassingly
+parallel, no shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from arrow_experiments_spark.functions.text import (
+    FINGERPRINT_SQL,
+    TOKENS_SQL,
+    fingerprint,
+    tokens,
+)
+from arrow_experiments_spark.registry import register
+from arrow_experiments_spark.tables import table
+
+_TOKS_SQL = TOKENS_SQL.format(col="text")
+
+_EN_STOPWORDS = ["a", "the", "of", "and", "in", "to", "is", "on", "for", "with"]
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
+
+
+@register(
+    "text_language_id",
+    "text",
+    doc="language-ID heuristic: English stopword hit-ratio over tokens; "
+    "row-local, zero shuffle.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
+        SELECT doc_id, lang,
+               CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                   / len(toks) AS en_stopword_ratio,
+               CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                         / len(toks) >= 0.05
+                    THEN 'en_like' ELSE 'other' END AS predicted
+        FROM t
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    toks = tokens(F.col("text"))
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    ratio = hits.cast("double") / F.size(toks)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        ratio.alias("en_stopword_ratio"),
+        F.when(ratio >= 0.05, "en_like").otherwise("other").alias("predicted"),
+    )
+
+
+@register(
+    "text_quality_score",
+    "text",
+    doc="quality scoring: token count, mean token length, punctuation "
+    "ratio, repetition ratio (distinct/total tokens); composite score in "
+    "deterministic double arithmetic.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, n_chars, {_TOKS_SQL} AS toks, lower(text) AS lt
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
+               CAST(length(regexp_replace(lt, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / n_chars
+                   AS punct_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+               CAST(len(toks) AS DOUBLE) / n_chars AS tokens_per_char
+        FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    lt = F.lower(F.col("text"))
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (F.length(F.concat_ws("", toks)).cast("double") / n_tokens).alias("mean_token_len"),
+        (
+            F.length(F.regexp_replace(lt, r"[a-z0-9\s]", "")).cast("double")
+            / F.col("n_chars")
+        ).alias("punct_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("distinct_ratio"),
+        (n_tokens.cast("double") / F.col("n_chars")).alias("tokens_per_char"),
+    )
+
+
+@register(
+    "text_token_count",
+    "text",
+    doc="token counting: whitespace tokens, BPE-ish regex tokens "
+    "([a-z]+|[0-9]+|punct), and the chars/4 heuristic.",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                    AS BIGINT) AS regex_tokens,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).cast("bigint").alias("regex_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("est_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    "text",
+    doc="document fingerprint: polynomial rolling hash (base 31, mod 2³¹-1) "
+    "over md5-derived token values; collision groups surfaced via count.",
+    oracle=f"""
+        WITH fp AS (
+            SELECT doc_id, {FINGERPRINT_SQL.format(t=_TOKS_SQL)} AS fingerprint
+            FROM documents
+        )
+        SELECT doc_id, fingerprint,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS n_same
+        FROM fp
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(tokens(F.col("text"))).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    return docs.select("doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_same"))

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Defaults follow the reference's data-plane posture (SURVEY.md §1.3, §4):
+Arrow-vectorized Python interop, explicit batch sizing
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` — the reference's
+4096/6144-row batch knobs, http/get_simple server.py:35), UTC session time
+(data/arrow-commits/arrow-commits.R:34), and AQE on for runtime re-planning
+at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_BATCH_ROWS = 4096  # reference default batch size (get_simple server.py:35)
+
+
+def build_session(
+    app_name: str = "arrow-experiments-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    batch_rows: int = DEFAULT_BATCH_ROWS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+        # testdata events.parquet uses TIMESTAMP(NANOS); see tables.py
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally-built session (the
+    driver owns its own SparkSession; these are all SQL confs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

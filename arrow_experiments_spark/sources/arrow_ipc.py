@@ -1,0 +1,209 @@
+"""Arrow IPC ⇄ Spark DataFrame conversions and the cross-format pipeline
+(SURVEY.md §2.1: scan_ipc_stream / sink_ipc_file / sink_parquet /
+sink_duckdb / sink_sqlite / pipeline_make; reference Makefile
+data/rand-many-types/Makefile:18-33).
+
+Ingest of ``.arrows`` happens driver-side for a single stream (IPC streams
+are not splittable without the footer — the reference's range client
+reassembles on one consumer too, SURVEY.md §7 Phase 3).  For parallel
+ingest use many streams via the catalog (one Spark task per URI), which is
+the reference's only parallel ingest path (get_indirect).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from collections.abc import Iterator
+
+import pyarrow as pa
+import pyarrow.ipc as ipc
+from pyspark.sql import DataFrame, SparkSession
+
+
+# ---- ingest ---------------------------------------------------------------
+
+
+def read_ipc_stream(spark: SparkSession, source: str | bytes | io.IOBase) -> DataFrame:
+    """.arrows (IPC stream) → DataFrame via Arrow-enabled createDataFrame."""
+    if isinstance(source, (str, os.PathLike)):
+        with open(source, "rb") as f:
+            table = ipc.open_stream(f).read_all()
+    elif isinstance(source, bytes):
+        table = ipc.open_stream(io.BytesIO(source)).read_all()
+    else:
+        table = ipc.open_stream(source).read_all()
+    return spark.createDataFrame(table.to_pandas())
+
+
+def read_ipc_file(spark: SparkSession, path: str) -> DataFrame:
+    """.arrow (IPC file format, seekable footer) → DataFrame."""
+    with open(path, "rb") as f:
+        table = ipc.open_file(f).read_all()
+    return spark.createDataFrame(table.to_pandas())
+
+
+def read_ipc_streams_parallel(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Parallel ingest: one Spark task per stream file (the get_indirect
+    pattern — SURVEY.md §2.1 source_http_indirect).  Decoding happens on
+    executors via mapInArrow; the driver never holds the data."""
+    import pyspark.sql.functions as F
+
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths), "path"
+    )
+    first = ipc.open_stream(open(paths[0], "rb")).schema
+
+    def decode(iterator: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in iterator:
+            for path in batch.column("path").to_pylist():
+                with open(path, "rb") as f:
+                    yield from ipc.open_stream(f)
+
+    spark_schema = spark.createDataFrame(first.empty_table().to_pandas()).schema
+    return paths_df.mapInArrow(decode, spark_schema)
+
+
+# ---- egress ---------------------------------------------------------------
+
+
+def df_to_reader(df: DataFrame, batch_rows: int = 4096) -> pa.RecordBatchReader:
+    """DataFrame → RecordBatchReader with reference-style batch sizing.
+
+    Driver-side materialization (``df.toArrow``).  Scale path for large
+    results: ``iter_arrow_batches`` below fetches range-partitioned slices
+    sequentially so driver memory stays O(slice).
+    """
+    table = df.toArrow()
+    return pa.RecordBatchReader.from_batches(
+        table.schema, table.to_batches(max_chunksize=batch_rows)
+    )
+
+
+def iter_arrow_batches(
+    df: DataFrame, order_col: str, n_slices: int = 16, batch_rows: int = 4096
+) -> Iterator[pa.RecordBatch]:
+    """Bounded-memory egress: split the result into ``n_slices`` contiguous
+    ranges of ``order_col`` (percentile boundaries), fetch one slice at a
+    time.  One Spark job per slice; driver holds one slice (SURVEY.md §7
+    hard part 2: ordered streaming egress)."""
+    import pyspark.sql.functions as F
+
+    qs = [i / n_slices for i in range(1, n_slices)]
+    bounds = df.select(
+        F.percentile_approx(order_col, qs, 10_000).alias("b")
+    ).first()["b"]
+    lo = None
+    edges = list(bounds) + [None]
+    for hi in edges:
+        cond = None
+        if lo is not None:
+            cond = F.col(order_col) > F.lit(lo)
+        if hi is not None:
+            c2 = F.col(order_col) <= F.lit(hi)
+            cond = c2 if cond is None else cond & c2
+        part = df.filter(cond) if cond is not None else df
+        yield from part.orderBy(order_col).toArrow().to_batches(max_chunksize=batch_rows)
+        lo = hi
+
+
+def write_ipc_stream(df: DataFrame, path: str, batch_rows: int = 4096) -> int:
+    """DataFrame → .arrows (stream format). Returns rows written."""
+    reader = df_to_reader(df, batch_rows)
+    n = 0
+    with open(path, "wb") as f, ipc.new_stream(f, reader.schema) as writer:
+        for batch in reader:
+            writer.write_batch(batch)
+            n += batch.num_rows
+    return n
+
+
+def write_ipc_file(df: DataFrame, path: str, batch_rows: int = 4096) -> int:
+    """DataFrame → .arrow (file format with seekable footer)."""
+    reader = df_to_reader(df, batch_rows)
+    n = 0
+    with open(path, "wb") as f, ipc.new_file(f, reader.schema) as writer:
+        for batch in reader:
+            writer.write_batch(batch)
+            n += batch.num_rows
+    return n
+
+
+def arrows_to_arrow_file(src: str, dst: str) -> None:
+    """IPC stream → IPC file, batch-by-batch (reference
+    data/rand-many-types/arrows-to-arrow.py:21-30 semantics)."""
+    with open(src, "rb") as fin, open(dst, "wb") as fout:
+        reader = ipc.open_stream(fin)
+        with ipc.new_file(fout, reader.schema) as writer:
+            for batch in reader:
+                writer.write_batch(batch)
+
+
+def arrows_to_parquet(src: str, dst: str) -> None:
+    """IPC stream → Parquet (arrows-to-parquet.py:22-26 semantics)."""
+    import pyarrow.parquet as pq
+
+    with open(src, "rb") as fin:
+        table = ipc.open_stream(fin).read_all()
+    pq.write_table(table, dst)
+
+
+def parquet_to_duckdb(parquet_path: str, db_path: str, table_name: str = "random") -> None:
+    """Parquet → DuckDB table via CTAS (parquet-to-duckdb.sql:19-21)."""
+    import duckdb
+
+    con = duckdb.connect(db_path)
+    try:
+        con.execute(
+            f"CREATE OR REPLACE TABLE {table_name} AS "
+            f"SELECT * FROM read_parquet('{parquet_path}')"
+        )
+    finally:
+        con.close()
+
+
+def parquet_to_sqlite(parquet_path: str, db_path: str, table_name: str = "random") -> None:
+    """Parquet → SQLite via DuckDB ATTACH (parquet-to-sqlite.sql:19-22)."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        con.execute("INSTALL sqlite; LOAD sqlite;")
+        con.execute(f"ATTACH '{db_path}' AS sq (TYPE sqlite)")
+        con.execute(
+            f"CREATE OR REPLACE TABLE sq.{table_name} AS "
+            f"SELECT * FROM read_parquet('{parquet_path}')"
+        )
+    finally:
+        con.close()
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL mirror (arrow-commits.R:68-77 semantics) — Spark-native."""
+    df.coalesce(1).write.mode("overwrite").json(path)
+
+
+def run_pipeline(df: DataFrame, out_dir: str, stem: str = "random") -> dict[str, str]:
+    """The make-pipeline (Makefile:18-33): df → .arrows → {.arrow, .parquet}
+    → {.duckdb, .sqlite3}.  Returns artifact paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    arrows = os.path.join(out_dir, f"{stem}.arrows")
+    arrow = os.path.join(out_dir, f"{stem}.arrow")
+    parquet = os.path.join(out_dir, f"{stem}.parquet")
+    duck = os.path.join(out_dir, f"{stem}.duckdb")
+    sqlite = os.path.join(out_dir, f"{stem}.sqlite3")
+    write_ipc_stream(df, arrows)
+    arrows_to_arrow_file(arrows, arrow)
+    arrows_to_parquet(arrows, parquet)
+    parquet_to_duckdb(parquet, duck, stem)
+    try:
+        parquet_to_sqlite(parquet, sqlite, stem)
+    except Exception:
+        sqlite = ""  # sqlite extension may be unavailable offline
+    return {
+        "arrows": arrows,
+        "arrow": arrow,
+        "parquet": parquet,
+        "duckdb": duck,
+        "sqlite": sqlite,
+    }

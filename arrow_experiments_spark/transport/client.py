@@ -1,0 +1,118 @@
+"""Arrow-over-HTTP client with the reference's measurement protocol
+(SURVEY.md §2.4): every fetch reports elapsed seconds (2 dp), batch count,
+byte count, time-to-schema and time-to-first-batch.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import time
+import urllib.request
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from arrow_experiments_spark.transport.ipc_stream import decode_body
+from arrow_experiments_spark.transport.negotiation import ARROW_STREAM_CONTENT_TYPE
+
+
+@dataclass
+class FetchMetrics:
+    url: str
+    elapsed_sec: float = 0.0
+    batches: int = 0
+    rows: int = 0
+    bytes_received: int = 0
+    time_to_schema_sec: float = 0.0
+    time_to_first_batch_sec: float = 0.0
+    content_type: str = ""
+    content_encoding: str = ""
+    extra: dict = field(default_factory=dict)
+
+    def summary(self) -> str:
+        return (
+            f"{self.batches} record batches received, {self.rows} rows, "
+            f"{self.bytes_received} bytes, {self.elapsed_sec:.2f} seconds elapsed"
+        )
+
+
+def fetch_arrow(
+    url: str,
+    accept: str | None = None,
+    accept_encoding: str | None = None,
+) -> tuple[pa.Table, FetchMetrics]:
+    """GET an Arrow IPC stream; decode per the response's declared
+    compression (Content-Encoding coding, or transparent IPC codec)."""
+    metrics = FetchMetrics(url=url)
+    req = urllib.request.Request(url)
+    if accept:
+        req.add_header("Accept", accept)
+    if accept_encoding:
+        req.add_header("Accept-Encoding", accept_encoding)
+
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(req) as resp:
+        ctype = resp.headers.get("Content-Type", "")
+        if not ctype.startswith(ARROW_STREAM_CONTENT_TYPE):
+            raise ValueError(f"unexpected content type: {ctype!r}")
+        metrics.content_type = ctype
+        coding = resp.headers.get("Content-Encoding", "identity")
+        metrics.content_encoding = coding
+        body = resp.read()
+        metrics.bytes_received = len(body)
+
+    reader = decode_body(io.BytesIO(body), coding)
+    metrics.time_to_schema_sec = time.perf_counter() - t0
+    batches = []
+    for batch in reader:
+        if metrics.batches == 0:
+            metrics.time_to_first_batch_sec = time.perf_counter() - t0
+        metrics.batches += 1
+        metrics.rows += batch.num_rows
+        batches.append(batch)
+    metrics.elapsed_sec = time.perf_counter() - t0
+    table = pa.Table.from_batches(batches, schema=reader.schema)
+    return table, metrics
+
+
+def fetch_catalog(url: str) -> list[str]:
+    """GET a catalog JSON document and return the .arrows stream URIs
+    (get_indirect client shape)."""
+    with urllib.request.urlopen(url) as resp:
+        doc = json.loads(resp.read())
+    return [entry["uri"] for entry in doc.get("arrow_stream_files", [])]
+
+
+def fetch_indirect(catalog_url: str) -> dict[str, tuple[pa.Table, FetchMetrics]]:
+    """Two-step fetch: catalog → each referenced Arrow stream."""
+    out: dict[str, tuple[pa.Table, FetchMetrics]] = {}
+    for uri in fetch_catalog(catalog_url):
+        name = uri.rsplit("/", 1)[-1]
+        out[name] = fetch_arrow(uri)
+    return out
+
+
+def fetch_range(url: str, n_parts: int = 3) -> tuple[bytes, int]:
+    """Split download via byte-range requests: HEAD for Content-Length,
+    then n_parts GETs with Range headers, reassembled in order
+    (get_range client shape).  Returns (bytes, content_length)."""
+    head = urllib.request.Request(url, method="HEAD")
+    with urllib.request.urlopen(head) as resp:
+        total = int(resp.headers["Content-Length"])
+        if resp.headers.get("Accept-Ranges") != "bytes":
+            raise ValueError("server does not accept byte ranges")
+
+    part_size = (total + n_parts - 1) // n_parts
+    parts: list[bytes] = []
+    for i in range(n_parts):
+        start = i * part_size
+        end = min(start + part_size - 1, total - 1)
+        if start > end:
+            break
+        req = urllib.request.Request(url, headers={"Range": f"bytes={start}-{end}"})
+        with urllib.request.urlopen(req) as resp:
+            if resp.status != 206:
+                raise ValueError(f"expected 206 Partial Content, got {resp.status}")
+            parts.append(resp.read())
+    return b"".join(parts), total

@@ -1,0 +1,123 @@
+"""Incremental Arrow IPC stream encoding for HTTP egress.
+
+Reproduces the reference's egress pipeline semantics (SURVEY.md §2.3
+``ipc_stream_write_incremental`` / ``chunk_coalesce`` /
+``http_compress_body`` / ``ipc_buffer_compress``) with a fresh
+implementation:
+
+  * one persistent RecordBatchStreamWriter over a reusable in-memory
+    buffer — bytes are drained and yielded after each batch, the final
+    drain carries the EOS marker;
+  * chunks are coalesced to >= ``min_chunk`` bytes (64 KiB, matching the
+    reference's MIN_BUFFER_SIZE floor) — except the very first compressed
+    chunk, which is force-flushed for time-to-first-byte;
+  * strategy ``identity`` → plain IPC; ``identity+zstd``/``identity+lz4``
+    → self-describing IPC buffer compression (IpcWriteOptions); any other
+    coding → whole-body ``pa.CompressedOutputStream`` (``br`` spelled
+    ``brotli`` for Arrow).
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterable, Iterator
+
+import pyarrow as pa
+
+MIN_CHUNK_BYTES = 64 * 1024
+MAX_WRITE_BYTES = 2**31 - 1  # keep single writes << 2 GiB (reference guard)
+
+
+class _KeepOpenBuffer(io.BytesIO):
+    """BytesIO whose close() is deferred so Arrow writers wrapping it can't
+    tear it down while we still need to drain bytes."""
+
+    def close(self) -> None:  # called by writer teardown — ignore
+        pass
+
+    def really_close(self) -> None:
+        super().close()
+
+    def drain(self) -> bytes:
+        """Return accumulated bytes and reset to empty."""
+        data = self.getvalue()[: self.tell()]
+        self.seek(0)
+        self.truncate()
+        return data
+
+
+def _ipc_options(strategy: str) -> pa.ipc.IpcWriteOptions | None:
+    if strategy == "identity+zstd":
+        return pa.ipc.IpcWriteOptions(compression="zstd")
+    if strategy == "identity+lz4":
+        return pa.ipc.IpcWriteOptions(compression="lz4")
+    return None
+
+
+def encode_ipc_chunks(
+    schema: pa.Schema,
+    batches: Iterable[pa.RecordBatch],
+    strategy: str = "identity",
+    min_chunk: int = MIN_CHUNK_BYTES,
+) -> Iterator[bytes]:
+    """Yield HTTP-body chunks of an Arrow IPC stream under ``strategy``."""
+    sink = _KeepOpenBuffer()
+    try:
+        if strategy.startswith("identity"):
+            writer = pa.ipc.new_stream(sink, schema, options=_ipc_options(strategy))
+            for batch in batches:
+                writer.write_batch(batch)
+                if sink.tell() >= min_chunk:
+                    yield sink.drain()
+            writer.close()  # EOS marker
+        else:
+            codec = "brotli" if strategy == "br" else strategy
+            compressor = pa.CompressedOutputStream(sink, codec)
+            writer = pa.ipc.new_stream(compressor, schema)
+            first_sent = False
+            for batch in batches:
+                writer.write_batch(batch)
+                if not first_sent and sink.tell() == 0:
+                    compressor.flush()  # push the first chunk out ASAP
+                pos = sink.tell()
+                if pos >= min_chunk or (not first_sent and pos > 0):
+                    yield sink.drain()
+                    first_sent = True
+            writer.close()
+            compressor.close()
+        tail = sink.drain()
+        if tail:
+            yield tail
+    finally:
+        sink.really_close()
+
+
+def decode_body(raw: io.IOBase | bytes, strategy: str) -> pa.ipc.RecordBatchStreamReader:
+    """Client-side inverse: wrap a response body per strategy.
+
+    IPC-codec strategies are transparent (the stream is self-describing);
+    HTTP codings need a CompressedInputStream wrapper.
+    """
+    if isinstance(raw, bytes):
+        raw = io.BytesIO(raw)
+    if strategy.startswith("identity") or strategy == "":
+        return pa.ipc.open_stream(raw)
+    codec = "brotli" if strategy == "br" else strategy
+    return pa.ipc.open_stream(pa.CompressedInputStream(raw, codec))
+
+
+def write_chunked(wfile, chunks: Iterable[bytes]) -> int:
+    """HTTP/1.1 chunked transfer framing: ``{len:X}\\r\\n…\\r\\n`` per chunk,
+    ``0\\r\\n\\r\\n`` terminator.  Returns total payload bytes."""
+    total = 0
+    for chunk in chunks:
+        if not chunk:
+            continue
+        if len(chunk) > MAX_WRITE_BYTES:
+            raise ValueError("chunk exceeds 2 GiB write guard")
+        wfile.write(f"{len(chunk):X}\r\n".encode())
+        wfile.write(chunk)
+        wfile.write(b"\r\n")
+        total += len(chunk)
+    wfile.write(b"0\r\n\r\n")
+    return total

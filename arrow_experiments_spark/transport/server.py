@@ -1,0 +1,344 @@
+"""Arrow-over-HTTP egress service (SURVEY.md §2.3 / §3.1-3.2).
+
+Endpoints (the union of the reference's protocol patterns):
+  GET  /datasets/{name}               Arrow IPC stream, negotiated
+                                      compression, chunked on HTTP/1.1
+                                      (get_simple + get_compressed)
+  GET  /datasets/{name}?multipart=1   multipart/mixed: JSON meta + Arrow
+                                      stream + footnotes (get_multipart)
+  GET  /catalog                       {"arrow_stream_files": [{"uri":…}]}
+                                      (get_indirect)
+  GET  /files/{name}                  static .arrows artifact with
+                                      Content-Length, Accept-Ranges and
+                                      byte-range support (get_range)
+  POST /ingest/{name}                 Arrow IPC stream body → registered
+                                      dataset (post_simple; README-only in
+                                      the reference, defined here)
+  GET  /datasets/{name}/describe      JSON schema + endpoint URIs — the
+                                      Flight GetFlightInfo analog
+                                      (dissociated-ipc control plane,
+                                      SURVEY.md §3.3)
+
+The server is engine-agnostic: datasets are callables returning a
+``pa.RecordBatchReader`` so it can front Spark DataFrames (see
+sources/egress.py) or plain pyarrow data in tests.  Pre-materialize-once,
+serve-many (reference server.py:552-555) is the registry's caching default.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+from collections.abc import Callable
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+
+from arrow_experiments_spark.transport.ipc_stream import (
+    decode_body,
+    encode_ipc_chunks,
+    write_chunked,
+)
+from arrow_experiments_spark.transport.multipart import (
+    content_type as multipart_content_type,
+    encode_multipart,
+    make_boundary,
+)
+from arrow_experiments_spark.transport.negotiation import (
+    ARROW_STREAM_CONTENT_TYPE,
+    NotAcceptable,
+    choose_strategy,
+)
+
+AVAILABLE_IPC_CODECS = ["zstd", "lz4"]
+AVAILABLE_CODINGS = ["zstd", "br", "gzip"]
+
+ReaderFactory = Callable[[], pa.RecordBatchReader]
+
+
+class DatasetRegistry:
+    """name → RecordBatchReader factory (+ optional metadata dict)."""
+
+    def __init__(self) -> None:
+        self._factories: dict[str, ReaderFactory] = {}
+        self._meta: dict[str, dict] = {}
+        self._files: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+
+    def register(self, name: str, factory: ReaderFactory, meta: dict | None = None) -> None:
+        with self._lock:
+            self._factories[name] = factory
+            self._meta[name] = meta or {}
+
+    def register_table(self, name: str, table: pa.Table, meta: dict | None = None) -> None:
+        def factory() -> pa.RecordBatchReader:
+            return pa.RecordBatchReader.from_batches(table.schema, table.to_batches())
+
+        self.register(name, factory, meta)
+
+    def register_file(self, name: str, data: bytes) -> None:
+        """Static .arrows artifact served with range support."""
+        with self._lock:
+            self._files[name] = data
+
+    def reader(self, name: str) -> pa.RecordBatchReader | None:
+        factory = self._factories.get(name)
+        return factory() if factory else None
+
+    def meta(self, name: str) -> dict:
+        return self._meta.get(name, {})
+
+    def names(self) -> list[str]:
+        return sorted(self._factories)
+
+    def file(self, name: str) -> bytes | None:
+        return self._files.get(name)
+
+    def file_names(self) -> list[str]:
+        return sorted(self._files)
+
+
+_RANGE_RE = re.compile(r"bytes=(\d*)-(\d*)$")
+
+
+class ArrowHttpHandler(BaseHTTPRequestHandler):
+    registry: DatasetRegistry  # set by serve()
+    enable_cors: bool = False
+
+    # ---- helpers ----------------------------------------------------------
+
+    def _cors(self) -> None:
+        if self.enable_cors:
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Access-Control-Allow-Methods", "GET, POST")
+            self.send_header("Access-Control-Allow-Headers", "Content-Type")
+
+    def _send_json(self, obj, status: int = 200) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(status)
+        self._cors()
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_406(self, why: str) -> None:
+        msg = f"Not Acceptable: {why}\n"
+        for h in ("Accept", "Accept-Encoding"):
+            v = self.headers.get(h)
+            if v is not None:
+                msg += f"`{h}` header was {v!r}.\n"
+        body = msg.encode()
+        self.send_response(406, "Not Acceptable")
+        self.send_header("Content-Type", "text/plain")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _send_404(self) -> None:
+        self.send_response(404)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    # ---- GET routing ------------------------------------------------------
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+        path, _, query = self.path.partition("?")
+        params = dict(p.split("=", 1) if "=" in p else (p, "1") for p in query.split("&") if p)
+        if path == "/catalog":
+            self._get_catalog()
+        elif path.startswith("/datasets/") and path.endswith("/describe"):
+            self._get_describe(path[len("/datasets/") : -len("/describe")])
+        elif path.startswith("/datasets/"):
+            self._get_dataset(path[len("/datasets/") :], params)
+        elif path.startswith("/files/"):
+            self._get_file(path[len("/files/") :])
+        else:
+            self._send_404()
+
+    def _get_catalog(self) -> None:
+        host = self.headers.get("Host", "localhost")
+        listing = {
+            "arrow_stream_files": [
+                {"uri": f"http://{host}/files/{n}"} for n in self.registry.file_names()
+            ]
+            + [{"uri": f"http://{host}/datasets/{n}"} for n in self.registry.names()]
+        }
+        self._send_json(listing)
+
+    def _get_describe(self, name: str) -> None:
+        reader = self.registry.reader(name)
+        if reader is None:
+            self._send_404()
+            return
+        host = self.headers.get("Host", "localhost")
+        schema = reader.schema
+        self._send_json(
+            {
+                "name": name,
+                "schema": [
+                    {"name": f.name, "type": str(f.type), "nullable": f.nullable}
+                    for f in schema
+                ],
+                "endpoints": [{"uri": f"http://{host}/datasets/{name}"}],
+                "metadata": self.registry.meta(name),
+            }
+        )
+
+    def _get_dataset(self, name: str, params: dict[str, str]) -> None:
+        reader = self.registry.reader(name)
+        if reader is None:
+            self._send_404()
+            return
+
+        if params.get("multipart"):
+            self._send_multipart(name, reader)
+            return
+
+        http10 = self.request_version == "HTTP/1.0"
+        self.protocol_version = "HTTP/1.0" if http10 else "HTTP/1.1"
+        default = "identity" if http10 else "gzip"
+        try:
+            strategy = choose_strategy(
+                self.headers, AVAILABLE_IPC_CODECS, AVAILABLE_CODINGS, default
+            )
+        except NotAcceptable as e:
+            self._send_406(str(e))
+            return
+        if strategy is None:
+            self._send_406("no available coding is acceptable")
+            return
+
+        self.send_response(200)
+        self._cors()
+        if strategy.startswith("identity+"):
+            self.send_header(
+                "Content-Type", f"{ARROW_STREAM_CONTENT_TYPE}; codecs={strategy[9:]}"
+            )
+        else:
+            self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
+        self.send_header("Content-Disposition", 'attachment; filename="output.arrows"')
+        if not strategy.startswith("identity"):
+            self.send_header("Content-Encoding", strategy)
+
+        chunks = encode_ipc_chunks(reader.schema, reader, strategy)
+        if http10:
+            self.end_headers()
+            for chunk in chunks:
+                self.wfile.write(chunk)
+        else:
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            write_chunked(self.wfile, chunks)
+
+    def _send_multipart(self, name: str, reader: pa.RecordBatchReader) -> None:
+        boundary = make_boundary()
+        self.protocol_version = "HTTP/1.1"
+        self.send_response(200)
+        self._cors()
+        self.send_header("Content-Type", multipart_content_type(boundary))
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        meta = {"name": name, **self.registry.meta(name)}
+        write_chunked(
+            self.wfile, encode_multipart(boundary, meta, reader.schema, reader)
+        )
+
+    def _get_file(self, name: str) -> None:
+        data = self.registry.file(name)
+        if data is None:
+            self._send_404()
+            return
+        rng = self.headers.get("Range")
+        self.protocol_version = "HTTP/1.1"
+        if rng:
+            m = _RANGE_RE.match(rng.strip())
+            if not m:
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(data)}")
+                self.end_headers()
+                return
+            start_s, end_s = m.groups()
+            if start_s:
+                start = int(start_s)
+                end = int(end_s) if end_s else len(data) - 1
+            else:  # suffix range: last N bytes
+                start = max(len(data) - int(end_s), 0)
+                end = len(data) - 1
+            end = min(end, len(data) - 1)
+            if start > end or start >= len(data):
+                self.send_response(416)
+                self.send_header("Content-Range", f"bytes */{len(data)}")
+                self.end_headers()
+                return
+            part = data[start : end + 1]
+            self.send_response(206)
+            self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
+            self.send_header("Content-Range", f"bytes {start}-{end}/{len(data)}")
+            self.send_header("Content-Length", str(len(part)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+            self.wfile.write(part)
+        else:
+            self.send_response(200)
+            self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+            self.wfile.write(data)
+
+    # ---- HEAD / POST ------------------------------------------------------
+
+    def do_HEAD(self) -> None:  # noqa: N802
+        path = self.path.partition("?")[0]
+        if path.startswith("/files/"):
+            data = self.registry.file(path[len("/files/") :])
+            if data is None:
+                self._send_404()
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header("Accept-Ranges", "bytes")
+            self.end_headers()
+        else:
+            self._send_404()
+
+    def do_POST(self) -> None:  # noqa: N802
+        path = self.path.partition("?")[0]
+        if not path.startswith("/ingest/"):
+            self._send_404()
+            return
+        name = path[len("/ingest/") :]
+        length = int(self.headers.get("Content-Length", "0"))
+        body = self.rfile.read(length)
+        coding = self.headers.get("Content-Encoding", "identity")
+        try:
+            reader = decode_body(io.BytesIO(body), coding)
+            tbl = reader.read_all()
+        except Exception as e:  # malformed stream
+            self._send_json({"error": str(e)}, status=400)
+            return
+        self.registry.register_table(name, tbl)
+        self._send_json({"name": name, "rows": tbl.num_rows, "columns": tbl.num_columns})
+
+    def log_message(self, fmt: str, *args) -> None:  # quiet by default
+        pass
+
+
+def serve(
+    registry: DatasetRegistry, host: str = "127.0.0.1", port: int = 0, cors: bool = False
+) -> ThreadingHTTPServer:
+    """Start the server on a background thread; returns the server object
+    (``server_address`` carries the bound port when port=0)."""
+    handler = type(
+        "BoundArrowHttpHandler",
+        (ArrowHttpHandler,),
+        {"registry": registry, "enable_cors": cors},
+    )
+    httpd = ThreadingHTTPServer((host, port), handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd

@@ -1,0 +1,281 @@
+"""Protocol conformance tests (SURVEY.md §5 item 4): negotiation matrix,
+chunked Arrow streaming, 406s, multipart, catalog/indirect, byte ranges,
+POST ingest — all against the in-process server with pyarrow data (no
+Spark needed)."""
+
+from __future__ import annotations
+
+import io
+import urllib.error
+import urllib.request
+
+import pyarrow as pa
+import pytest
+
+from arrow_experiments_spark.transport.client import (
+    fetch_arrow,
+    fetch_catalog,
+    fetch_indirect,
+    fetch_range,
+)
+from arrow_experiments_spark.transport.ipc_stream import encode_ipc_chunks
+from arrow_experiments_spark.transport.multipart import parse_multipart, read_arrow_part
+from arrow_experiments_spark.transport.negotiation import (
+    NotAcceptable,
+    choose_content_coding,
+    choose_ipc_codec,
+    choose_strategy,
+    parse_list_header,
+)
+from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+
+@pytest.fixture(scope="module")
+def table() -> pa.Table:
+    n = 10_000
+    return pa.table(
+        {
+            "a": pa.array(range(n), pa.int64()),
+            "b": pa.array([i * 2 for i in range(n)], pa.int64()),
+            "s": pa.array([f"row{i}" for i in range(n)]),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def server(table):
+    registry = DatasetRegistry()
+    registry.register_table("bench", table, meta={"description": "test data"})
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        for b in table.to_batches(max_chunksize=1000):
+            w.write_batch(b)
+    registry.register_file("bench.arrows", sink.getvalue())
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    yield f"http://{host}:{port}"
+    httpd.shutdown()
+
+
+# ---- negotiation unit tests ----------------------------------------------
+
+
+def test_parse_list_header_basic():
+    got = parse_list_header("Accept", 'application/vnd.apache.arrow.stream; codecs="zstd, lz4"')
+    assert got == [("application/vnd.apache.arrow.stream", {"codecs": "zstd, lz4"})]
+
+
+def test_parse_list_header_multi():
+    got = parse_list_header("Accept-Encoding", "gzip;q=0.5, br, *;q=0.1")
+    assert got == [("gzip", {"q": "0.5"}), ("br", {}), ("*", {"q": "0.1"})]
+
+
+def test_parse_list_header_malformed():
+    with pytest.raises(NotAcceptable):
+        parse_list_header("Accept", "application/json\x01")
+
+
+def test_choose_ipc_codec():
+    avail = ["zstd", "lz4"]
+    accept = 'application/vnd.apache.arrow.stream; codecs="lz4"'
+    assert choose_ipc_codec(accept, avail, None) == "lz4"
+    # wildcard media range carries codecs too
+    assert choose_ipc_codec('*/*; codecs="zstd"', avail, None) == "zstd"
+    # no codecs param → default
+    assert choose_ipc_codec("application/vnd.apache.arrow.stream", avail, "zstd") == "zstd"
+    assert choose_ipc_codec(None, avail, None) is None
+    # explicit empty codecs = refuse compression
+    assert choose_ipc_codec('*/*; codecs=""', avail, "zstd") is None
+
+
+def test_choose_content_coding():
+    avail = ["zstd", "br", "gzip"]
+    assert choose_content_coding("gzip", avail) == "gzip"
+    # server preference among max-q
+    assert choose_content_coding("gzip, zstd", avail) == "zstd"
+    # q-values override preference
+    assert choose_content_coding("gzip;q=1.0, zstd;q=0.5", avail) == "gzip"
+    # identity always acceptable unless q=0
+    assert choose_content_coding("nonexistent", avail) == "identity"
+    assert choose_content_coding("*;q=0", avail) is None
+    assert choose_content_coding("identity;q=0, *;q=0", avail) is None
+    # wildcard enables everything → server preference
+    assert choose_content_coding("*", avail) == "zstd"
+
+
+def test_choose_strategy_merge():
+    avail_ipc, avail_http = ["zstd", "lz4"], ["zstd", "br", "gzip"]
+    headers = {"Accept": '*/*; codecs="zstd"', "Accept-Encoding": "gzip"}
+    assert choose_strategy(headers, avail_ipc, avail_http, "gzip") == "identity+zstd"
+    headers = {"Accept-Encoding": "br"}
+    assert choose_strategy(headers, avail_ipc, avail_http, "gzip") == "br"
+    assert choose_strategy({}, avail_ipc, avail_http, "gzip") == "gzip"
+
+
+# ---- IPC chunk encoding ---------------------------------------------------
+
+
+@pytest.mark.parametrize("strategy", ["identity", "identity+zstd", "identity+lz4", "gzip", "zstd", "br"])
+def test_encode_decode_roundtrip(table, strategy):
+    chunks = list(
+        encode_ipc_chunks(table.schema, table.to_batches(max_chunksize=512), strategy)
+    )
+    assert chunks
+    body = b"".join(chunks)
+    from arrow_experiments_spark.transport.ipc_stream import decode_body
+
+    got = decode_body(io.BytesIO(body), strategy).read_all()
+    assert got.equals(table)
+
+
+# ---- end-to-end over HTTP -------------------------------------------------
+
+
+def test_get_identity(server, table):
+    tbl, metrics = fetch_arrow(f"{server}/datasets/bench", accept_encoding="identity")
+    assert tbl.equals(table)
+    assert metrics.batches >= 1
+    assert metrics.content_encoding == "identity"
+    assert "record batches received" in metrics.summary()
+
+
+@pytest.mark.parametrize("coding", ["gzip", "zstd", "br"])
+def test_get_http_compressed(server, table, coding):
+    tbl, metrics = fetch_arrow(f"{server}/datasets/bench", accept_encoding=coding)
+    assert metrics.content_encoding == coding
+    assert tbl.equals(table)
+
+
+@pytest.mark.parametrize("codec", ["zstd", "lz4"])
+def test_get_ipc_codec(server, table, codec):
+    tbl, metrics = fetch_arrow(
+        f"{server}/datasets/bench",
+        accept=f'application/vnd.apache.arrow.stream; codecs="{codec}"',
+    )
+    assert f"codecs={codec}" in metrics.content_type
+    assert metrics.content_encoding == "identity"
+    assert tbl.equals(table)
+
+
+def test_406_on_unacceptable(server):
+    req = urllib.request.Request(
+        f"{server}/datasets/bench", headers={"Accept-Encoding": "identity;q=0, *;q=0"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req)
+    assert exc_info.value.code == 406
+    body = exc_info.value.read().decode()
+    assert "Accept-Encoding" in body
+
+
+def test_406_on_malformed_header(server):
+    req = urllib.request.Request(
+        f"{server}/datasets/bench", headers={"Accept-Encoding": "gzip;q=banana"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req)
+    assert exc_info.value.code == 406
+
+
+def test_404_on_unknown_dataset(server):
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(f"{server}/datasets/nope")
+    assert exc_info.value.code == 404
+
+
+def test_catalog_and_indirect(server, table):
+    uris = fetch_catalog(f"{server}/catalog")
+    assert any(u.endswith("/files/bench.arrows") for u in uris)
+    assert any(u.endswith("/datasets/bench") for u in uris)
+    results = fetch_indirect(f"{server}/catalog")
+    got = results["bench"][0]
+    assert got.equals(table)
+
+
+def test_describe(server):
+    import json
+
+    with urllib.request.urlopen(f"{server}/datasets/bench/describe") as resp:
+        doc = json.loads(resp.read())
+    assert doc["name"] == "bench"
+    assert [f["name"] for f in doc["schema"]] == ["a", "b", "s"]
+    assert doc["endpoints"][0]["uri"].endswith("/datasets/bench")
+    assert doc["metadata"]["description"] == "test data"
+
+
+def test_range_fetch(server, table):
+    data, total = fetch_range(f"{server}/files/bench.arrows", n_parts=4)
+    assert len(data) == total
+    got = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+    assert got.equals(table)
+
+
+def test_range_suffix_and_416(server):
+    # suffix range
+    req = urllib.request.Request(
+        f"{server}/files/bench.arrows", headers={"Range": "bytes=-100"}
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 206
+        assert len(resp.read()) == 100
+    # unsatisfiable
+    req = urllib.request.Request(
+        f"{server}/files/bench.arrows", headers={"Range": "bytes=999999999-"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req)
+    assert exc_info.value.code == 416
+
+
+def test_multipart(server, table):
+    with urllib.request.urlopen(f"{server}/datasets/bench?multipart=1") as resp:
+        ctype = resp.headers["Content-Type"]
+        assert ctype.startswith("multipart/mixed")
+        body = resp.read()
+    parts = parse_multipart(body, ctype)
+    import json
+
+    meta = json.loads(parts["application/json"][0])
+    assert meta["name"] == "bench"
+    got = read_arrow_part(parts)
+    assert got.equals(table)
+    footnotes = parts["text/plain"][0].decode()
+    assert "batches:" in footnotes and "elapsed:" in footnotes
+
+
+def test_post_ingest_roundtrip(server, table):
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    req = urllib.request.Request(
+        f"{server}/ingest/uploaded",
+        data=sink.getvalue(),
+        headers={"Content-Type": "application/vnd.apache.arrow.stream"},
+        method="POST",
+    )
+    import json
+
+    with urllib.request.urlopen(req) as resp:
+        doc = json.loads(resp.read())
+    assert doc["rows"] == table.num_rows
+    got, _ = fetch_arrow(f"{server}/datasets/uploaded", accept_encoding="identity")
+    assert got.equals(table)
+
+
+def test_http10_unchunked(server):
+    # raw HTTP/1.0 request: no Transfer-Encoding, identity default
+    import socket
+
+    host, port = server[len("http://") :].split(":")
+    with socket.create_connection((host, int(port))) as sock:
+        sock.sendall(b"GET /datasets/bench HTTP/1.0\r\nHost: x\r\n\r\n")
+        buf = b""
+        while True:
+            data = sock.recv(65536)
+            if not data:
+                break
+            buf += data
+    head, _, body = buf.partition(b"\r\n\r\n")
+    assert b"Transfer-Encoding" not in head
+    got = pa.ipc.open_stream(io.BytesIO(body)).read_all()
+    assert got.num_rows == 10_000
