@@ -47,6 +47,8 @@ _OPERATOR_MODULES = (
     "arrow_experiments_spark.operators.similarity",
     "arrow_experiments_spark.operators.text",
     "arrow_experiments_spark.operators.multimodal",
+    "arrow_experiments_spark.operators.asof",
+    "arrow_experiments_spark.operators.tpch",
 )
 
 

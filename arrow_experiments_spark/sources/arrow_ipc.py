@@ -60,8 +60,9 @@ def read_ipc_streams_parallel(spark: SparkSession, paths: list[str]) -> DataFram
                 with open(path, "rb") as f:
                     yield from ipc.open_stream(f)
 
-    spark_schema = spark.createDataFrame(first.empty_table().to_pandas()).schema
-    return paths_df.mapInArrow(decode, spark_schema)
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return paths_df.mapInArrow(decode, from_arrow_schema(first))
 
 
 # ---- egress ---------------------------------------------------------------

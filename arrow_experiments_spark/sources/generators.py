@@ -97,30 +97,30 @@ def many_types_schema() -> pa.Schema:
     """The authoritative 21-type surface (SURVEY.md §1.2)."""
     return pa.schema(
         [
-            ("f_int8", pa.int8()),
-            ("f_int16", pa.int16()),
-            ("f_int32", pa.int32()),
-            ("f_int64", pa.int64()),
-            ("f_uint8", pa.uint8()),
-            ("f_uint16", pa.uint16()),
-            ("f_uint32", pa.uint32()),
-            ("f_uint64", pa.uint64()),
-            ("f_float32", pa.float32()),
-            ("f_float64", pa.float64()),
-            ("f_string", pa.string()),
-            ("f_binary", pa.binary(8)),
-            ("f_bool", pa.bool_()),
-            ("f_date32", pa.date32()),
-            ("f_date64", pa.date64()),
-            ("f_timestamp_ns", pa.timestamp("ns")),
-            ("f_decimal", pa.decimal128(10, 2)),
-            ("f_list_int32", pa.list_(pa.int32())),
+            ("col_0", pa.int8()),
+            ("col_1", pa.int16()),
+            ("col_2", pa.int32()),
+            ("col_3", pa.int64()),
+            ("col_4", pa.uint8()),
+            ("col_5", pa.uint16()),
+            ("col_6", pa.uint32()),
+            ("col_7", pa.uint64()),
+            ("col_8", pa.float32()),
+            ("col_9", pa.float64()),
+            ("col_10", pa.string()),
+            ("col_11", pa.binary(8)),
+            ("col_12", pa.bool_()),
+            ("col_13", pa.date32()),
+            ("col_14", pa.date64()),
+            ("col_15", pa.timestamp("ns")),
+            ("col_16", pa.decimal128(10, 2)),
+            ("col_17", pa.list_(pa.int32())),
             (
-                "f_struct",
+                "col_18",
                 pa.struct([("field1", pa.int32()), ("field2", pa.float64())]),
             ),
-            ("f_dict", pa.dictionary(pa.int32(), pa.string())),
-            ("f_null", pa.null()),
+            ("col_19", pa.dictionary(pa.int32(), pa.string())),
+            ("col_20", pa.null()),
         ]
     )
 

@@ -1,0 +1,89 @@
+"""Structured Streaming analogs (SURVEY.md §2.6 Streaming row): the same
+logical plans as operators/events.py driven through readStream → memory
+sink, checked against the batch results (golden micro-batch replay)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from arrow_experiments_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+from arrow_experiments_spark.tables import table
+
+from conftest import SF_DIR
+
+WATERMARK = "100 days"  # beyond the 30-day event span: nothing dropped, so
+# streaming results must equal batch results exactly
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tmp_path_factory):
+    # materialize the events table (ns→µs converted) as a parquet dir the
+    # streaming reader can consume with an explicit schema
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    # watermarks need TIMESTAMP (ltz); session TZ is UTC so the cast is a
+    # pure relabel of the ntz values
+    batch = table(spark, SF_DIR, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.write.mode("overwrite").parquet(out)
+    return spark.readStream.schema(batch.schema).parquet(out)
+
+
+def _run(stream_df, spark, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream):
+    got = _run(
+        tumbling_counts(events_stream, watermark=WATERMARK), spark, "t_tumbling", "complete"
+    )
+    batch = table(spark, SF_DIR, "events")
+    want = (
+        batch.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n_events")).first()[0] == batch.count()
+
+
+def test_streaming_sliding_equals_batch(spark, events_stream):
+    got = _run(
+        sliding_counts(events_stream, watermark=WATERMARK), spark, "t_sliding", "complete"
+    )
+    batch = table(spark, SF_DIR, "events")
+    # every event belongs to exactly 2 sliding windows
+    assert got.agg(F.sum("n_events")).first()[0] == 2 * batch.count()
+
+
+def test_streaming_session_equals_batch(spark, events_stream):
+    got = _run(
+        session_counts(events_stream, watermark=WATERMARK), spark, "t_session", "complete"
+    )
+    batch = table(spark, SF_DIR, "events")
+    want = (
+        batch.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n_events")).first()[0] == batch.count()
+
+
+def test_streaming_dedup_within_watermark(spark, events_stream):
+    got = _run(
+        dedup_within_watermark(events_stream, watermark=WATERMARK), spark, "t_dedup", "append"
+    )
+    batch = table(spark, SF_DIR, "events")
+    distinct_pairs = batch.select("user_id", "event_type").distinct().count()
+    assert got.count() == distinct_pairs
