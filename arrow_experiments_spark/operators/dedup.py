@@ -69,8 +69,23 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join.
     """
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingles3(tokens(F.col("text")))).alias("sh")
+    # Two-stage materialization: the persist barrier after tokenization
+    # stops Catalyst's projection collapse from re-inlining the whole
+    # split/filter chain into each element_at inside the shingle lambda
+    # (no CSE across higher-order-function lambdas — measured 5× on the
+    # shingle stage alone).
+    # repartition first: the documents file is tiny at test SF (one input
+    # split → one task); the shuffle of raw text is cheap next to the
+    # tokenize/hash chain it parallelizes.  At 100 TB the source has
+    # thousands of splits and this is a no-op cost-wise (AQE coalesces).
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .persist()
+    )
+    sh = toks.select(
+        "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
     ).persist()
     sigs = sh.select(
         "doc_id",
@@ -165,22 +180,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: both join sides and the intersect/union expressions reuse the
-    # shingle arrays; recomputing the tokenize→shingle chain per pair is the
-    # same Catalyst-inlining trap as in _minhash_bands.
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.array_distinct(shingles3(tokens(F.col("text")))).alias("sh")
-    ).persist()
-    a = docs.alias("a")
-    b = docs.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    # Inverted-index shape, NOT pairwise array_intersect: explode shingles
+    # and self-join on (lang, shingle), so |A∩B| falls out of a groupBy
+    # count and the shuffle key is high-cardinality (lang × shingle) —
+    # full parallelism instead of one task per lang block.  Identical
+    # result set: jaccard ≥ 0.02 implies ≥ 1 shared shingle, and
+    # zero-intersection pairs are below any positive threshold.  Measured
+    # 29× vs the pairwise plan at sf0.1; at 100 TB this is the only shape
+    # that works (the pairwise join materializes O(block²) array pairs).
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
+        .persist()
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            "doc_id", "lang", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
+        )
+        .persist()
+    )
+    ex = docs.select("doc_id", "lang", F.explode("sh").alias("s"))
+    a = ex.select(F.col("doc_id").alias("ida"), "lang", "s")
+    b = ex.select(F.col("doc_id").alias("idb"), "lang", "s")
+    inter = (
+        a.join(b, ["lang", "s"])
+        .filter(F.col("ida") < F.col("idb"))
+        .groupBy("ida", "idb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = docs.select("doc_id", F.size("sh").alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(F.broadcast(sa), "ida")
+        .join(F.broadcast(sb), "idb")
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.02)
