@@ -1,0 +1,147 @@
+"""Custom stateful streaming operator: per-user running statistics via
+``applyInPandasWithState`` (SURVEY.md §7 Phase 5; the "custom stateful
+operators" row of the north-star streaming surface).
+
+Semantics: for every user, maintain (n_events, sum_cents, last_ts_us)
+across micro-batches; each micro-batch emits the user's updated running
+totals together with a monotone update sequence number.  The final
+emission per user therefore equals the batch ``groupBy(user_id)``
+aggregate — which is what the DuckDB oracle checks.
+
+Exactness discipline: money-like sums accumulate as integer cents
+(``floor(value * 100)`` — floor is bit-identical across numpy and DuckDB
+on the same IEEE doubles), timestamps as integer microseconds.  No float
+state crosses micro-batch boundaries, so results are independent of
+micro-batch count and arrival order within a user.
+
+Scale posture: state is keyed by user_id — shuffle once per micro-batch
+on the grouping key, state store partitions scale with
+``spark.sql.shuffle.partitions``; per-group state is O(1) (three ints).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, upd_seq int, n_events bigint, sum_cents bigint, last_ts_us bigint"
+)
+STATE_SCHEMA = "seq int, n bigint, cents bigint, last_us bigint"
+
+
+def _update_user_stats(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
+) -> Iterator[pd.DataFrame]:
+    seq, n, cents, last_us = state.get if state.exists else (0, 0, 0, 0)
+    for pdf in pdfs:
+        n += int(len(pdf))
+        cents += int((pdf["value"] * 100).apply(__import__("math").floor).sum())
+        ts_us = pdf["ts"].astype("int64") // 1000
+        last_us = max(last_us, int(ts_us.max()))
+    seq += 1
+    state.update((seq, n, cents, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "upd_seq": [seq],
+            "n_events": [n],
+            "sum_cents": [cents],
+            "last_ts_us": [last_us],
+        }
+    )
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Apply the stateful operator to a *streaming* events DataFrame
+    (ts timestamp, user_id long, value double)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_stats,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_user_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n_files: int = 4,
+    query_name: str = "stateful_user_stats",
+) -> DataFrame:
+    """Drive the stateful operator over the events table as a real
+    multi-micro-batch stream (one file per trigger) and return the final
+    per-user state.
+
+    The materialize→readStream hop exists because the testdata is a single
+    nanos-timestamp parquet file; in production the source is already a
+    stream (Kafka / file arrival), and ``user_running_stats`` applies
+    unchanged.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arrow_experiments_spark.tables import table
+
+    src = (
+        table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+    )
+    stage_dir = tempfile.mkdtemp(prefix="stateful_events_")
+    src.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (
+        user_running_stats(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    emissions = spark.table(query_name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("upd_seq"))
+    return (
+        emissions.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_cents", "last_ts_us")
+    )
+
+
+ORACLE_SQL = """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS last_ts_us
+    FROM events GROUP BY user_id
+"""
+
+# ---- query-registry entry -------------------------------------------------
+
+from arrow_experiments_spark.registry import register  # noqa: E402
+
+
+@register(
+    "stateful_user_stats",
+    "events",
+    doc="custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running count / integer-cents sum / last-event time across "
+    "micro-batches; final state oracle-checked against batch groupBy.",
+    oracle=ORACLE_SQL,
+)
+def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_user_stats(spark, sf_dir)

@@ -87,3 +87,20 @@ def test_streaming_dedup_within_watermark(spark, events_stream):
     batch = table(spark, SF_DIR, "events")
     distinct_pairs = batch.select("user_id", "event_type").distinct().count()
     assert got.count() == distinct_pairs
+
+
+def test_stateful_user_stats_multi_microbatch(spark):
+    """applyInPandasWithState accumulates across micro-batches: with 4
+    one-file triggers, users spanning files must emit multiple monotone
+    updates, and the final state equals the batch aggregate."""
+    from arrow_experiments_spark.streaming.stateful import run_user_stats
+
+    final = run_user_stats(spark, SF_DIR, n_files=4, query_name="t_stateful")
+    emissions = spark.table("t_stateful")
+    # at least one user was updated in more than one micro-batch
+    assert emissions.groupBy("user_id").count().agg(F.max("count")).first()[0] > 1
+    batch = table(spark, SF_DIR, "events")
+    want = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    got = final.select("user_id", "n_events")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
