@@ -148,3 +148,59 @@ def documents_as_binary(documents: DataFrame) -> DataFrame:
             F.col("lang").alias("lang"),
         ).alias("meta"),
     )
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+
+def frame_sample(
+    binary_df: DataFrame,
+    frame_size: int = 256,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling for video/audio-shaped payloads: treat the payload
+    as consecutive ``frame_size``-byte frames and emit every ``stride``-th
+    frame's index, byte length, and content hash.
+
+    The chunking arithmetic is the real operator (it is codec-free: MJPEG
+    frames, PCM audio blocks, and TFRecord-style shards all sample this
+    way); a codec-backed variant would replace the chunk boundaries with
+    container keyframe offsets.  Runs as mapInPandas — each Arrow batch is
+    processed executor-side, one output row per sampled frame.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, stride):
+                    chunk = payload[idx * frame_size : (idx + 1) * frame_size]
+                    # hash the lowercase-hex encoding of the frame, not the
+                    # raw bytes: equally content-addressing, but expressible
+                    # in engines whose sha256 is VARCHAR-only (the DuckDB
+                    # oracle slices hex(payload)); a raw-bytes variant is a
+                    # one-line change.
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "frame_bytes": len(chunk),
+                            "frame_sha256": hashlib.sha256(
+                                chunk.hex().encode()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
+
+    return binary_df.select(id_col, payload_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)

@@ -47,3 +47,84 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(sha, 1, 1).alias("shard_key"),
         F.lit("text/plain").alias("mime_type"),
     )
+
+
+def _hexbyte(h: str, k: int) -> str:
+    """DuckDB SQL: k-th (0-based) byte of hex digest column ``h`` as int."""
+    return (
+        f"((strpos('0123456789abcdef', {h}[{2 * k + 1}]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {h}[{2 * k + 2}]) - 1))"
+    )
+
+
+@register(
+    "multimodal_image_features",
+    "multimodal",
+    doc="image decode / feature-extract plumbing over binary payloads via "
+    "Arrow-batched mapInPandas (functions/multimodal.py): the codec is the "
+    "deterministic sha256-derived fake (real decoders aren't in this "
+    "container), so the whole executor-side pipeline — batch shape, "
+    "schema, partitioning — is oracle-checkable.",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, encode(text) AS payload, sha256(text) AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(octet_length(payload) AS BIGINT) AS payload_bytes,
+               h AS content_sha256,
+               CAST(64 + {_hexbyte("h", 0)} % 192 AS INT) AS width,
+               CAST(64 + {_hexbyte("h", 1)} % 192 AS INT) AS height,
+               CAST(1 + {_hexbyte("h", 2)} % 4 AS INT) AS n_channels,
+               CAST({_hexbyte("h", 4)} AS BIGINT) AS mean_luma
+        FROM p
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.multimodal import (
+        documents_as_binary,
+        extract_image_features,
+    )
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return extract_image_features(
+        documents_as_binary(docs), payload_col="payload", fake=True
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    "multimodal",
+    doc="video/audio frame sampling: payload split into 256-byte frames, "
+    "every 4th frame emitted with index/length/content hash — mapInPandas "
+    "chunk arithmetic identical to keyframe sampling with codec offsets.",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+        ), f AS (
+            SELECT doc_id, hx,
+                   unnest(generate_series(
+                       0, CAST(ceil((length(hx) / 2) / 256.0) AS INT) - 1, 4))
+                       AS frame_idx
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(length(substring(hx, frame_idx * 512 + 1, 512)) / 2
+                    AS BIGINT) AS frame_bytes,
+               sha256(substring(hx, frame_idx * 512 + 1, 512)) AS frame_sha256
+        FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.multimodal import (
+        documents_as_binary,
+        frame_sample,
+    )
+
+    docs = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return frame_sample(documents_as_binary(docs), frame_size=256, stride=4)

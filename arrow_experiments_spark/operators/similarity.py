@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from arrow_experiments_spark.functions.numeric import snap6
-from arrow_experiments_spark.functions.vectors import cosine_sql, dot, norm
+from arrow_experiments_spark.functions.vectors import cosine_sql, dot, dot_sql, norm
 from arrow_experiments_spark.registry import register
 from arrow_experiments_spark.tables import table
 
@@ -122,3 +122,115 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.select("*", F.row_number().over(w).alias("rnk")).filter(F.col("rnk") <= 3)
+
+
+# ---- random-hyperplane LSH -------------------------------------------------
+
+_LSH_BITS = 4
+_LSH_DIM = 64
+# Deterministic hyperplane family both engines rebuild bit-identically:
+# component (b, i) = LCG(b*DIM + i) scaled to [-0.5, 0.5).  All integer ops
+# are exact; the divisor is 2^31 so the scaling is exact in binary floating
+# point; therefore dot products (same fold order both sides) and the sign
+# bits agree bit-for-bit — no tolerance needed on the bucket assignment.
+
+
+def _hyperplane(b: int):
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_LSH_DIM - 1)),
+        lambda i: (
+            (F.lit(1103515245).cast("long") * (F.lit(b * _LSH_DIM) + i) + 12345)
+            % 2147483648
+        ).cast("double")
+        / F.lit(2147483648.0)
+        - 0.5,
+    )
+
+
+def _hyperplane_sql(b: int) -> str:
+    return (
+        f"list_transform(range(0, {_LSH_DIM}),"
+        f" i -> ((CAST(1103515245 AS BIGINT) * ({b * _LSH_DIM} + i) + 12345)"
+        f" % 2147483648) / 2147483648.0 - 0.5)"
+    )
+
+
+def _bucket_sql(emb: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {dot_sql(emb, _hyperplane_sql(b))} >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_LSH_BITS)
+    )
+    return f"({bits})"
+
+
+def _bucket_col(emb: F.Column) -> F.Column:
+    out = F.lit(0)
+    for b in range(_LSH_BITS):
+        out = out + F.when(dot(emb, _hyperplane(b)) >= 0, F.lit(1 << b)).otherwise(0)
+    return out
+
+
+@register(
+    "ann_lsh_hyperplane",
+    "similarity",
+    doc="ANN via random-hyperplane LSH: 4 sign-bits over deterministic "
+    "LCG hyperplanes → 16 buckets; candidates restricted to the probe's "
+    "bucket, top-3 by snapped cosine.  At scale the bucket is the shuffle "
+    "key (same shape as the MinHash band join) and bits are added per "
+    "recall target; the hyperplane family is seed-derived, never stored.",
+    oracle=f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+            FROM embeddings
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SNAP_SQL} AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+            FROM bucketed q
+            JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rnk <= 3
+    """,
+)
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        _bucket_col(F.col("embedding")).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("c_bucket"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            snap6(
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 3
+    )
