@@ -658,3 +658,146 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q11_part_value_concentration",
+    "aggregation",
+    doc="TPC-H Q11 adapted (no partsupp): parts whose revenue exceeds "
+    "0.01% of grand-total revenue — per-part aggregate filtered against a "
+    "1-row scalar aggregate broadcast back (no second pass over the fact).",
+    oracle=f"""
+        SELECT l_partkey, CAST(SUM({_REV_SQL}) AS DOUBLE) AS part_value
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING CAST(SUM({_REV_SQL}) AS DOUBLE) >
+               (SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) * 0.0001 FROM lineitem)
+    """,
+)
+def q11_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_revenue()).cast("double").alias("part_value")
+    )
+    total = li.agg(
+        (F.sum(_revenue()).cast("double") * F.lit(0.0001)).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    "join",
+    doc="TPC-H Q12 adapted (no shipmode/receiptdate): for lines shipped "
+    ">30 days after order date, urgent-vs-other order counts per return "
+    "flag — one fact-fact join, conditional aggregation, tiny group key.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 30 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    "aggregation",
+    doc="TPC-H Q16 adapted (partsupp ≡ distinct lineitem pairs): distinct "
+    "shipping suppliers per (brand, type, size) for mid-size parts, "
+    "excluding negative-balance suppliers — distinct-pair aggregate, "
+    "broadcast dims, count(distinct) on the reduced set.",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON p_partkey = ps.l_partkey
+        JOIN supplier ON s_suppkey = ps.l_suppkey
+        WHERE p_size BETWEEN 10 AND 20 AND s_acctbal >= 0
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0)
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_last_shipper_waiting",
+    "join",
+    doc="TPC-H Q21 adapted (no receipt/commit dates): suppliers from one "
+    "nation that shipped the final line of a multi-supplier finished "
+    "order.  Per-order stats (max shipdate, distinct-supplier count) come "
+    "from ONE window-free aggregate over the fact, then a semi-join-shaped "
+    "match back — no correlated exists/not-exists rescans of lineitem.",
+    oracle="""
+        WITH order_stats AS (
+            SELECT l_orderkey AS so_key,
+                   MAX(l_shipdate) AS max_ship,
+                   COUNT(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s_name,
+               CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS numwait
+        FROM lineitem l
+        JOIN order_stats ON so_key = l.l_orderkey
+        JOIN orders ON o_orderkey = l.l_orderkey
+        JOIN supplier ON s_suppkey = l.l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_5'
+          AND o_orderstatus = 'F'
+          AND n_supp >= 2
+          AND l.l_shipdate = max_ship
+        GROUP BY s_name
+    """,
+)
+def q21_last_shipper_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    stats = (
+        li.groupBy(F.col("l_orderkey").alias("so_key"))
+        .agg(
+            F.max("l_shipdate").alias("max_ship"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .filter(F.col("n_supp") >= 2)
+    )
+    return (
+        li.join(stats, (li.l_orderkey == F.col("so_key")) & (li.l_shipdate == F.col("max_ship")))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct(li.l_orderkey).cast("bigint").alias("numwait"))
+    )
