@@ -86,8 +86,11 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_image_features,
     )
 
+    # 8-way: enough parallelism for the single-split test file while
+    # keeping Python-worker fan-out modest; at scale the natural input
+    # partitioning applies and this repartition coalesces via AQE.
     docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        min(spark.sparkContext.defaultParallelism, 8)
     )
     return extract_image_features(
         documents_as_binary(docs), payload_col="payload", fake=True
@@ -124,7 +127,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample,
     )
 
+    # 8-way: enough parallelism for the single-split test file while
+    # keeping Python-worker fan-out modest; at scale the natural input
+    # partitioning applies and this repartition coalesces via AQE.
     docs = table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        min(spark.sparkContext.defaultParallelism, 8)
     )
     return frame_sample(documents_as_binary(docs), frame_size=256, stride=4)

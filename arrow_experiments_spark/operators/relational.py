@@ -816,3 +816,29 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("k"))
     )
     return c.subtract(o)
+
+
+@register(
+    "window_ntile_dist",
+    "window",
+    doc="distribution window functions: ntile(4), percent_rank, cume_dist "
+    "over order totals per priority (SURVEY.md §2.6 Window row).",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               CAST(ntile(4) OVER w AS INT) AS price_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

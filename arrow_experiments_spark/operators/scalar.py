@@ -186,3 +186,35 @@ def explode_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    "scalar_conditional",
+    "scalar",
+    doc="conditional scalar surface: CASE, coalesce, nullif, greatest, "
+    "least — all whole-stage-codegen expressions.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity >= 25 THEN 'bulk'
+                    WHEN l_quantity >= 10 THEN 'mid'
+                    ELSE 'small' END AS qty_class,
+               coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+               greatest(l_quantity, l_discount * 100.0) AS biggest,
+               least(l_tax, l_discount) AS smallest
+        FROM lineitem
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 25, "bulk")
+        .when(F.col("l_quantity") >= 10, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100.0).alias("biggest"),
+        F.least("l_tax", "l_discount").alias("smallest"),
+    )

@@ -30,15 +30,55 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q9_profit_by_nation_year",
+    "q18_large_volume_customer",
     "agg_count_distinct",
     "window_running_sum",
     "topk_per_group",
     "events_session_window",
+    "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "knn_bruteforce_cosine",
+    "ann_lsh_hyperplane",
     "text_quality_score",
+    "multimodal_image_features",
 ]
+
+
+def _bench_transport(spark) -> float:
+    """Reference-faithful serve-and-consume scenario (BASELINE.md S2 shape
+    at reduced scale): generate trading-style batches, serve them over
+    HTTP with negotiated zstd, stream-decode with the pyarrow client, and
+    report elapsed seconds (the reference's client metrics protocol)."""
+    import time as _time
+
+    from arrow_experiments_spark.sources.arrow_ipc import df_to_reader
+    from arrow_experiments_spark.sources.generators import gen_trading
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    # Pre-materialize once, serve many — the reference's serving model
+    # (batches built at startup, replayed per request: get_simple
+    # server.py:144).  The timed section is transport only.
+    base = gen_trading(spark, rows=1_000_000).toArrow()
+    registry = DatasetRegistry()
+    registry.register_table("trading", base)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        best = float("inf")
+        for _ in range(2):  # best-of-2, same rationale as the query loop
+            t0 = _time.perf_counter()
+            tbl, metrics = fetch_arrow(
+                f"http://{host}:{port}/datasets/trading", accept_encoding="zstd"
+            )
+            best = min(best, _time.perf_counter() - t0)
+            assert tbl.num_rows == 1_000_000
+        return round(best, 3)
+    finally:
+        httpd.shutdown()
 
 
 def main() -> None:
@@ -58,9 +98,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        queries[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best-of-2: absorbs Python-worker/JIT warmup and transient
+        # co-tenant load on the bench machine; each run starts from a
+        # clean cache so queries are measured independently.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+    timings["s2_serve_1m_zstd"] = _bench_transport(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
