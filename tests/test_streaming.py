@@ -104,3 +104,31 @@ def test_stateful_user_stats_multi_microbatch(spark):
     got = final.select("user_id", "n_events")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_stream_to_registry_serves_microbatches(spark, events_stream):
+    """foreachBatch egress: each micro-batch lands in the registry and is
+    fetchable over HTTP as an Arrow stream (Phase 5 serving model)."""
+    from arrow_experiments_spark.streaming.egress import stream_to_registry
+    from arrow_experiments_spark.transport.client import fetch_arrow, fetch_catalog
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    registry = DatasetRegistry()
+    stream_to_registry(
+        events_stream.select("ts", "user_id", "event_type"), registry, prefix="ev"
+    )
+    assert registry.names(), "no micro-batches published"
+
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        uris = fetch_catalog(f"http://{host}:{port}/catalog")
+        assert {u.rsplit("/", 1)[-1] for u in uris} >= set(registry.names())
+        total = 0
+        for name in registry.names():
+            tbl, _ = fetch_arrow(f"http://{host}:{port}/datasets/{name}")
+            total += tbl.num_rows
+        batch_rows = table(spark, SF_DIR, "events").count()
+        assert total == batch_rows
+    finally:
+        httpd.shutdown()
