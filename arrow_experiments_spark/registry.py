@@ -49,6 +49,7 @@ _OPERATOR_MODULES = (
     "arrow_experiments_spark.operators.multimodal",
     "arrow_experiments_spark.operators.asof",
     "arrow_experiments_spark.operators.tpch",
+    "arrow_experiments_spark.operators.udfs",
     "arrow_experiments_spark.streaming.stateful",
 )
 
