@@ -1,0 +1,108 @@
+"""Scale-technique operators (operators/scale.py): bucketed joins must
+drop the shuffle, salted joins must keep the results."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from arrow_experiments_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from arrow_experiments_spark.tables import table
+
+from conftest import SF_DIR_T2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    # warehouse.dir is a static conf — managed tables land in the session
+    # default warehouse; drop them afterwards
+    li = table(spark, SF_DIR_T2, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = table(spark, SF_DIR_T2, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    write_bucketed(li, "li_bucketed", "l_orderkey", n_buckets=8)
+    write_bucketed(orders, "ord_bucketed", "o_orderkey", n_buckets=8)
+    yield "li_bucketed", "ord_bucketed"
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    li_t, ord_t = bucketed_tables
+    # force the sort-merge path (at real scale neither side broadcasts);
+    # matching bucket specs must eliminate the shuffle exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(li_t).join(
+            spark.table(ord_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it computes the same result as the plain-parquet join
+        li = table(spark, SF_DIR_T2, "lineitem")
+        orders = table(spark, SF_DIR_T2, "orders")
+        want = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Control: the same join over plain parquet shuffles both sides."""
+    li = table(spark, SF_DIR_T2, "lineitem")
+    orders = table(spark, SF_DIR_T2, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(li.join(orders, li.l_orderkey == orders.o_orderkey))
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = table(spark, SF_DIR_T2, "lineitem").withColumnRenamed(
+        "l_orderkey", "okey"
+    )
+    orders = (
+        table(spark, SF_DIR_T2, "orders")
+        .select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+    )
+    plain = li.join(orders, "okey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+    )
+    salted = salted_join(li, orders, "okey", n_salts=8).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"),
+    )
+    assert plain.collect() == salted.collect()
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    li = table(spark, SF_DIR_T2, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    dim = (
+        table(spark, SF_DIR_T2, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+    )
+    plain = li.join(dim, "okey", "left")
+    salted = salted_join(li, dim, "okey", n_salts=4, how="left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("o_totalprice").isNull()).count()
+        == plain.filter(F.col("o_totalprice").isNull()).count()
+    )
