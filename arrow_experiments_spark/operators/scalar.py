@@ -218,3 +218,31 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("l_quantity"), F.col("l_discount") * 100.0).alias("biggest"),
         F.least("l_tax", "l_discount").alias("smallest"),
     )
+
+
+@register(
+    "scalar_to_json",
+    "scalar",
+    doc="to_json over a constructed struct + map_values over a JSON-derived "
+    "map (completes the SURVEY.md §2.6 json/map rows).",
+    oracle="""
+        SELECT event_id,
+               to_json(struct_pack(event_id := event_id, event_type := event_type))
+                   AS as_json,
+               array_to_string(
+                   list_transform(list_sort(json_keys(props)),
+                                  k -> json_extract_string(props, '$.' || k)),
+                   ',') AS values_joined
+        FROM events
+    """,
+)
+def scalar_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = F.from_json("props", "map<string,int>")
+    vals = F.transform(
+        F.array_sort(F.map_keys(m)), lambda k: F.element_at(m, k).cast("string")
+    )
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("as_json"),
+        F.array_join(vals, ",").alias("values_joined"),
+    )

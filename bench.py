@@ -47,6 +47,36 @@ HEADLINE = [
 ]
 
 
+def _bench_replay(spark) -> float:
+    """BASELINE.md S1 shape at 1/10 scale: the flight-benchmark workload
+    (4 random int64 columns, 4096-row batches) served uncompressed over
+    HTTP and stream-decoded by the pyarrow client.  Generation is
+    distributed (spark.range); serving replays pre-materialized batches,
+    exactly the reference server's model."""
+    import time as _time
+
+    from arrow_experiments_spark.sources.generators import gen_flight_bench
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    rows = 10_000_000
+    base = gen_flight_bench(spark, rows=rows).toArrow()
+    registry = DatasetRegistry()
+    registry.register_table("flight", base)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            tbl, _ = fetch_arrow(f"http://{host}:{port}/datasets/flight")
+            best = min(best, _time.perf_counter() - t0)
+            assert tbl.num_rows == rows
+        return round(best, 3)
+    finally:
+        httpd.shutdown()
+
+
 def _bench_transport(spark) -> float:
     """Reference-faithful serve-and-consume scenario (BASELINE.md S2 shape
     at reduced scale): generate trading-style batches, serve them over
@@ -110,6 +140,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
+    timings["s1_replay_10m"] = _bench_replay(spark)
     timings["s2_serve_1m_zstd"] = _bench_transport(spark)
     total = round(sum(timings.values()), 3)
     print(
