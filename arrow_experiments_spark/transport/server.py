@@ -18,6 +18,11 @@ Endpoints (the union of the reference's protocol patterns):
                                       Flight GetFlightInfo analog
                                       (dissociated-ipc control plane,
                                       SURVEY.md §3.3)
+  GET  /datasets/{name}/meta          dissociated metadata stream: seq-
+                                      numbered Flatbuffer message metadata
+                                      (SURVEY.md §2.5; transport/dissociated.py)
+  GET  /datasets/{name}/body          dissociated body stream: tagged,
+                                      8-byte-padded body buffers
 
 The server is engine-agnostic: datasets are callables returning a
 ``pa.RecordBatchReader`` so it can front Spark DataFrames (see
@@ -151,6 +156,9 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
             self._get_catalog()
         elif path.startswith("/datasets/") and path.endswith("/describe"):
             self._get_describe(path[len("/datasets/") : -len("/describe")])
+        elif path.startswith("/datasets/") and path.endswith(("/meta", "/body")):
+            name, _, which = path[len("/datasets/") :].rpartition("/")
+            self._get_dissociated(name, which)
         elif path.startswith("/datasets/"):
             self._get_dataset(path[len("/datasets/") :], params)
         elif path.startswith("/files/"):
@@ -182,10 +190,38 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
                     {"name": f.name, "type": str(f.type), "nullable": f.nullable}
                     for f in schema
                 ],
-                "endpoints": [{"uri": f"http://{host}/datasets/{name}"}],
+                # FlightInfo carries one endpoint with *two* locations (ctrl
+                # + data URI) — cudf-flight-server.cc:349-371; ours are the
+                # single-stream URI plus the dissociated meta/body pair.
+                "endpoints": [
+                    {"uri": f"http://{host}/datasets/{name}"},
+                    {
+                        "meta_uri": f"http://{host}/datasets/{name}/meta",
+                        "body_uri": f"http://{host}/datasets/{name}/body",
+                    },
+                ],
                 "metadata": self.registry.meta(name),
             }
         )
+
+    def _get_dissociated(self, name: str, which: str) -> None:
+        from arrow_experiments_spark.transport.dissociated import (
+            encode_body_stream,
+            encode_meta_stream,
+        )
+
+        reader = self.registry.reader(name)
+        if reader is None:
+            self._send_404()
+            return
+        encode = encode_meta_stream if which == "meta" else encode_body_stream
+        self.protocol_version = "HTTP/1.1"
+        self.send_response(200)
+        self._cors()
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        write_chunked(self.wfile, encode(reader))
 
     def _get_dataset(self, name: str, params: dict[str, str]) -> None:
         reader = self.registry.reader(name)

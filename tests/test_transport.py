@@ -279,3 +279,46 @@ def test_http10_unchunked(server):
     assert b"Transfer-Encoding" not in head
     got = pa.ipc.open_stream(io.BytesIO(body)).read_all()
     assert got.num_rows == 10_000
+
+
+# ---- dissociated IPC analog (SURVEY.md §2.5) ------------------------------
+
+
+def test_dissociated_roundtrip(server, table):
+    from arrow_experiments_spark.transport.dissociated import fetch_dissociated
+
+    got = fetch_dissociated(
+        f"{server}/datasets/bench/meta", f"{server}/datasets/bench/body"
+    )
+    assert got.equals(table)
+
+
+def test_dissociated_wire_format(server, table):
+    """The split streams obey the protocol: seq-contiguous metadata with a
+    bodiless schema at seq 0, body frames tagged with the body bit and
+    8-byte-aligned payloads."""
+    from arrow_experiments_spark.transport.dissociated import (
+        parse_body_stream,
+        parse_meta_stream,
+        reassemble,
+    )
+
+    meta_raw = urllib.request.urlopen(f"{server}/datasets/bench/meta").read()
+    body_raw = urllib.request.urlopen(f"{server}/datasets/bench/body").read()
+    meta = parse_meta_stream(meta_raw)
+    body = parse_body_stream(body_raw)
+    assert sorted(meta) == list(range(len(meta)))
+    assert 0 not in body  # schema message has no body
+    assert set(body) == set(meta) - {0}
+    assert all(len(b) % 8 == 0 for b in body.values())
+    assert reassemble(meta, body).equals(table)
+
+
+def test_dissociated_endpoints_advertised(server):
+    import json
+
+    with urllib.request.urlopen(f"{server}/datasets/bench/describe") as resp:
+        doc = json.loads(resp.read())
+    pair = doc["endpoints"][1]
+    assert pair["meta_uri"].endswith("/datasets/bench/meta")
+    assert pair["body_uri"].endswith("/datasets/bench/body")
