@@ -108,6 +108,19 @@ def iter_arrow_batches(
         lo = hi
 
 
+def strip_schema_metadata(reader: pa.RecordBatchReader) -> pa.RecordBatchReader:
+    """Remove schema- and field-level metadata before publishing — the
+    reference strips implementation metadata from the schema prior to
+    writing (data/arrow-commits/arrow-commits.R:44-46)."""
+    schema = pa.schema([f.remove_metadata() for f in reader.schema], metadata=None)
+
+    def gen() -> Iterator[pa.RecordBatch]:
+        for b in reader:
+            yield pa.RecordBatch.from_arrays(list(b.columns), schema=schema)
+
+    return pa.RecordBatchReader.from_batches(schema, gen())
+
+
 def write_ipc_stream(df: DataFrame, path: str, batch_rows: int = 4096) -> int:
     """DataFrame → .arrows (stream format). Returns rows written."""
     reader = df_to_reader(df, batch_rows)

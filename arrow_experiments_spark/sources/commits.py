@@ -103,11 +103,17 @@ def write_commits_fixture(df: DataFrame, out_dir: str, stem: str = "commits") ->
     JSONL mirror, with the reference's read-back identity check
     (arrow-commits.R:57-77).  Returns {"arrows": path, "jsonl": path,
     "rows": n}."""
-    from .arrow_ipc import write_ipc_stream
+    from .arrow_ipc import df_to_reader, strip_schema_metadata
 
     arrows = f"{out_dir}/{stem}.arrows"
     jsonl = f"{out_dir}/{stem}.jsonl"
-    n = write_ipc_stream(df, arrows, batch_rows=COMMITS_BATCH_ROWS)
+    # strip implementation metadata before writing (arrow-commits.R:44-46)
+    reader = strip_schema_metadata(df_to_reader(df, COMMITS_BATCH_ROWS))
+    n = 0
+    with open(arrows, "wb") as f, pa.ipc.new_stream(f, reader.schema) as writer:
+        for batch in reader:
+            writer.write_batch(batch)
+            n += batch.num_rows
     with open(arrows, "rb") as f:
         back = pa.ipc.open_stream(f).read_all()
     expect = df.toArrow()

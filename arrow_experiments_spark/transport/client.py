@@ -37,13 +37,36 @@ class FetchMetrics:
         )
 
 
+class _CountingReader(io.RawIOBase):
+    """File-like wrapper that counts bytes as they stream through, so the
+    metrics contract (bytes received) survives incremental decoding."""
+
+    def __init__(self, raw) -> None:
+        self._raw = raw
+        self.count = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        n = self._raw.readinto(b)
+        if n:
+            self.count += n
+        return n or 0
+
+
 def fetch_arrow(
     url: str,
     accept: str | None = None,
     accept_encoding: str | None = None,
 ) -> tuple[pa.Table, FetchMetrics]:
     """GET an Arrow IPC stream; decode per the response's declared
-    compression (Content-Encoding coding, or transparent IPC codec)."""
+    compression (Content-Encoding coding, or transparent IPC codec).
+
+    The body is stream-decoded straight off the socket — no intermediate
+    full-body buffer — matching the reference client's incremental
+    ``pa.ipc.open_stream(response)`` model
+    (http/get_simple/python/client/urllib.request/client.py:31-39)."""
     metrics = FetchMetrics(url=url)
     req = urllib.request.Request(url)
     if accept:
@@ -59,18 +82,17 @@ def fetch_arrow(
         metrics.content_type = ctype
         coding = resp.headers.get("Content-Encoding", "identity")
         metrics.content_encoding = coding
-        body = resp.read()
-        metrics.bytes_received = len(body)
-
-    reader = decode_body(io.BytesIO(body), coding)
-    metrics.time_to_schema_sec = time.perf_counter() - t0
-    batches = []
-    for batch in reader:
-        if metrics.batches == 0:
-            metrics.time_to_first_batch_sec = time.perf_counter() - t0
-        metrics.batches += 1
-        metrics.rows += batch.num_rows
-        batches.append(batch)
+        counting = _CountingReader(resp)
+        reader = decode_body(io.BufferedReader(counting, 1 << 20), coding)
+        metrics.time_to_schema_sec = time.perf_counter() - t0
+        batches = []
+        for batch in reader:
+            if metrics.batches == 0:
+                metrics.time_to_first_batch_sec = time.perf_counter() - t0
+            metrics.batches += 1
+            metrics.rows += batch.num_rows
+            batches.append(batch)
+        metrics.bytes_received = counting.count
     metrics.elapsed_sec = time.perf_counter() - t0
     table = pa.Table.from_batches(batches, schema=reader.schema)
     return table, metrics

@@ -61,3 +61,11 @@ def test_fixture_roundtrip_and_jsonl(commits_df, tmp_path):
     assert len(docs) == n
     shas = {b["commit"] for b in docs}
     assert {r["commit"] for r in commits_df.select("commit").collect()} == shas
+
+
+def test_fixture_schema_metadata_stripped(commits_df, tmp_path):
+    out = write_commits_fixture(commits_df, str(tmp_path), stem="clean")
+    with open(out["arrows"], "rb") as f:
+        schema = pa.ipc.open_stream(f).schema
+    assert schema.metadata in (None, {})
+    assert all(f.metadata in (None, {}) for f in schema)
