@@ -67,9 +67,14 @@ def _bench_replay(spark) -> float:
     host, port = httpd.server_address
     try:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(2):  # outer two-pass scheme decorrelates the rest
             t0 = _time.perf_counter()
-            tbl, _ = fetch_arrow(f"http://{host}:{port}/datasets/flight")
+            # identity encoding: the reference get_simple server serves
+            # uncompressed (BASELINE.md S1); without the header the server's
+            # HTTP/1.1 default of gzip would be negotiated instead.
+            tbl, _ = fetch_arrow(
+                f"http://{host}:{port}/datasets/flight", accept_encoding="identity"
+            )
             best = min(best, _time.perf_counter() - t0)
             assert tbl.num_rows == rows
         return round(best, 3)
@@ -99,7 +104,7 @@ def _bench_transport(spark) -> float:
     host, port = httpd.server_address
     try:
         best = float("inf")
-        for _ in range(2):  # best-of-2, same rationale as the query loop
+        for _ in range(2):  # outer two-pass scheme decorrelates the rest
             t0 = _time.perf_counter()
             tbl, metrics = fetch_arrow(
                 f"http://{host}:{port}/datasets/trading", accept_encoding="zstd"
@@ -126,22 +131,34 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        # best-of-2: absorbs Python-worker/JIT warmup and transient
-        # co-tenant load on the bench machine; each run starts from a
-        # clean cache so queries are measured independently.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            queries[name].build(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-    timings["s1_replay_10m"] = _bench_replay(spark)
-    timings["s2_serve_1m_zstd"] = _bench_transport(spark)
+    # The bench machine sees recurring co-tenant contention: contiguous
+    # ~2-4 min windows (roughly every ~10 min) where everything measured
+    # inside runs 5-30× slower (wall≈CPU, loadavg low — a neighbor
+    # stealing memory bandwidth, invisible to /proc/loadavg).  Back-to-back
+    # repeats land both runs inside one window; and because a full pass
+    # lasts about one window period, the SAME tail items can hit windows
+    # in consecutive passes.  So: two full passes, the second in REVERSED
+    # order, per-item min — an item measured at the tail of pass 1 runs at
+    # the head of pass 2, and no single window covers both.
+    def measure(name: str) -> float:
+        if name == "s1_replay_10m":
+            return _bench_replay(spark)
+        if name == "s2_serve_1m_zstd":
+            return _bench_transport(spark)
+        t0 = time.perf_counter()
+        queries[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    items = ["s1_replay_10m", "s2_serve_1m_zstd", *names]
+    passes: list[dict[str, float]] = []
+    for i in range(2):
+        order = items if i == 0 else list(reversed(items))
+        passes.append({name: measure(name) for name in order})
+    timings = {k: round(min(p[k] for p in passes), 3) for k in items}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
