@@ -108,6 +108,26 @@ def iter_arrow_batches(
         lo = hi
 
 
+def dictionary_encode_columns(table: pa.Table, cols: list[str]) -> pa.Table:
+    """Egress-boundary dictionary encoding (SURVEY.md §2.2
+    ``dictionary_encode``; reference builds the dict-encoded ticker column
+    at http/get_compressed/python/server/server.py:70-74).
+
+    Spark has no dictionary type, so encoding happens only here, after the
+    DataFrame boundary.  Each column is combined to a single chunk first so
+    the whole stream shares ONE unified dictionary — the IPC writer then
+    emits a single dictionary message instead of per-batch deltas
+    (SURVEY.md §7 hard part 4)."""
+    import pyarrow.compute as pc
+
+    out = table
+    for name in cols:
+        idx = out.schema.get_field_index(name)
+        encoded = pc.dictionary_encode(out.column(idx).combine_chunks())
+        out = out.set_column(idx, pa.field(name, encoded.type), encoded)
+    return out
+
+
 def strip_schema_metadata(reader: pa.RecordBatchReader) -> pa.RecordBatchReader:
     """Remove schema- and field-level metadata before publishing — the
     reference strips implementation metadata from the schema prior to

@@ -94,10 +94,16 @@ def _bench_transport(spark) -> float:
     from arrow_experiments_spark.transport.client import fetch_arrow
     from arrow_experiments_spark.transport.server import DatasetRegistry, serve
 
+    from arrow_experiments_spark.sources.arrow_ipc import dictionary_encode_columns
+
     # Pre-materialize once, serve many — the reference's serving model
     # (batches built at startup, replayed per request: get_simple
-    # server.py:144).  The timed section is transport only.
-    base = gen_trading(spark, rows=1_000_000).toArrow()
+    # server.py:144).  Ticker is dictionary-encoded at the egress boundary,
+    # as the reference's get_compressed server does (server.py:70-74).
+    # The timed section is transport only.
+    base = dictionary_encode_columns(
+        gen_trading(spark, rows=1_000_000).toArrow(), ["ticker"]
+    )
     registry = DatasetRegistry()
     registry.register_table("trading", base)
     httpd = serve(registry)

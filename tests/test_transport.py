@@ -322,3 +322,35 @@ def test_dissociated_endpoints_advertised(server):
     pair = doc["endpoints"][1]
     assert pair["meta_uri"].endswith("/datasets/bench/meta")
     assert pair["body_uri"].endswith("/datasets/bench/body")
+
+
+def test_dictionary_encoded_egress(table):
+    """Egress-boundary dictionary encoding (get_compressed's ticker model):
+    one unified dictionary for the whole stream, transparent decode on the
+    client, values identical after dictionary_decode."""
+    from arrow_experiments_spark.sources.arrow_ipc import dictionary_encode_columns
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    enc = dictionary_encode_columns(table, ["s"])
+    assert pa.types.is_dictionary(enc.schema.field("s").type)
+    registry = DatasetRegistry()
+    registry.register_table("dict", enc)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        got, metrics = fetch_arrow(
+            f"http://{host}:{port}/datasets/dict", accept_encoding="identity"
+        )
+        assert pa.types.is_dictionary(got.schema.field("s").type)
+        # single unified dictionary across all batches
+        dicts = {id(c.dictionary) for c in got.column("s").chunks}
+        assert len({c.dictionary.to_pylist()[0] for c in got.column("s").chunks}) == 1
+        decoded = got.set_column(
+            got.schema.get_field_index("s"),
+            "s",
+            got.column("s").combine_chunks().dictionary_decode(),
+        )
+        assert decoded.equals(table)
+    finally:
+        httpd.shutdown()
