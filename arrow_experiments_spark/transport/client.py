@@ -93,6 +93,16 @@ def fetch_arrow(
             metrics.rows += batch.num_rows
             batches.append(batch)
         metrics.bytes_received = counting.count
+        # reader.stats, per the reference's compressed-path metrics
+        # (http/get_compressed/python/client/client.py:85-86)
+        st = reader.stats
+        metrics.extra["ipc_stats"] = {
+            "num_messages": st.num_messages,
+            "num_record_batches": st.num_record_batches,
+            "num_dictionary_batches": st.num_dictionary_batches,
+            "num_replaced_dictionaries": st.num_replaced_dictionaries,
+            "num_dictionary_deltas": st.num_dictionary_deltas,
+        }
     metrics.elapsed_sec = time.perf_counter() - t0
     table = pa.Table.from_batches(batches, schema=reader.schema)
     return table, metrics

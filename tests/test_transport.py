@@ -354,3 +354,11 @@ def test_dictionary_encoded_egress(table):
         assert decoded.equals(table)
     finally:
         httpd.shutdown()
+
+
+def test_fetch_metrics_ipc_stats(server):
+    _, metrics = fetch_arrow(f"{server}/datasets/bench", accept_encoding="identity")
+    st = metrics.extra["ipc_stats"]
+    assert st["num_record_batches"] == metrics.batches
+    assert st["num_messages"] >= st["num_record_batches"] + 1  # schema msg
+    assert st["num_dictionary_batches"] == 0
