@@ -225,6 +225,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    "dedup",
+    doc="duplicate clustering: connected components over the MinHash-LSH "
+    "candidate graph via iterative min-label propagation (cluster_id = min "
+    "doc_id in component). Each round is one shuffle join on doc_id; "
+    "convergence detected by the monotone sum-of-labels invariant. At "
+    "100 TB the same loop runs with large-star/small-star contraction "
+    "(O(log n) rounds instead of diameter rounds) — component diameters in "
+    "near-dup graphs are small, so plain propagation is the simpler win.",
+    oracle=_minhash_bands_sql().replace("WITH", "WITH RECURSIVE", 1)
+    + """
+        , pairs AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id <> b.doc_id
+        ), reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, p.idb FROM reach r JOIN pairs p ON r.dst = p.ida
+        ), comp AS (
+            SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    # Symmetric candidate edge set: both (x,y) and (y,x) survive the <>
+    # filter, so one propagation join covers both directions.
+    edges = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .persist()
+    )
+    # Min-label propagation: labels only ever decrease, so the global label
+    # sum is strictly monotone and sum-equality certifies the fixpoint
+    # (one cheap scalar aggregate per round, no row-wise diff join).
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(25):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
 def _simhash_bit_sums_sql() -> str:
     cases = ",\n               ".join(
         f"SUM(CASE WHEN (v >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"

@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from arrow_experiments_spark.functions.numeric import dsum
+from arrow_experiments_spark.registry import register
+from arrow_experiments_spark.tables import table
+
 
 def write_bucketed(
     df: DataFrame,
@@ -67,3 +71,31 @@ def salted_join(
     salted_dim = dim.select("*", salts)
     joined = salted_fact.join(salted_dim, [key, "_salt"], how)
     return joined.select(*fact_cols, *dim_cols)
+
+
+@register(
+    "join_salted_skew",
+    "join",
+    doc="skew-resistant salted equi-join (orders fact × customer dim, dim "
+    "replicated over 8 salts) rolled up to revenue per market segment. "
+    "Salting changes only the physical plan — the oracle is the plain "
+    "join — but spreads any hot key over 8 shuffle partitions, the manual "
+    "fallback when one key exceeds an executor (AQE skew-join only covers "
+    "sort-merge).",
+    oracle="""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = salted_join(orders, dim, "o_custkey", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "arrow_experiments_spark.operators.asof",
     "arrow_experiments_spark.operators.tpch",
     "arrow_experiments_spark.operators.udfs",
+    "arrow_experiments_spark.operators.scale",
     "arrow_experiments_spark.streaming.stateful",
 )
 
