@@ -148,3 +148,26 @@ def fetch_range(url: str, n_parts: int = 3) -> tuple[bytes, int]:
                 raise ValueError(f"expected 206 Partial Content, got {resp.status}")
             parts.append(resp.read())
     return b"".join(parts), total
+
+
+def fetch_resume(url: str, partial: bytes) -> tuple[bytes, int]:
+    """Resume an interrupted download from ``len(partial)`` bytes via an
+    open-ended Range request — the ``curl -C -`` shape of the reference's
+    range client (http/get_range/curl/client/client.sh:42-49: retry loop
+    with ``--continue-at -`` until the full Content-Length arrives).
+    Returns (complete_bytes, content_length)."""
+    head = urllib.request.Request(url, method="HEAD")
+    with urllib.request.urlopen(head) as resp:
+        total = int(resp.headers["Content-Length"])
+        if resp.headers.get("Accept-Ranges") != "bytes":
+            raise ValueError("server does not accept byte ranges")
+    if len(partial) >= total:
+        return partial[:total], total
+    req = urllib.request.Request(
+        url, headers={"Range": f"bytes={len(partial)}-"}
+    )
+    with urllib.request.urlopen(req) as resp:
+        if resp.status != 206:
+            raise ValueError(f"expected 206 Partial Content, got {resp.status}")
+        rest = resp.read()
+    return partial + rest, total

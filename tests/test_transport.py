@@ -17,6 +17,7 @@ from arrow_experiments_spark.transport.client import (
     fetch_catalog,
     fetch_indirect,
     fetch_range,
+    fetch_resume,
 )
 from arrow_experiments_spark.transport.ipc_stream import encode_ipc_chunks
 from arrow_experiments_spark.transport.multipart import parse_multipart, read_arrow_part
@@ -208,6 +209,19 @@ def test_range_fetch(server, table):
     assert len(data) == total
     got = pa.ipc.open_stream(io.BytesIO(data)).read_all()
     assert got.equals(table)
+
+
+def test_resume_fetch(server, table):
+    # interrupt after 1000 bytes, then resume from that offset (curl -C -)
+    full, total = fetch_range(f"{server}/files/bench.arrows", n_parts=1)
+    partial = full[:1000]
+    data, total2 = fetch_resume(f"{server}/files/bench.arrows", partial)
+    assert total2 == total and len(data) == total
+    got = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+    assert got.equals(table)
+    # already-complete partial: no extra GET needed, returns as-is
+    data2, _ = fetch_resume(f"{server}/files/bench.arrows", full)
+    assert data2 == full
 
 
 def test_range_suffix_and_416(server):
