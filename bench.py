@@ -82,44 +82,76 @@ def _bench_replay(spark) -> float:
         httpd.shutdown()
 
 
-def _bench_transport(spark) -> float:
-    """Reference-faithful serve-and-consume scenario (BASELINE.md S2 shape
-    at reduced scale): generate trading-style batches, serve them over
-    HTTP with negotiated zstd, stream-decode with the pyarrow client, and
-    report elapsed seconds (the reference's client metrics protocol)."""
+# BASELINE.md S2 is a per-strategy matrix: HTTP content codings
+# (identity/gzip/br/zstd) and transparent IPC buffer codecs
+# (identity+zstd, identity+lz4).  (accept, accept_encoding) per key; the
+# IPC-codec rows pin the HTTP coding to identity so exactly one layer
+# compresses (the reference's don't-double-compress rule).
+_S2_STRATEGIES: dict[str, tuple[str | None, str]] = {
+    "s2_serve_1m_identity": (None, "identity"),
+    "s2_serve_1m_gzip": (None, "gzip"),
+    "s2_serve_1m_br": (None, "br"),
+    "s2_serve_1m_zstd": (None, "zstd"),
+    "s2_serve_1m_ipc_zstd": (
+        'application/vnd.apache.arrow.stream; codecs="zstd"',
+        "identity",
+    ),
+    "s2_serve_1m_ipc_lz4": (
+        'application/vnd.apache.arrow.stream; codecs="lz4"',
+        "identity",
+    ),
+}
+
+_S2_SERVER = None
+
+
+def _s2_server(spark):
+    """Lazily start ONE trading server shared by all S2 strategy items —
+    pre-materialize once, serve many (the reference's serving model:
+    get_simple server.py:144).  Ticker is dictionary-encoded at the egress
+    boundary, as the reference's get_compressed server does
+    (server.py:70-74)."""
+    global _S2_SERVER
+    if _S2_SERVER is None:
+        from arrow_experiments_spark.sources.arrow_ipc import (
+            dictionary_encode_columns,
+        )
+        from arrow_experiments_spark.sources.generators import gen_trading
+        from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+        base = dictionary_encode_columns(
+            gen_trading(spark, rows=1_000_000).toArrow(), ["ticker"]
+        )
+        registry = DatasetRegistry()
+        registry.register_table("trading", base)
+        _S2_SERVER = serve(registry)
+    return _S2_SERVER
+
+
+def _bench_transport(spark, name: str) -> float:
+    """Reference-faithful serve-and-consume scenario (BASELINE.md S2 at
+    reduced scale): serve trading batches over HTTP with the named
+    negotiation strategy, stream-decode with the pyarrow client, report
+    elapsed seconds (the reference's client metrics protocol).  The timed
+    section is transport only."""
     import time as _time
 
-    from arrow_experiments_spark.sources.arrow_ipc import df_to_reader
-    from arrow_experiments_spark.sources.generators import gen_trading
     from arrow_experiments_spark.transport.client import fetch_arrow
-    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
 
-    from arrow_experiments_spark.sources.arrow_ipc import dictionary_encode_columns
-
-    # Pre-materialize once, serve many — the reference's serving model
-    # (batches built at startup, replayed per request: get_simple
-    # server.py:144).  Ticker is dictionary-encoded at the egress boundary,
-    # as the reference's get_compressed server does (server.py:70-74).
-    # The timed section is transport only.
-    base = dictionary_encode_columns(
-        gen_trading(spark, rows=1_000_000).toArrow(), ["ticker"]
-    )
-    registry = DatasetRegistry()
-    registry.register_table("trading", base)
-    httpd = serve(registry)
+    accept, accept_encoding = _S2_STRATEGIES[name]
+    httpd = _s2_server(spark)
     host, port = httpd.server_address
-    try:
-        best = float("inf")
-        for _ in range(2):  # outer two-pass scheme decorrelates the rest
-            t0 = _time.perf_counter()
-            tbl, metrics = fetch_arrow(
-                f"http://{host}:{port}/datasets/trading", accept_encoding="zstd"
-            )
-            best = min(best, _time.perf_counter() - t0)
-            assert tbl.num_rows == 1_000_000
-        return round(best, 3)
-    finally:
-        httpd.shutdown()
+    best = float("inf")
+    for _ in range(2):  # outer two-pass scheme decorrelates the rest
+        t0 = _time.perf_counter()
+        tbl, _metrics = fetch_arrow(
+            f"http://{host}:{port}/datasets/trading",
+            accept=accept,
+            accept_encoding=accept_encoding,
+        )
+        best = min(best, _time.perf_counter() - t0)
+        assert tbl.num_rows == 1_000_000
+    return round(best, 3)
 
 
 def main() -> None:
@@ -149,8 +181,8 @@ def main() -> None:
     def measure(name: str) -> float:
         if name == "s1_replay_10m":
             return _bench_replay(spark)
-        if name == "s2_serve_1m_zstd":
-            return _bench_transport(spark)
+        if name in _S2_STRATEGIES:
+            return _bench_transport(spark, name)
         t0 = time.perf_counter()
         queries[name].build(spark, sf_dir).write.format("noop").mode(
             "overwrite"
@@ -159,7 +191,7 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    items = ["s1_replay_10m", "s2_serve_1m_zstd", *names]
+    items = ["s1_replay_10m", *_S2_STRATEGIES, *names]
     passes: list[dict[str, float]] = []
     for i in range(2):
         order = items if i == 0 else list(reversed(items))
