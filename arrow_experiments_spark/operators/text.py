@@ -139,3 +139,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("fingerprint")
     return docs.select("doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_same"))
+
+
+@register(
+    "pipeline_training_select",
+    "text",
+    doc="end-to-end training-set selection: quality-signal computation "
+    "(token count, distinct ratio, stopword ratio) → threshold filter "
+    "(length ≥ 20 tokens, repetition and language heuristics) → exact "
+    "content dedup keeping the canonical (min doc_id) copy.  The shape of "
+    "a real 100 TB corpus-curation job: the quality stage is row-local "
+    "(zero shuffle), and only the already-filtered survivors pay the "
+    "dedup shuffle on the content hash.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents),
+        s AS (
+            SELECT doc_id, lang, text,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+                   CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                       / len(toks) AS stopword_ratio
+            FROM t
+        ), kept AS (
+            SELECT * FROM s
+            WHERE n_tokens >= 20 AND distinct_ratio >= 0.4 AND stopword_ratio >= 0.05
+        )
+        SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               MIN(lang) AS lang, MIN(n_tokens) AS n_tokens
+        FROM kept GROUP BY md5(text)
+    """,
+)
+def pipeline_training_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.text import md5_str
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias(
+            "distinct_ratio"
+        ),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
+            / n_tokens
+        ).alias("stopword_ratio"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("distinct_ratio") >= 0.4)
+        & (F.col("stopword_ratio") >= 0.05)
+    )
+    return kept.groupBy(md5_str(F.col("text")).alias("content_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    ).select("doc_id", "content_hash", "n_copies", "lang", "n_tokens")
