@@ -274,6 +274,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    # Labels cover the full corpus, deliberately: a parquet-derived labels
+    # side carries accurate size stats, so AQE broadcasts it in the
+    # per-round join (no edge shuffle).  The tempting "restrict labels to
+    # edge nodes" variant measured 3-10× SLOWER here — the shuffle-derived
+    # restricted labels lose their size estimate and every round degrades
+    # to a sort-merge shuffle of the edge set.  At a scale where labels no
+    # longer broadcast, the right shape is co-partitioning edges and labels
+    # on doc_id once (bucketed layout), or large-star/small-star.
     labels = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
