@@ -134,3 +134,38 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         min(spark.sparkContext.defaultParallelism, 8)
     )
     return frame_sample(documents_as_binary(docs), frame_size=256, stride=4)
+
+
+@register(
+    "multimodal_resize",
+    "multimodal",
+    doc="image resize plumbing: mapInPandas payload→payload' with a "
+    "deterministic repeat-and-truncate fake standing in for the codec "
+    "(real resize swaps into resize_stub's batch loop unchanged); output "
+    "checked by hex digest of the resized payload.  Arrow-batched Python "
+    "exchange — the partitioning/batching shape of a real GPU/codec stage.",
+    oracle="""
+        SELECT doc_id,
+               CAST(32 AS INT) AS width,
+               CAST(32 AS INT) AS height,
+               substring(
+                   repeat(hex(CAST(text AS BLOB)),
+                          CAST(1024 // greatest(length(text), 1) + 1 AS INT)),
+                   1, 2048) AS payload_hex
+        FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.multimodal import (
+        documents_as_binary,
+        resize_stub,
+    )
+
+    corpus = documents_as_binary(table(spark, sf_dir, "documents"))
+    resized = resize_stub(corpus, target_w=32, target_h=32)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.hex("payload").alias("payload_hex"),
+    )
