@@ -6,6 +6,10 @@ Endpoints (the union of the reference's protocol patterns):
                                       (get_simple + get_compressed)
   GET  /datasets/{name}?multipart=1   multipart/mixed: JSON meta + Arrow
                                       stream + footnotes (get_multipart)
+  GET  /datasets/{name}?columns=a,b&limit=N
+                                      serve-time projection + row slice
+                                      (drop_column / slice at the egress
+                                      boundary; 400 on unknown column)
   GET  /catalog                       {"arrow_stream_files": [{"uri":…}]}
                                       (get_indirect)
   GET  /files/{name}                  static .arrows artifact with
@@ -61,6 +65,43 @@ AVAILABLE_IPC_CODECS = ["zstd", "lz4"]
 AVAILABLE_CODINGS = ["zstd", "br", "gzip"]
 
 ReaderFactory = Callable[[], pa.RecordBatchReader]
+
+
+def project_reader(
+    reader: pa.RecordBatchReader,
+    columns: list[str] | None = None,
+    limit: int | None = None,
+) -> pa.RecordBatchReader:
+    """Egress-boundary projection + slice: select ``columns`` and stop
+    after ``limit`` rows, streaming batch-by-batch (the reference's
+    drop_column and slice ops applied at serve time; SURVEY.md §4 notes
+    Accept-driven projection is a ``select``, never a planner rule).
+    Raises KeyError on an unknown column, ValueError on a negative limit."""
+    schema = reader.schema
+    if columns is not None:
+        missing = [c for c in columns if schema.get_field_index(c) < 0]
+        if missing:
+            raise KeyError(f"unknown column(s): {', '.join(missing)}")
+        schema = pa.schema(
+            [schema.field(c) for c in columns], metadata=schema.metadata
+        )
+    if limit is not None and limit < 0:
+        raise ValueError("limit must be >= 0")
+
+    def gen():
+        remaining = limit
+        for batch in reader:
+            if remaining is not None and remaining <= 0:
+                break
+            if columns is not None:
+                batch = batch.select(columns)
+            if remaining is not None:
+                if batch.num_rows > remaining:
+                    batch = batch.slice(0, remaining)
+                remaining -= batch.num_rows
+            yield batch
+
+    return pa.RecordBatchReader.from_batches(schema, gen())
 
 
 class DatasetRegistry:
@@ -228,6 +269,23 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
         if reader is None:
             self._send_404()
             return
+
+        # ?columns=a,b&limit=N — serve-time projection + slice (applies to
+        # both the plain-stream and multipart paths)
+        if "columns" in params or "limit" in params:
+            from urllib.parse import unquote
+
+            try:
+                cols = (
+                    [unquote(c) for c in params["columns"].split(",") if c]
+                    if "columns" in params
+                    else None
+                )
+                limit = int(params["limit"]) if "limit" in params else None
+                reader = project_reader(reader, cols, limit)
+            except (KeyError, ValueError) as e:
+                self._send_json({"error": str(e)}, status=400)
+                return
 
         if params.get("multipart"):
             self._send_multipart(name, reader)

@@ -211,6 +211,26 @@ def test_range_fetch(server, table):
     assert got.equals(table)
 
 
+def test_projection_and_limit(server, table):
+    got, _ = fetch_arrow(
+        f"{server}/datasets/bench?columns=a,s&limit=100",
+        accept_encoding="identity",
+    )
+    assert got.column_names == ["a", "s"]
+    assert got.num_rows == 100
+    assert got.column("a").to_pylist() == table.column("a").to_pylist()[:100]
+    # limit alone keeps the full schema
+    got2, _ = fetch_arrow(
+        f"{server}/datasets/bench?limit=7", accept_encoding="identity"
+    )
+    assert got2.column_names == table.column_names and got2.num_rows == 7
+    # unknown column / bad limit → 400
+    for bad in ("columns=nope", "limit=-1", "limit=banana"):
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(f"{server}/datasets/bench?{bad}")
+        assert exc_info.value.code == 400
+
+
 def test_resume_fetch(server, table):
     # interrupt after 1000 bytes, then resume from that offset (curl -C -)
     full, total = fetch_range(f"{server}/files/bench.arrows", n_parts=1)
