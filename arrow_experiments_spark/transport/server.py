@@ -6,9 +6,10 @@ Endpoints (the union of the reference's protocol patterns):
                                       (get_simple + get_compressed)
   GET  /datasets/{name}?multipart=1   multipart/mixed: JSON meta + Arrow
                                       stream + footnotes (get_multipart)
-  GET  /datasets/{name}?columns=a,b&limit=N
-                                      serve-time projection + row slice
-                                      (drop_column / slice at the egress
+  GET  /datasets/{name}?columns=a,b&limit=N&batch_rows=M
+                                      serve-time projection + row slice +
+                                      fixed-size re-chunking (drop_column /
+                                      slice / rebatch at the egress
                                       boundary; 400 on unknown column)
   GET  /catalog                       {"arrow_stream_files": [{"uri":…}]}
                                       (get_indirect)
@@ -100,6 +101,31 @@ def project_reader(
                     batch = batch.slice(0, remaining)
                 remaining -= batch.num_rows
             yield batch
+
+    return pa.RecordBatchReader.from_batches(schema, gen())
+
+
+def rebatch_reader(reader: pa.RecordBatchReader, n: int) -> pa.RecordBatchReader:
+    """Re-chunk a stream to fixed ``n``-row batches (the reference's
+    rebatch op: arrow-commits.R:48-55 re-batches to 1024 rows before
+    writing; servers pick 4096/6144).  Streams with O(n) memory: buffered
+    rows never exceed one incoming batch + n.  Raises ValueError if
+    ``n <= 0``."""
+    if n <= 0:
+        raise ValueError("batch_rows must be >= 1")
+    schema = reader.schema
+
+    def gen():
+        buf: pa.Table | None = None
+        for batch in reader:
+            t = pa.Table.from_batches([batch])
+            buf = t if buf is None else pa.concat_tables([buf, t])
+            while buf.num_rows >= n:
+                head = buf.slice(0, n).combine_chunks()
+                yield from head.to_batches(max_chunksize=n)
+                buf = buf.slice(n)
+        if buf is not None and buf.num_rows:
+            yield from buf.combine_chunks().to_batches(max_chunksize=n)
 
     return pa.RecordBatchReader.from_batches(schema, gen())
 
@@ -242,6 +268,8 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
                     },
                 ],
                 "metadata": self.registry.meta(name),
+                # serve-time query params the dataset endpoint accepts
+                "params": ["columns", "limit", "batch_rows", "multipart"],
             }
         )
 
@@ -270,9 +298,9 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
             self._send_404()
             return
 
-        # ?columns=a,b&limit=N — serve-time projection + slice (applies to
-        # both the plain-stream and multipart paths)
-        if "columns" in params or "limit" in params:
+        # ?columns=a,b&limit=N&batch_rows=M — serve-time projection, slice,
+        # and re-chunking (applies to both plain-stream and multipart paths)
+        if "columns" in params or "limit" in params or "batch_rows" in params:
             from urllib.parse import unquote
 
             try:
@@ -282,7 +310,10 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
                     else None
                 )
                 limit = int(params["limit"]) if "limit" in params else None
-                reader = project_reader(reader, cols, limit)
+                if cols is not None or limit is not None:
+                    reader = project_reader(reader, cols, limit)
+                if "batch_rows" in params:
+                    reader = rebatch_reader(reader, int(params["batch_rows"]))
             except (KeyError, ValueError) as e:
                 self._send_json({"error": str(e)}, status=400)
                 return

@@ -231,6 +231,28 @@ def test_projection_and_limit(server, table):
         assert exc_info.value.code == 400
 
 
+def test_rebatch_param(server, table):
+    # serve-time re-chunking to fixed 128-row batches (reference rebatch op)
+    url = f"{server}/datasets/bench?batch_rows=128"
+    req = urllib.request.Request(url, headers={"Accept-Encoding": "identity"})
+    with urllib.request.urlopen(req) as resp:
+        got_batches = list(pa.ipc.open_stream(resp))
+    n = table.num_rows
+    assert [b.num_rows for b in got_batches] == [128] * (n // 128) + (
+        [n % 128] if n % 128 else []
+    )
+    assert pa.Table.from_batches(got_batches).equals(table)
+    # composes with projection+limit; bad value → 400
+    got, _ = fetch_arrow(
+        f"{server}/datasets/bench?columns=a&limit=300&batch_rows=100",
+        accept_encoding="identity",
+    )
+    assert got.num_rows == 300 and got.column_names == ["a"]
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(f"{server}/datasets/bench?batch_rows=0")
+    assert exc_info.value.code == 400
+
+
 def test_resume_fetch(server, table):
     # interrupt after 1000 bytes, then resume from that offset (curl -C -)
     full, total = fetch_range(f"{server}/files/bench.arrows", n_parts=1)
