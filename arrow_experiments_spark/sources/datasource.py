@@ -63,14 +63,37 @@ def _fetch_catalog_uris(catalog_url: str) -> list[str]:
     return [entry["uri"] for entry in doc.get("arrow_stream_files", [])]
 
 
+def _apply_server_params(uri: str, options: dict) -> str:
+    """Forward ``columns``/``limit``/``batch_rows`` options as query params
+    on engine HTTP URIs — projection and slicing then happen server-side
+    BEFORE bytes cross the wire (the scan-level pruning story applied to
+    the transport boundary).  ``limit`` is per stream.  Local paths and
+    static file servers are left untouched (no option ⇒ no param)."""
+    if not uri.startswith(("http://", "https://")):
+        return uri
+    from urllib.parse import quote
+
+    pairs = [
+        f"{k}={quote(str(options[k]), safe=',')}"
+        for k in ("columns", "limit", "batch_rows")
+        if options.get(k)
+    ]
+    if not pairs:
+        return uri
+    sep = "&" if "?" in uri else "?"
+    return uri + sep + "&".join(pairs)
+
+
 def _resolve_uris(options: dict) -> list[str]:
     if options.get("catalog_url"):
-        return _fetch_catalog_uris(options["catalog_url"])
-    if options.get("urls"):
-        return [u.strip() for u in options["urls"].split(",") if u.strip()]
-    if options.get("path"):
-        return [options["path"]]
-    raise ValueError("arrows source needs one of: path, urls, catalog_url")
+        uris = _fetch_catalog_uris(options["catalog_url"])
+    elif options.get("urls"):
+        uris = [u.strip() for u in options["urls"].split(",") if u.strip()]
+    elif options.get("path"):
+        uris = [options["path"]]
+    else:
+        raise ValueError("arrows source needs one of: path, urls, catalog_url")
+    return [_apply_server_params(u, options) for u in uris]
 
 
 def _widen_batch(batch: pa.RecordBatch, target: pa.Schema) -> pa.RecordBatch:

@@ -114,3 +114,26 @@ def test_many_types_widening(spark, tmp_path_factory):
     assert dtypes["col_19"] == "string"  # dictionary decoded
     # values survive: col_3 is int64 passthrough
     assert df.select("col_3").distinct().count() > 1
+
+
+def test_server_side_projection_pushdown(spark, small_table):
+    """columns/limit options ride the URI so the SERVER prunes before any
+    bytes cross the wire; schema inference sees the projected schema."""
+    registry = DatasetRegistry()
+    registry.register_table("part", small_table)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        df = (
+            spark.read.format("arrows")
+            .option("urls", f"http://{host}:{port}/datasets/part")
+            .option("columns", "a,s")
+            .option("limit", "100")
+            .load()
+        )
+        assert df.columns == ["a", "s"]
+        rows = df.collect()
+        assert len(rows) == 100
+        assert [r.a for r in rows] == list(range(100))
+    finally:
+        httpd.shutdown()
