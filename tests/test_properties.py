@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the pure-Python protocol and
+stream-shaping layers: the RFC-2616 header parser must never crash on
+arbitrary input, negotiation must only ever pick offered codings, and
+rebatch/projection must preserve content for any batch geometry.
+"""
+
+from __future__ import annotations
+
+import io
+
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from arrow_experiments_spark.transport.negotiation import (
+    NotAcceptable,
+    choose_content_coding,
+    parse_list_header,
+)
+from arrow_experiments_spark.transport.server import project_reader, rebatch_reader
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80))
+def test_parse_list_header_total(value):
+    """Parser is total: any input either parses to a list of
+    (token, params) tuples or raises the typed NotAcceptable error —
+    never an unhandled exception."""
+    try:
+        out = parse_list_header("Accept-Encoding", value)
+    except NotAcceptable:
+        return
+    assert isinstance(out, list)
+    for token, params in out:
+        assert isinstance(token, str)
+        assert isinstance(params, dict)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["gzip", "br", "zstd", "identity", "*"]).flatmap(
+            lambda t: st.sampled_from(
+                [t, f"{t};q=0", f"{t};q=0.5", f"{t};q=1", f"{t};q=0.001"]
+            )
+        ),
+        min_size=0,
+        max_size=5,
+    )
+)
+def test_choose_coding_only_offers_available(parts):
+    """Whatever the Accept-Encoding header, the chosen coding is either
+    None (406 path) or a coding the server actually offers (identity is
+    always offerable unless explicitly q=0)."""
+    header = ", ".join(parts)
+    available = ["zstd", "br", "gzip"]
+    try:
+        got = choose_content_coding(header, available)
+    except NotAcceptable:
+        return
+    assert got is None or got in [*available, "identity"]
+
+
+def _reader(table: pa.Table, chunk: int) -> pa.RecordBatchReader:
+    batches = table.to_batches(max_chunksize=chunk) if table.num_rows else []
+    return pa.RecordBatchReader.from_batches(table.schema, iter(batches))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=500),
+    in_chunk=st.integers(min_value=1, max_value=97),
+    out_chunk=st.integers(min_value=1, max_value=97),
+)
+def test_rebatch_preserves_content_any_geometry(n_rows, in_chunk, out_chunk):
+    table = pa.table({"a": list(range(n_rows)), "s": [f"x{i}" for i in range(n_rows)]})
+    out = rebatch_reader(_reader(table, in_chunk), out_chunk)
+    got_batches = list(out)
+    assert all(b.num_rows == out_chunk for b in got_batches[:-1])
+    got = (
+        pa.Table.from_batches(got_batches, schema=table.schema)
+        if got_batches
+        else table.schema.empty_table()
+    )
+    assert got.equals(table)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    n_rows=st.integers(min_value=0, max_value=300),
+    in_chunk=st.integers(min_value=1, max_value=64),
+    limit=st.integers(min_value=0, max_value=350),
+)
+def test_projection_limit_any_geometry(n_rows, in_chunk, limit):
+    table = pa.table({"a": list(range(n_rows)), "b": list(range(n_rows))})
+    out = project_reader(_reader(table, in_chunk), columns=["b"], limit=limit)
+    got = out.read_all()
+    assert got.column_names == ["b"]
+    assert got.num_rows == min(limit, n_rows)
+    assert got.column("b").to_pylist() == list(range(min(limit, n_rows)))
+
+
+def test_project_reader_rejects_unknown_column():
+    table = pa.table({"a": [1]})
+    with pytest.raises(KeyError):
+        project_reader(_reader(table, 1), columns=["zzz"])
