@@ -320,6 +320,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decontaminate_ngram_overlap",
+    "dedup",
+    doc="benchmark decontamination: training docs (source <> 'src0') "
+    "sharing ≥ 3 distinct 3-word shingles with any eval doc (source = "
+    "'src0').  The eval side is a tiny broadcast inverted index, so the "
+    "training corpus streams through map-side — at 100 TB the benchmark "
+    "set is KBs against TBs of training data and this is the only shape "
+    "that avoids shuffling the corpus.",
+    oracle=f"""
+        WITH sh_t AS (
+            SELECT doc_id, source, list_distinct({_SH_SQL}) AS sh FROM documents
+        ), ev AS (
+            SELECT doc_id AS eval_id, unnest(sh) AS s FROM sh_t WHERE source = 'src0'
+        ), tr AS (
+            SELECT doc_id AS train_id, unnest(sh) AS s FROM sh_t WHERE source <> 'src0'
+        )
+        SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM tr JOIN ev USING (s)
+        GROUP BY train_id, eval_id
+        HAVING COUNT(*) >= 3
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+        .persist()
+        .select(
+            "doc_id", "source", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
+        )
+    )
+    ev = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.col("doc_id").alias("eval_id"), F.explode("sh").alias("s"))
+    )
+    tr = (
+        sh.filter(F.col("source") != "src0")
+        .select(F.col("doc_id").alias("train_id"), F.explode("sh").alias("s"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
 def _simhash_bit_sums_sql() -> str:
     cases = ",\n               ".join(
         f"SUM(CASE WHEN (v >> {p}) & 1 = 1 THEN 1 ELSE -1 END) AS b{p}"
