@@ -68,17 +68,161 @@ def read_ipc_streams_parallel(spark: SparkSession, paths: list[str]) -> DataFram
 # ---- egress ---------------------------------------------------------------
 
 
-def df_to_reader(df: DataFrame, batch_rows: int = 4096) -> pa.RecordBatchReader:
+def df_to_reader(
+    df: DataFrame,
+    batch_rows: int = 4096,
+    mode: str = "spill",
+    spill_dir: str | None = None,
+) -> pa.RecordBatchReader:
     """DataFrame → RecordBatchReader with reference-style batch sizing.
 
-    Driver-side materialization (``df.toArrow``).  Scale path for large
-    results: ``iter_arrow_batches`` below fetches range-partitioned slices
-    sequentially so driver memory stays O(slice).
+    The reference serves O(batch) on the server side (incremental IPC
+    writer, http/get_simple/python/server/http.server/server.py:59-72) —
+    the Spark-side adapter must therefore never hold the whole result on
+    the driver.  Modes:
+
+    ``spill`` (default, bounded memory)
+        Executors write their partitions as Arrow IPC stream files via
+        ``mapInArrow`` (exact Arrow types — the same batches Spark's own
+        Arrow exchange produces); the driver then streams the files in
+        partition order, holding one batch at a time.  The write is fully
+        distributed; on a real cluster ``spill_dir`` must be shared
+        storage (NFS/object store), which is the standard shuffle-to-store
+        egress posture at 100 TB.
+    ``local_iter`` (bounded memory, no shared storage required)
+        ``df.toLocalIterator()`` row pull, converted to Arrow in
+        ``batch_rows`` chunks driver-side.  One job per partition, rows
+        cross the Py4J socket — slower per row, but needs nothing but the
+        driver.
+    ``collect``
+        Legacy ``df.toArrow()`` — whole result on the driver.  Only for
+        the pre-materialize-once registry path (reference server.py:144
+        builds its batches once at startup and replays them per request).
     """
-    table = df.toArrow()
-    return pa.RecordBatchReader.from_batches(
-        table.schema, table.to_batches(max_chunksize=batch_rows)
-    )
+    if mode == "collect":
+        table = df.toArrow()
+        return pa.RecordBatchReader.from_batches(
+            table.schema, table.to_batches(max_chunksize=batch_rows)
+        )
+    if mode == "local_iter":
+        return _local_iter_reader(df, batch_rows)
+    if mode != "spill":
+        raise ValueError(f"unknown mode: {mode!r}")
+    tmp, files, schema = spill_dataframe(df, spill_dir)
+    return spilled_files_reader(files, schema, batch_rows, cleanup_dir=tmp)
+
+
+def spill_dataframe(
+    df: DataFrame, spill_dir: str | None = None
+) -> tuple[str, list[str], pa.Schema]:
+    """Distributed DataFrame → per-partition ``.arrows`` spill files.
+
+    Each executor task writes its own partition through an incremental IPC
+    writer (the reference's serving loop, executed where the data lives
+    instead of on the driver).  Returns ``(dir, ordered files, schema)``;
+    file order == partition order, so streaming them back preserves any
+    ordering the plan produced (e.g. a global sort's range partitions).
+    """
+    import glob
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="arrow-egress-", dir=spill_dir)
+
+    def dump(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(d, f"part-{pid:08d}.arrows")
+        writer = None
+        sink = None
+        rows = 0
+        try:
+            for b in batches:
+                if writer is None:
+                    sink = open(path, "wb")
+                    writer = ipc.new_stream(sink, b.schema)
+                writer.write_batch(b)
+                rows += b.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+                sink.close()
+        yield pa.record_batch(
+            {"pid": pa.array([pid], pa.int64()), "rows": pa.array([rows], pa.int64())}
+        )
+
+    df.mapInArrow(dump, "pid long, rows long").collect()  # tiny summary only
+    files = sorted(glob.glob(os.path.join(d, "part-*.arrows")))
+    if files:
+        with open(files[0], "rb") as f:
+            schema = ipc.open_stream(f).schema
+    else:  # empty result — derive the Arrow schema Spark would have used
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(df.schema, timestamp_utc=True)
+    return d, files, schema
+
+
+def spilled_files_reader(
+    files: list[str],
+    schema: pa.Schema,
+    batch_rows: int = 4096,
+    cleanup_dir: str | None = None,
+) -> pa.RecordBatchReader:
+    """Stream spilled ``.arrows`` files in order with O(batch) memory;
+    optionally remove ``cleanup_dir`` once the stream is exhausted."""
+    import shutil
+
+    from arrow_experiments_spark.transport.server import rebatch_reader
+
+    def gen() -> Iterator[pa.RecordBatch]:
+        try:
+            for path in files:
+                with open(path, "rb") as f:
+                    yield from ipc.open_stream(f)
+        finally:
+            if cleanup_dir is not None:
+                shutil.rmtree(cleanup_dir, ignore_errors=True)
+
+    reader = pa.RecordBatchReader.from_batches(schema, gen())
+    return rebatch_reader(reader, batch_rows)
+
+
+def _local_iter_reader(df: DataFrame, batch_rows: int) -> pa.RecordBatchReader:
+    """Bounded-memory row pull: ``toLocalIterator`` → Arrow chunks.
+
+    Uses Spark's own local Row→Arrow converters so the 21-type surface
+    (decimal/struct/list/binary/timestamp — SURVEY.md §1.2) round-trips
+    exactly as ``df.toArrow`` would produce it."""
+    from pyspark.sql.conversion import LocalDataToArrowConversion
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = df.schema
+    expected = to_arrow_schema(schema, timestamp_utc=True)
+
+    def convert(rows: list) -> Iterator[pa.RecordBatch]:
+        tbl = LocalDataToArrowConversion.convert(rows, schema, False)
+        yield from tbl.cast(expected).to_batches(max_chunksize=batch_rows)
+
+    def gen() -> Iterator[pa.RecordBatch]:
+        buf: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            buf.append(row)
+            if len(buf) >= batch_rows:
+                yield from convert(buf)
+                buf = []
+        if buf:
+            yield from convert(buf)
+
+    return pa.RecordBatchReader.from_batches(expected, gen())
+
+
+def register_dataframe(registry, name: str, df: DataFrame, batch_rows: int = 4096,
+                       mode: str = "spill", meta: dict | None = None) -> None:
+    """Register a live DataFrame with the HTTP server: each request re-runs
+    the (lazy) plan through the bounded-memory reader — the server never
+    holds more than one batch per in-flight request."""
+    registry.register(name, lambda: df_to_reader(df, batch_rows, mode=mode), meta)
 
 
 def iter_arrow_batches(
@@ -87,7 +231,10 @@ def iter_arrow_batches(
     """Bounded-memory egress: split the result into ``n_slices`` contiguous
     ranges of ``order_col`` (percentile boundaries), fetch one slice at a
     time.  One Spark job per slice; driver holds one slice (SURVEY.md §7
-    hard part 2: ordered streaming egress)."""
+    hard part 2: ordered streaming egress).  Rows with a NULL ``order_col``
+    sort first (Spark's nulls-first default) and are fetched with the
+    first slice.  Each slice re-filters the input — persist ``df`` first
+    if its lineage is expensive to recompute."""
     import pyspark.sql.functions as F
 
     qs = [i / n_slices for i in range(1, n_slices)]
@@ -96,6 +243,7 @@ def iter_arrow_batches(
     ).first()["b"]
     lo = None
     edges = list(bounds) + [None]
+    first = True
     for hi in edges:
         cond = None
         if lo is not None:
@@ -103,9 +251,12 @@ def iter_arrow_batches(
         if hi is not None:
             c2 = F.col(order_col) <= F.lit(hi)
             cond = c2 if cond is None else cond & c2
+        if cond is not None and first:
+            cond = cond | F.col(order_col).isNull()
         part = df.filter(cond) if cond is not None else df
         yield from part.orderBy(order_col).toArrow().to_batches(max_chunksize=batch_rows)
         lo = hi
+        first = False
 
 
 def dictionary_encode_columns(table: pa.Table, cols: list[str]) -> pa.Table:

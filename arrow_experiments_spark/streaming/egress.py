@@ -27,21 +27,30 @@ def stream_to_registry(
     prefix: str = "stream",
     output_mode: str = "append",
     timeout_sec: int = 120,
+    spill_dir: str | None = None,
 ):
     """Run a streaming DataFrame with availableNow and publish each
     micro-batch to ``registry`` as ``{prefix}.{batch_id}``.
 
-    Returns the finished StreamingQuery.  The foreachBatch body runs on
-    the driver but the DataFrame→Arrow conversion executes as a normal
-    Spark job over the executors; only the result batches land here —
-    O(micro-batch) driver memory, the reference's own serving buffer
-    shape.
+    Returns the finished StreamingQuery.  Each micro-batch is spilled to
+    per-partition Arrow IPC files by the executors (bounded driver
+    memory); the registry entry is a factory that re-streams the files
+    per request — replay-many serving with O(batch) memory on both the
+    publish and the serve side.  Spill files live until process exit (or
+    until the caller removes ``spill_dir``).
     """
+    from arrow_experiments_spark.sources.arrow_ipc import (
+        spill_dataframe,
+        spilled_files_reader,
+    )
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
-        tbl = batch_df.toArrow()
-        if tbl.num_rows:
-            registry.register_table(f"{prefix}.{batch_id}", tbl)
+        _d, files, schema = spill_dataframe(batch_df, spill_dir)
+        if files:
+            registry.register(
+                f"{prefix}.{batch_id}",
+                lambda: spilled_files_reader(files, schema),
+            )
 
     q = (
         stream_df.writeStream.foreachBatch(publish)

@@ -1,0 +1,97 @@
+"""Bounded-memory Spark→HTTP egress (SURVEY.md §7 hard part 2).
+
+The reference's servers hold O(batch), never the whole response
+(http/get_simple/python/server/http.server/server.py:59-72); the Spark
+adapter must match: ``df_to_reader`` defaults to executor-side IPC spill
+streamed file-by-file, with a ``toLocalIterator`` row-pull fallback.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from arrow_experiments_spark.sources.arrow_ipc import (
+    df_to_reader,
+    register_dataframe,
+    spill_dataframe,
+    spilled_files_reader,
+)
+from arrow_experiments_spark.sources.generators import gen_flight_bench
+
+
+@pytest.mark.parametrize("mode", ["spill", "local_iter", "collect"])
+def test_modes_agree_with_toarrow(spark, mode):
+    df = gen_flight_bench(spark, rows=20_000).repartition(4)
+    expect = df.toArrow().combine_chunks().sort_by("a")
+    got = df_to_reader(df, batch_rows=1024, mode=mode).read_all()
+    assert got.schema.equals(expect.schema)
+    assert got.combine_chunks().sort_by("a").equals(expect)
+
+
+@pytest.mark.parametrize("mode", ["spill", "local_iter"])
+def test_global_order_preserved(spark, mode):
+    """Range-partitioned sort order must survive the partition-ordered
+    file replay (and the one-job-per-partition local iterator)."""
+    df = gen_flight_bench(spark, rows=20_000).orderBy("a")
+    got = df_to_reader(df, batch_rows=4096, mode=mode).read_all()
+    col = got.column("a").to_pylist()
+    assert col == sorted(col)
+
+
+def test_spill_driver_memory_is_bounded(spark):
+    """Streaming a multi-batch result must never hold the whole table in
+    driver Arrow memory: peak allocation while draining stays a small
+    multiple of one batch, far below the result size."""
+    df = gen_flight_bench(spark, rows=500_000)  # ~16 MB of int64s
+    reader = df_to_reader(df, batch_rows=4096, mode="spill")
+    base = pa.total_allocated_bytes()
+    peak = 0
+    rows = 0
+    for batch in reader:
+        rows += batch.num_rows
+        peak = max(peak, pa.total_allocated_bytes() - base)
+    assert rows == 500_000
+    # one 4096x4 int64 batch is ~128 KiB; allow generous slack for the
+    # rebatch buffer + allocator bins, but far below the 16 MB result
+    assert peak < 4 * 1024 * 1024, f"driver held {peak} bytes while streaming"
+
+
+def test_spill_empty_result_keeps_schema(spark):
+    df = gen_flight_bench(spark, rows=100).filter("a is null and b = 1")
+    got = df_to_reader(df, mode="spill").read_all()
+    assert got.num_rows == 0
+    assert got.schema.names == ["a", "b", "c", "d"]
+
+
+def test_register_dataframe_serves_per_request(spark):
+    """The server-facing factory re-runs the plan per request through the
+    bounded reader (no pre-materialized table behind the endpoint)."""
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    registry = DatasetRegistry()
+    df = gen_flight_bench(spark, rows=5_000)
+    register_dataframe(registry, "bench", df, batch_rows=1024)
+    httpd = serve(registry)
+    try:
+        host, port = httpd.server_address
+        for _ in range(2):  # replay-many: each request re-streams
+            table, _metrics = fetch_arrow(
+                f"http://{host}:{port}/datasets/bench",
+                accept_encoding="identity",
+            )
+            assert table.num_rows == 5_000
+    finally:
+        httpd.shutdown()
+
+
+def test_spill_files_cleaned_up(spark, tmp_path):
+    df = gen_flight_bench(spark, rows=1_000)
+    d, files, schema = spill_dataframe(df, str(tmp_path))
+    assert files, "expected at least one spill file"
+    reader = spilled_files_reader(files, schema, cleanup_dir=d)
+    reader.read_all()
+    import os
+
+    assert not os.path.exists(d)
