@@ -263,15 +263,44 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx",
     "aggregation",
-    doc="approximate aggregates (approx_count_distinct HLL, percentile_approx)"
-    " — sketch results are engine-specific, so no SQL oracle (rows-only check).",
-    oracle=None,
+    doc="approximate aggregates with an in-query tolerance gate (SURVEY.md "
+    "§2.6: approx ops checked by tolerance, not hash).  Sketch values are "
+    "engine-specific, so the query emits per-group BOOLEANs asserting the "
+    "sketch landed within its published error bound — approx_count_distinct "
+    "(HLL, default rsd=0.05; gate at 3·rsd) against the exact distinct "
+    "count, and percentile_approx (accuracy 10000, rank error 1/10000; "
+    "gate: value between the exact 0.49/0.51 quantiles) against exact "
+    "percentiles.  The oracle emits literal TRUEs over the same groups: a "
+    "sketch outside tolerance turns a Spark boolean false and fails the "
+    "hash compare, so this row IS the tolerance check.  Exact distinct "
+    "count is included as a direct cross-engine value check.",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               TRUE AS acd_within_tol,
+               TRUE AS median_within_rank_tol
+        FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile(l_quantity, array(0.49D, 0.5D, 0.51D))").alias("pct"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("exact_orders").cast("long").alias("exact_orders"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= F.lit(3 * 0.05) * F.col("exact_orders")
+        ).alias("acd_within_tol"),
+        (
+            (F.col("approx_median") >= F.col("pct")[0])
+            & (F.col("approx_median") <= F.col("pct")[2])
+        ).alias("median_within_rank_tol"),
     )
 
 

@@ -79,7 +79,7 @@ def _load_operators() -> None:
 _DRIVER_VERIFIED_R1 = frozenset({
     "q1_pricing_summary", "agg_basic", "agg_count_distinct", "agg_rollup",
     "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile",
-    "agg_approx", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q3_shipping_priority", "q5_local_supplier_volume",
     "join_broadcast_dims", "join_left_semi", "join_left_anti",
     "join_left_outer", "join_full_outer", "join_right_outer",
     "join_range_band", "window_rank", "window_lag_lead",
