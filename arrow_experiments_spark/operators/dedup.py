@@ -437,38 +437,94 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_LSH_BANDS = 3
+_EMB_LSH_BITS = 4
+
+
+def _emb_band_union_sql() -> str:
+    from arrow_experiments_spark.operators.similarity import lsh_bucket_sql
+
+    return " UNION ".join(
+        f"SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
+        f"FROM embeddings a JOIN embeddings b "
+        f"ON {lsh_bucket_sql('a.embedding', band, _EMB_LSH_BITS)}"
+        f" = {lsh_bucket_sql('b.embedding', band, _EMB_LSH_BITS)}"
+        f" AND a.vec_id < b.vec_id"
+        for band in range(_EMB_LSH_BANDS)
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     "dedup",
-    doc="embedding-cosine near-dup: pairs within the same label cell "
-    "(IVF-style blocking) with cosine ≥ 0.3; exact double fold, snapped "
-    "to 6 decimals.",
+    doc="embedding-cosine near-dup blocked on hyperplane-LSH buckets: "
+    f"{_EMB_LSH_BANDS} bands × {_EMB_LSH_BITS} sign-bits over the "
+    "deterministic LCG hyperplane family (similarity.lsh_bucket_col — "
+    "bit-identical in both engines), candidate pairs = union of same-bucket "
+    "pairs across bands, scored with an exact double fold snapped to 6 "
+    "decimals, kept at cosine ≥ 0.3.  Scale posture: the shuffle key is "
+    "(band, bucket) — cell population is tuned by adding bits, unlike the "
+    "fixed label vocabulary this replaces; recall is tuned by adding "
+    "bands (at the production threshold 0.9 three 4-bit bands give ~90% "
+    "recall; the 0.3 gate here just exercises more pairs at test scale).",
     oracle=f"""
-        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+        WITH cand AS ({_emb_band_union_sql()})
+        SELECT vec_id_a, vec_id_b,
                CAST(CAST({cosine_sql('a.embedding', 'b.embedding')} AS DECIMAL(28,6)) AS DOUBLE)
                    AS cos_sim
-        FROM embeddings a JOIN embeddings b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM cand JOIN embeddings a ON cand.vec_id_a = a.vec_id
+                  JOIN embeddings b ON cand.vec_id_b = b.vec_id
         WHERE CAST(CAST({cosine_sql('a.embedding', 'b.embedding')} AS DECIMAL(28,6)) AS DOUBLE)
               >= 0.3
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-vector norms below the join (see similarity.knn_bruteforce_cosine)
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", vnorm(F.col("embedding")).alias("nrm")
+    from arrow_experiments_spark.operators.similarity import lsh_bucket_col
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # (vec_id, band, bucket) — buckets materialized once behind a persist
+    # barrier so the hyperplane dot-products aren't re-inlined per band
+    # reference (no CSE across HOF lambdas; see _minhash_bands).
+    banded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_bucket_col(F.col("embedding"), band, _EMB_LSH_BITS).alias(
+                            "bucket"
+                        ),
+                    )
+                    for band in range(_EMB_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket").persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id_a"), F.col("b.vec_id").alias("vec_id_b"))
+        .distinct()  # a pair may collide in several bands
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    scored = emb.select(
+        "vec_id", "embedding", vnorm(F.col("embedding")).alias("nrm")
+    )
+    sa = scored.alias("sa")
+    sb = scored.alias("sb")
     cos = snap6(
-        dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+        dot(F.col("sa.embedding"), F.col("sb.embedding"))
+        / (F.col("sa.nrm") * F.col("sb.nrm"))
     )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            cos.alias("cos_sim"),
-        )
+        cand.join(sa, F.col("vec_id_a") == F.col("sa.vec_id"))
+        .join(sb, F.col("vec_id_b") == F.col("sb.vec_id"))
+        .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
     )

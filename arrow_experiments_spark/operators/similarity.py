@@ -155,19 +155,36 @@ def _hyperplane_sql(b: int) -> str:
     )
 
 
-def _bucket_sql(emb: str) -> str:
-    bits = " + ".join(
-        f"(CASE WHEN {dot_sql(emb, _hyperplane_sql(b))} >= 0 THEN {1 << b} ELSE 0 END)"
-        for b in range(_LSH_BITS)
+def lsh_bucket_sql(emb: str, band: int = 0, bits: int = _LSH_BITS) -> str:
+    """DuckDB-side bucket for band ``band`` — hyperplanes band*bits ..
+    band*bits+bits-1, bit-identical to :func:`lsh_bucket_col`."""
+    expr = " + ".join(
+        f"(CASE WHEN {dot_sql(emb, _hyperplane_sql(band * bits + k))} >= 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(bits)
     )
-    return f"({bits})"
+    return f"({expr})"
+
+
+def lsh_bucket_col(emb: F.Column, band: int = 0, bits: int = _LSH_BITS) -> F.Column:
+    """Sign-bit bucket of ``emb`` for one LSH band.  Bands use disjoint
+    hyperplanes from the same deterministic LCG family, so adding bands
+    (recall) or bits (precision / cell size) is a parameter change, not a
+    new codebook."""
+    out = F.lit(0)
+    for k in range(bits):
+        out = out + F.when(
+            dot(emb, _hyperplane(band * bits + k)) >= 0, F.lit(1 << k)
+        ).otherwise(0)
+    return out
+
+
+def _bucket_sql(emb: str) -> str:
+    return lsh_bucket_sql(emb, 0)
 
 
 def _bucket_col(emb: F.Column) -> F.Column:
-    out = F.lit(0)
-    for b in range(_LSH_BITS):
-        out = out + F.when(dot(emb, _hyperplane(b)) >= 0, F.lit(1 << b)).otherwise(0)
-    return out
+    return lsh_bucket_col(emb, 0)
 
 
 @register(
