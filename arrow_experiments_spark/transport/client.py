@@ -59,6 +59,7 @@ def fetch_arrow(
     url: str,
     accept: str | None = None,
     accept_encoding: str | None = None,
+    close_connection: bool = False,
 ) -> tuple[pa.Table, FetchMetrics]:
     """GET an Arrow IPC stream; decode per the response's declared
     compression (Content-Encoding coding, or transparent IPC codec).
@@ -66,13 +67,18 @@ def fetch_arrow(
     The body is stream-decoded straight off the socket — no intermediate
     full-body buffer — matching the reference client's incremental
     ``pa.ipc.open_stream(response)`` model
-    (http/get_simple/python/client/urllib.request/client.py:31-39)."""
+    (http/get_simple/python/client/urllib.request/client.py:31-39).
+    ``close_connection`` sends an explicit ``Connection: close`` for
+    one-shot fetches (keepalive_off, reference
+    http/get_simple/c_glib/client/client.c:33-41)."""
     metrics = FetchMetrics(url=url)
     req = urllib.request.Request(url)
     if accept:
         req.add_header("Accept", accept)
     if accept_encoding:
         req.add_header("Accept-Encoding", accept_encoding)
+    if close_connection:
+        req.add_header("Connection", "close")
 
     t0 = time.perf_counter()
     with urllib.request.urlopen(req) as resp:
@@ -106,6 +112,41 @@ def fetch_arrow(
     metrics.elapsed_sec = time.perf_counter() - t0
     table = pa.Table.from_batches(batches, schema=reader.schema)
     return table, metrics
+
+
+def post_arrow(
+    url: str,
+    table: pa.Table,
+    meta: dict | None = None,
+) -> dict:
+    """POST a table to an ingest endpoint.  Without ``meta`` the body is a
+    plain Arrow IPC stream (post_simple); with ``meta`` it is
+    ``multipart/form-data`` with a JSON metadata part + Arrow stream part
+    (post_multipart, reference http/post_multipart/README.md:22).
+    Returns the server's JSON acknowledgement."""
+    from arrow_experiments_spark.transport.multipart import (
+        encode_form_data,
+        form_data_content_type,
+        make_boundary,
+    )
+
+    if meta is None:
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+        body = sink.getvalue()
+        ctype = ARROW_STREAM_CONTENT_TYPE
+    else:
+        boundary = make_boundary()
+        body = b"".join(
+            encode_form_data(boundary, meta, table.schema, table.to_batches())
+        )
+        ctype = form_data_content_type(boundary)
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": ctype}, method="POST"
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
 
 
 def fetch_catalog(url: str) -> list[str]:

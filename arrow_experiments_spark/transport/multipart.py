@@ -86,6 +86,37 @@ def encode_multipart(
     yield f"--{boundary}--\r\n".encode()
 
 
+def form_data_content_type(boundary: str) -> str:
+    return f'multipart/form-data; boundary="{boundary}"'
+
+
+def encode_form_data(
+    boundary: str,
+    meta: dict,
+    schema: pa.Schema,
+    batches: Iterable[pa.RecordBatch],
+) -> Iterator[bytes]:
+    """Client-side body for POST ingest (reference
+    http/post_multipart/README.md:22): ``multipart/form-data`` with a JSON
+    metadata part (field ``metadata``) and an Arrow IPC stream part (field
+    ``data``)."""
+    yield _part_header(
+        boundary,
+        "application/json",
+        {"Content-Disposition": 'form-data; name="metadata"'},
+    )
+    yield json.dumps(meta).encode()
+    yield b"\r\n"
+    yield _part_header(
+        boundary,
+        ARROW_STREAM_CONTENT_TYPE,
+        {"Content-Disposition": 'form-data; name="data"; filename="data.arrows"'},
+    )
+    yield from encode_ipc_chunks(schema, batches, "identity")
+    yield b"\r\n"
+    yield f"--{boundary}--\r\n".encode()
+
+
 def parse_multipart(body: bytes, content_type_header: str) -> dict[str, list[bytes]]:
     """Parse a multipart/mixed body into {content_type: [payload, ...]},
     using the stdlib MIME feed parser with a synthetic header block."""

@@ -439,15 +439,41 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
         name = path[len("/ingest/") :]
         length = int(self.headers.get("Content-Length", "0"))
         body = self.rfile.read(length)
-        coding = self.headers.get("Content-Encoding", "identity")
+        ctype = self.headers.get("Content-Type", "")
+        meta: dict = {}
         try:
-            reader = decode_body(io.BytesIO(body), coding)
-            tbl = reader.read_all()
-        except Exception as e:  # malformed stream
+            if ctype.lower().startswith("multipart/form-data"):
+                # post_multipart (http/post_multipart/README.md:22): JSON
+                # metadata part + Arrow IPC stream part in one form body.
+                from arrow_experiments_spark.transport.multipart import (
+                    parse_multipart,
+                    read_arrow_part,
+                )
+
+                parts = parse_multipart(body, ctype)
+                if "application/json" in parts:
+                    meta = json.loads(parts["application/json"][0])
+                    if not isinstance(meta, dict):
+                        raise ValueError("metadata part must be a JSON object")
+                tbl = read_arrow_part(parts)
+            else:
+                # post_simple: the body IS the (optionally content-coded)
+                # Arrow IPC stream.
+                coding = self.headers.get("Content-Encoding", "identity")
+                reader = decode_body(io.BytesIO(body), coding)
+                tbl = reader.read_all()
+        except Exception as e:  # malformed stream / malformed parts
             self._send_json({"error": str(e)}, status=400)
             return
-        self.registry.register_table(name, tbl)
-        self._send_json({"name": name, "rows": tbl.num_rows, "columns": tbl.num_columns})
+        self.registry.register_table(name, tbl, meta=meta or None)
+        self._send_json(
+            {
+                "name": name,
+                "rows": tbl.num_rows,
+                "columns": tbl.num_columns,
+                "metadata": meta,
+            }
+        )
 
     def log_message(self, fmt: str, *args) -> None:  # quiet by default
         pass

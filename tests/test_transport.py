@@ -318,6 +318,45 @@ def test_post_ingest_roundtrip(server, table):
     assert got.equals(table)
 
 
+def test_post_multipart_ingest_roundtrip(server, table):
+    """post_multipart (reference http/post_multipart/README.md:22):
+    multipart/form-data body with a JSON metadata part + Arrow stream
+    part; metadata lands on the registered dataset."""
+    from arrow_experiments_spark.transport.client import post_arrow
+
+    meta = {"source": "unit-test", "license": "CC0"}
+    ack = post_arrow(f"{server}/ingest/with_meta", table, meta=meta)
+    assert ack["rows"] == table.num_rows
+    assert ack["metadata"] == meta
+    got, _ = fetch_arrow(f"{server}/datasets/with_meta", accept_encoding="identity")
+    assert got.equals(table)
+    # metadata is discoverable through the describe endpoint
+    import json
+
+    with urllib.request.urlopen(f"{server}/datasets/with_meta/describe") as resp:
+        doc = json.loads(resp.read())
+    assert doc["metadata"] == meta
+
+
+def test_post_multipart_malformed_is_400(server):
+    req = urllib.request.Request(
+        f"{server}/ingest/bad",
+        data=b"--nope\r\nnot a real part\r\n",
+        headers={"Content-Type": 'multipart/form-data; boundary="nope"'},
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(req)
+    assert exc_info.value.code == 400
+
+
+def test_fetch_close_connection(server, table):
+    got, _ = fetch_arrow(
+        f"{server}/datasets/bench", accept_encoding="identity", close_connection=True
+    )
+    assert got.equals(table)
+
+
 def test_http10_unchunked(server):
     # raw HTTP/1.0 request: no Transfer-Encoding, identity default
     import socket
