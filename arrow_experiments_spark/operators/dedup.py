@@ -291,6 +291,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum is strictly monotone and sum-equality certifies the fixpoint
     # (one cheap scalar aggregate per round, no row-wise diff join).
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    converged = False
     for _ in range(25):
         nbr_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
@@ -312,8 +313,17 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # A component with diameter > 25 would otherwise silently return
+        # stale labels that diverge from the transitive-closure oracle.
+        raise RuntimeError(
+            "dedup_clusters: min-label propagation did not reach its "
+            "fixpoint in 25 rounds — component diameter exceeds the cap; "
+            "use large-star/small-star (O(log n) rounds) for this input"
+        )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")

@@ -97,7 +97,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "= last event + gap, per Spark session_window semantics.",
     oracle=f"""
         WITH flagged AS (
-            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
                    CASE WHEN CAST(ts AS TIMESTAMP)
                              - LAG(CAST(ts AS TIMESTAMP)) OVER
                                (PARTITION BY user_id ORDER BY ts, event_id)
@@ -106,8 +106,11 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ), sessions AS (
             SELECT user_id, ts, value,
+                   -- ORDER BY must carry the event_id tiebreak too: with
+                   -- duplicate timestamps the cumulative sum is otherwise
+                   -- free to assign a tied row to the previous session.
                    SUM(new_session) OVER
-                     (PARTITION BY user_id ORDER BY ts
+                     (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
             FROM flagged
         )

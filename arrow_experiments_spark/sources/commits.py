@@ -44,12 +44,15 @@ def scan_git_log(repo: str, max_count: int | None = None) -> pa.Table:
     with offset), files (int32 changed-file count), merge (bool), message
     (full body).  The author column is present so the published pipeline
     can *drop* it, as the reference does (arrow-commits.R:31)."""
+    # A trailing unit separator AFTER %B delimits the body explicitly, so
+    # multi-paragraph commit messages (which contain blank lines) cannot
+    # bleed into the --name-only changed-file block.
     cmd = [
         "git",
         "-C",
         repo,
         "log",
-        f"--pretty=format:{_RS}%H{_US}%an{_US}%cI{_US}%P{_US}%B",
+        f"--pretty=format:{_RS}%H{_US}%an{_US}%cI{_US}%P{_US}%B{_US}",
         "--name-only",
     ]
     if max_count:
@@ -61,16 +64,13 @@ def scan_git_log(repo: str, max_count: int | None = None) -> pa.Table:
     for rec in out.split(_RS):
         if not rec.strip():
             continue
-        sha, author, iso, parents, rest = rec.split(_US, 4)
-        # %B ends with \n, then --name-only appends one blank line + the
-        # changed-file paths (one per line).
-        body, _, file_block = rest.partition("\n\n")
+        sha, author, iso, parents, body, file_block = rec.split(_US, 5)
         commits.append(sha)
         authors.append(author)
         times.append(iso)
         files.append(sum(1 for ln in file_block.splitlines() if ln.strip()))
         merges.append(len(parents.split()) > 1)
-        messages.append(body)
+        messages.append(body.rstrip("\n"))
     return pa.table(
         {
             "commit": pa.array(commits, pa.string()),
