@@ -74,27 +74,39 @@ def extract_image_features(
     """Arrow-batched feature extraction over a binary payload column.
 
     Input: DataFrame with (id_col long, payload_col binary).  Output:
-    IMAGE_FEATURES_SCHEMA.  Runs as mapInPandas — one pandas batch per
-    Arrow batch per partition; no driver involvement.
+    IMAGE_FEATURES_SCHEMA.  Only the codec call crosses into Python
+    (mapInPandas, one pandas batch per Arrow batch per partition); the
+    byte length and content address are Spark built-ins (``F.length`` /
+    ``F.sha2``) computed JVM-side below the exchange and passed through —
+    at 100 TB the Python workers do codec work only, nothing that
+    whole-stage codegen could have done.
     """
+
+    prepared = binary_df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(payload_col).cast("long").alias("payload_bytes"),
+        F.lower(F.sha2(payload_col, 256)).alias("content_sha256"),
+        F.col(payload_col).alias("__payload"),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                payload = bytes(payload)
-                feats = decode_image_stub(payload, fake=fake)
-                rows.append(
-                    {
-                        "doc_id": int(doc_id),
-                        "payload_bytes": len(payload),
-                        "content_sha256": hashlib.sha256(payload).hexdigest(),
-                        **feats,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+            feats = [
+                decode_image_stub(bytes(p), fake=fake) for p in pdf["__payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload_bytes": pdf["payload_bytes"].values,
+                    "content_sha256": pdf["content_sha256"].values,
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_channels": [f["n_channels"] for f in feats],
+                    "mean_luma": [f["mean_luma"] for f in feats],
+                }
+            )
 
-    return binary_df.select(id_col, payload_col).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    return prepared.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
 def resize_stub(
@@ -108,32 +120,33 @@ def resize_stub(
     """Resize plumbing: payload → payload' (stubbed transform).  The fake
     'resize' truncates/pads the payload deterministically so output sizes
     are checkable; a real implementation swaps in a codec call."""
-    out_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("payload", BinaryType()),
-            StructField("width", IntegerType()),
-            StructField("height", IntegerType()),
-        ]
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not fake:
                 raise NotImplementedError("image codecs unavailable; fake=True only")
             size = target_w * target_h
-            rows = [
+            yield pd.DataFrame(
                 {
-                    "doc_id": int(i),
-                    "payload": (bytes(p) * (size // max(len(bytes(p)), 1) + 1))[:size],
-                    "width": target_w,
-                    "height": target_h,
+                    "doc_id": pdf[id_col].values,
+                    "payload": [
+                        (bytes(p) * (size // max(len(bytes(p)), 1) + 1))[:size]
+                        for p in pdf[payload_col]
+                    ],
                 }
-                for i, p in zip(pdf[id_col], pdf[payload_col])
-            ]
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+            )
 
-    return binary_df.select(id_col, payload_col).mapInPandas(run, out_schema)
+    # Only the payload transform (the codec stand-in) runs in Python; the
+    # constant output dimensions are Spark-side literals.
+    transformed = binary_df.select(id_col, payload_col).mapInPandas(
+        run, StructType([StructField("doc_id", LongType()), StructField("payload", BinaryType())])
+    )
+    return transformed.select(
+        "doc_id",
+        "payload",
+        F.lit(target_w).cast("int").alias("width"),
+        F.lit(target_h).cast("int").alias("height"),
+    )
 
 
 def documents_as_binary(documents: DataFrame) -> DataFrame:
@@ -173,34 +186,37 @@ def frame_sample(
 
     The chunking arithmetic is the real operator (it is codec-free: MJPEG
     frames, PCM audio blocks, and TFRecord-style shards all sample this
-    way); a codec-backed variant would replace the chunk boundaries with
-    container keyframe offsets.  Runs as mapInPandas — each Arrow batch is
-    processed executor-side, one output row per sampled frame.
+    way), so NO Python exchange is needed: frame indices come from an
+    exploded ``sequence``, the slice from ``substring`` on the binary
+    payload, the content address from ``sha2`` — all whole-stage-codegen
+    built-ins.  A codec-backed variant (container keyframe offsets) would
+    swap the index sequence for a mapInPandas probe of the container, and
+    only that.
+
+    The hash is over the lowercase-hex encoding of the frame, not the raw
+    bytes: equally content-addressing, but expressible in engines whose
+    sha256 is VARCHAR-only (the DuckDB oracle slices hex(payload)); a
+    raw-bytes variant is a one-line change.
     """
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                payload = bytes(payload)
-                n_frames = (len(payload) + frame_size - 1) // frame_size
-                for idx in range(0, n_frames, stride):
-                    chunk = payload[idx * frame_size : (idx + 1) * frame_size]
-                    # hash the lowercase-hex encoding of the frame, not the
-                    # raw bytes: equally content-addressing, but expressible
-                    # in engines whose sha256 is VARCHAR-only (the DuckDB
-                    # oracle slices hex(payload)); a raw-bytes variant is a
-                    # one-line change.
-                    rows.append(
-                        {
-                            "doc_id": int(doc_id),
-                            "frame_idx": idx,
-                            "frame_bytes": len(chunk),
-                            "frame_sha256": hashlib.sha256(
-                                chunk.hex().encode()
-                            ).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
-
-    return binary_df.select(id_col, payload_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+    payload = F.col(payload_col)
+    n_frames = F.floor((F.length(payload) + F.lit(frame_size - 1)) / F.lit(frame_size))
+    idx_seq = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0), (n_frames - 1).cast("int"), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        binary_df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            payload.alias("__payload"),
+            F.explode(idx_seq).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("int").alias("frame_idx"),
+            F.length(F.substring(F.col("__payload"), F.col("frame_idx") * frame_size + 1, frame_size))
+            .cast("long")
+            .alias("frame_bytes"),
+            F.sha2(F.lower(F.hex(F.substring(F.col("__payload"), F.col("frame_idx") * frame_size + 1, frame_size))), 256)
+            .alias("frame_sha256"),
+        )
+    )

@@ -101,8 +101,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     "multimodal",
     doc="video/audio frame sampling: payload split into 256-byte frames, "
-    "every 4th frame emitted with index/length/content hash — mapInPandas "
-    "chunk arithmetic identical to keyframe sampling with codec offsets.",
+    "every 4th frame emitted with index/length/content hash — pure "
+    "built-ins (sequence/explode + binary substring + sha2), no Python "
+    "exchange; a codec-backed variant swaps only the index source.",
     oracle="""
         WITH p AS (
             SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
