@@ -225,18 +225,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_clusters",
-    "dedup",
-    doc="duplicate clustering: connected components over the MinHash-LSH "
-    "candidate graph via iterative min-label propagation (cluster_id = min "
-    "doc_id in component). Each round is one shuffle join on doc_id; "
-    "convergence detected by the monotone sum-of-labels invariant. At "
-    "100 TB the same loop runs with large-star/small-star contraction "
-    "(O(log n) rounds instead of diameter rounds) — component diameters in "
-    "near-dup graphs are small, so plain propagation is the simpler win.",
-    oracle=_minhash_bands_sql().replace("WITH", "WITH RECURSIVE", 1)
-    + """
+_CLUSTERS_ORACLE = _minhash_bands_sql().replace("WITH", "WITH RECURSIVE", 1) + """
         , pairs AS (
             SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
             FROM bands a JOIN bands b
@@ -253,17 +242,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(cluster_id AS BIGINT) AS cluster_id,
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         FROM comp
-    """,
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    """
 
+
+def _candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct (src, dst) candidate edges from the MinHash-LSH
+    band join: both (x,y) and (y,x) survive the <> filter, so one
+    propagation join covers both directions."""
     bands = _minhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
-    # Symmetric candidate edge set: both (x,y) and (y,x) survive the <>
-    # filter, so one propagation join covers both directions.
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -274,6 +263,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+
+
+@register(
+    "dedup_clusters",
+    "dedup",
+    doc="duplicate clustering: connected components over the MinHash-LSH "
+    "candidate graph via iterative min-label propagation (cluster_id = min "
+    "doc_id in component). Each round is one shuffle join on doc_id; "
+    "convergence detected by the monotone sum-of-labels invariant; raises "
+    "if the 25-round cap is hit. For high-diameter graphs use "
+    "dedup_clusters_twophase (large-star/small-star, O(log n) rounds) — "
+    "component diameters in near-dup graphs are small, so plain "
+    "propagation is the simpler win here.",
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    edges = _candidate_edges(spark, sf_dir)
     # Labels cover the full corpus, deliberately: a parquet-derived labels
     # side carries accurate size stats, so AQE broadcasts it in the
     # per-round join (no edge shuffle).  The tempting "restrict labels to
@@ -324,6 +332,114 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fixpoint in 25 rounds — component diameter exceeds the cap; "
             "use large-star/small-star (O(log n) rounds) for this input"
         )
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    )
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _two_phase_components(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm): alternating star contractions converge in O(log n) rounds
+    regardless of component diameter, vs diameter rounds for plain label
+    propagation.
+
+    large-star(u): connect every strictly-larger neighbor to
+    m = min(Γ(u) ∪ {u});  small-star(u) over larger→smaller canonical
+    edges: connect every neighbor and u itself to m.  Both are one
+    groupBy + one join per round — the same shuffle shape as a round of
+    propagation, but the number of rounds drops from O(diameter) to
+    O(log n).  Fixpoint = the canonical edge set stops changing (checked
+    with an exceptAll anti-diff, one extra shuffle per round).
+
+    Input: symmetric distinct (src, dst), src != dst.  Output: (doc_id,
+    cluster_id) for every node that appears in an edge.
+
+    Each round ends with ``localCheckpoint`` — the star contractions
+    union lineages of lineages, so without truncation the logical plan
+    doubles per round and plan *construction* (not execution) OOMs the
+    JVM after ~10 rounds.  On a multi-node cluster swap for
+    ``checkpoint()`` with a reliable checkpoint dir (localCheckpoint is
+    executor-local).
+    """
+    E = edges.localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_rounds):
+        # ---- large-star: Γ over the symmetric edge set ----
+        m = (
+            E.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
+        )
+        large = (
+            E.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small-star: Γ over larger→smaller canonical edges ----
+        canon = (
+            _symmetrize(large)
+            .where(F.col("src") > F.col("dst"))
+            .localCheckpoint(eager=True)
+        )
+        m2 = (
+            canon.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.col("mn").alias("m"))  # all dst < src, so mn is the min
+        )
+        small = (
+            canon.join(m2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(m2.select("src", F.col("m").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        new_E = _symmetrize(small).localCheckpoint(eager=True)
+        changed = new_E.exceptAll(E).limit(1).count()
+        E = new_E
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "two-phase connected components did not converge within "
+            f"{max_rounds} rounds"
+        )
+    # At the fixpoint every component is a star: non-root nodes point at
+    # the root (the component min).
+    return E.where(F.col("src") > F.col("dst")).select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+
+
+@register(
+    "dedup_clusters_twophase",
+    "dedup",
+    doc="duplicate clustering via large-star/small-star contraction "
+    "(O(log n) rounds — the scale path for high-diameter components that "
+    "min-label propagation's round cap rejects).  Same candidate graph, "
+    "same output contract, same transitive-closure oracle as "
+    "dedup_clusters.",
+    oracle=_CLUSTERS_ORACLE,
+)
+def dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    edges = _candidate_edges(spark, sf_dir)
+    comp = _two_phase_components(edges)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
     w = Window.partitionBy("cluster_id")
     return labels.select(
         "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")

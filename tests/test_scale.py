@@ -106,3 +106,20 @@ def test_salted_left_join_keeps_unmatched(spark):
         salted.filter(F.col("o_totalprice").isNull()).count()
         == plain.filter(F.col("o_totalprice").isNull()).count()
     )
+
+
+def test_two_phase_components_high_diameter(spark):
+    """A 200-node path graph has diameter 199 — far past min-label
+    propagation's 25-round cap — but large-star/small-star contracts it
+    in O(log n) rounds (max_rounds=12 suffices)."""
+    from arrow_experiments_spark.operators.dedup import _two_phase_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(i + 1, i) for i in range(n - 1)],
+        "src long, dst long",
+    )
+    comp = _two_phase_components(edges, max_rounds=12)
+    rows = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
+    # every non-root node maps to the component min (node 0)
+    assert rows == {i: 0 for i in range(1, n)}
