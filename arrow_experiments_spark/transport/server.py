@@ -118,6 +118,11 @@ def rebatch_reader(reader: pa.RecordBatchReader, n: int) -> pa.RecordBatchReader
     def gen():
         buf: pa.Table | None = None
         for batch in reader:
+            # fast path: stream already batched at n (the common case when
+            # the spill writer and the serve boundary agree) — zero-copy
+            if (buf is None or buf.num_rows == 0) and batch.num_rows == n:
+                yield batch
+                continue
             t = pa.Table.from_batches([batch])
             buf = t if buf is None else pa.concat_tables([buf, t])
             while buf.num_rows >= n:

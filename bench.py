@@ -72,14 +72,66 @@ def _bench_replay(spark) -> float:
             # identity encoding: the reference get_simple server serves
             # uncompressed (BASELINE.md S1); without the header the server's
             # HTTP/1.1 default of gzip would be negotiated instead.
-            tbl, _ = fetch_arrow(
-                f"http://{host}:{port}/datasets/flight", accept_encoding="identity"
+            # collect_table=False = the reference client's own protocol
+            # (count batches + elapsed, don't retain the stream).
+            _, metrics = fetch_arrow(
+                f"http://{host}:{port}/datasets/flight",
+                accept_encoding="identity",
+                collect_table=False,
             )
             best = min(best, _time.perf_counter() - t0)
-            assert tbl.num_rows == rows
+            assert metrics.rows == rows
         return round(best, 3)
     finally:
         httpd.shutdown()
+
+
+def _bench_replay_100m(spark) -> float:
+    """BASELINE.md S1 at REFERENCE scale: 100,000,000 rows × 4 int64
+    (~3 GiB + framing) in 4096-row batches (≈24,415 batches — the
+    get_simple workload, http/get_simple/python/server/http.server/
+    server.py:33-36), served uncompressed over chunked HTTP and
+    stream-decoded.  Generation and spill are distributed (spark.range →
+    mapInArrow spill files); the driver/server side holds O(batch) while
+    serving, so this exercises the bounded-memory egress path at a
+    payload no driver-side toArrow() could safely hold.  Pre-materialize
+    once, then time the fetch — the reference's measurement protocol
+    (client elapsed seconds, get_simple/README.md:37).  Run once per
+    round (too heavy for the two-pass scheme)."""
+    import shutil
+    import time as _time
+
+    from arrow_experiments_spark.sources.arrow_ipc import (
+        spill_dataframe,
+        spilled_files_reader,
+    )
+    from arrow_experiments_spark.sources.generators import gen_flight_bench
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    rows = 100_000_000
+    d, files, schema = spill_dataframe(gen_flight_bench(spark, rows=rows))
+    registry = DatasetRegistry()
+    registry.register(
+        "flight100m", lambda: spilled_files_reader(files, schema, batch_rows=4096)
+    )
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        t0 = _time.perf_counter()
+        _, metrics = fetch_arrow(
+            f"http://{host}:{port}/datasets/flight100m",
+            accept_encoding="identity",
+            collect_table=False,
+        )
+        dt = _time.perf_counter() - t0
+        assert metrics.rows == rows
+        # 100M rows in 4096-row batches → ceil = 24,415 (reference shape)
+        assert metrics.batches == 24_415, metrics.batches
+        return round(dt, 3)
+    finally:
+        httpd.shutdown()
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # BASELINE.md S2 is a per-strategy matrix: HTTP content codings
@@ -197,6 +249,9 @@ def main() -> None:
         order = items if i == 0 else list(reversed(items))
         passes.append({name: measure(name) for name in order})
     timings = {k: round(min(p[k] for p in passes), 3) for k in items}
+    # reference-scale S1 (single run, after the passes so its 3 GiB of
+    # I/O doesn't perturb the small-query timings)
+    timings["s1_replay_100m"] = _bench_replay_100m(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

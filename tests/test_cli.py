@@ -1,0 +1,83 @@
+"""CLI smoke test (main_dispatch analog, SURVEY.md §2.5): start the serve
+subcommand in a subprocess, fetch the catalog and one dataset, check the
+fetch subcommand's metrics line."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+from arrow_experiments_spark.transport.client import fetch_arrow
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cli_server():
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "arrow_experiments_spark",
+            "serve",
+            "--port",
+            "0",
+            "--sf-dir",
+            SF_DIR,
+            "--tables",
+            "region,nation",
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    url = None
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if "serving" in line:
+            url = line.split("at ", 1)[1].strip()
+            break
+    assert url, "server did not announce itself"
+    yield url
+    proc.terminate()
+    proc.wait(timeout=30)
+
+
+def test_cli_serve_catalog_and_dataset(cli_server):
+    import json
+
+    with urllib.request.urlopen(f"{cli_server}/catalog") as resp:
+        doc = json.loads(resp.read())
+    uris = [e["uri"] for e in doc["arrow_stream_files"]]
+    assert any(u.endswith("/datasets/region") for u in uris)
+    table, metrics = fetch_arrow(
+        f"{cli_server}/datasets/region", accept_encoding="identity"
+    )
+    assert table.num_rows == 5  # TPC-H region is always 5 rows
+    assert metrics.batches >= 1
+
+
+def test_cli_fetch_prints_metrics(cli_server):
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "arrow_experiments_spark",
+            "fetch",
+            f"{cli_server}/datasets/nation",
+            "--no-collect",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "record batches received" in out.stdout
+    assert "seconds elapsed" in out.stdout
