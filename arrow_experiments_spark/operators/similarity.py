@@ -187,6 +187,54 @@ def _bucket_col(emb: F.Column) -> F.Column:
     return lsh_bucket_col(emb, 0)
 
 
+# ---- IVF with a deterministic codebook ------------------------------------
+
+# Coarse-quantizer codebook from the same LCG family as the hyperplanes,
+# at a disjoint index range (centroid c = family member _CODEBOOK_OFFSET+c).
+# A real deployment would broadcast k-means-trained centroids; the cell
+#-assignment plan (argmin over k broadcast centroids, then equi-join on
+# cell) is identical, and the random codebook keeps both engines
+# bit-identical with zero training state.  Unlike a label column, k is a
+# PARAMETER: cells scale with the corpus (k ≈ corpus/target_cell_size).
+_IVF_K = 8
+_CODEBOOK_OFFSET = 64
+
+
+def _l2sq(a: F.Column, cent: F.Column) -> F.Column:
+    diffs = F.zip_with(
+        a, cent, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _l2sq_sql(a: str, cent: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {cent}),"
+        " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])),"
+        " (acc, x) -> acc + x)"
+    )
+
+
+def ivf_cell_col(emb: F.Column, k: int = _IVF_K) -> F.Column:
+    """0-based nearest-centroid cell id (first index wins ties — the same
+    rule as the oracle's list_position)."""
+    dists = F.array(
+        *[_l2sq(emb, _hyperplane(_CODEBOOK_OFFSET + c)) for c in range(k)]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_cell_sql(emb: str, k: int = _IVF_K) -> str:
+    dists = (
+        "["
+        + ", ".join(
+            _l2sq_sql(emb, _hyperplane_sql(_CODEBOOK_OFFSET + c)) for c in range(k)
+        )
+        + "]"
+    )
+    return f"CAST(list_position({dists}, list_min({dists})) - 1 AS INT)"
+
+
 @register(
     "ann_lsh_hyperplane",
     "similarity",
@@ -235,6 +283,73 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             c,
             (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            snap6(
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 3
+    )
+
+
+@register(
+    "ann_ivf_codebook",
+    "similarity",
+    doc="ANN via IVF with a parametric codebook: cell = argmin L2 distance "
+    "to k=8 deterministic LCG centroids (broadcast; a trained k-means "
+    "codebook drops in without changing the plan), candidates restricted "
+    "to the probe's cell, top-3 by snapped cosine.  Fixes the fixed-"
+    "vocabulary caveat of label cells: cell count is a parameter, so cell "
+    "population stays bounded as the corpus grows.",
+    oracle=f"""
+        WITH cells AS (
+            SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
+            FROM embeddings
+        )
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SNAP_SQL} AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+            FROM cells q
+            JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rnk <= 3
+    """,
+)
+def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        ivf_cell_col(F.col("embedding")).alias("cell"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("q_cell"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_cell") == F.col("c_cell"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
         .select(

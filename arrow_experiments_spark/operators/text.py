@@ -201,3 +201,110 @@ def pipeline_training_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lang").alias("lang"),
         F.min("n_tokens").alias("n_tokens"),
     ).select("doc_id", "content_hash", "n_copies", "lang", "n_tokens")
+
+
+_BIGRAMS_SQL = (
+    "list_transform(generate_series(1, greatest(len({t}) - 1, 0)),"
+    " i -> array_to_string(({t})[i:i+1], ' '))"
+)
+_TRIGRAMS_SQL = (
+    "list_transform(generate_series(1, greatest(len({t}) - 2, 0)),"
+    " i -> array_to_string(({t})[i:i+2], ' '))"
+)
+
+
+def _bigrams(toks: F.Column) -> F.Column:
+    bi = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return F.when(F.size(toks) >= 2, bi).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "text_repetition_signals",
+    "text",
+    doc="repetition-based quality filters (the Gopher/C4-style signals a "
+    "training pipeline gates on): top-unigram and top-bigram occupancy "
+    "plus duplicate-trigram fraction per document.  The n-gram frequency "
+    "tables are explode -> groupBy(doc_id, gram) -> max/sum — the shuffle "
+    "key is (doc_id, gram), high-cardinality and uniform, so the shape "
+    "holds at any corpus size; the trigram dup fraction is row-local.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+        uc AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+            GROUP BY doc_id, tok
+        ),
+        ua AS (
+            SELECT doc_id, MAX(c) AS top_uni, SUM(c) AS n_uni FROM uc GROUP BY doc_id
+        ),
+        bc AS (
+            SELECT doc_id, bg, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest({_BIGRAMS_SQL.format(t='toks')}) AS bg FROM t)
+            GROUP BY doc_id, bg
+        ),
+        ba AS (
+            SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bi FROM bc GROUP BY doc_id
+        ),
+        tr AS (
+            SELECT doc_id,
+                   len({_TRIGRAMS_SQL.format(t='toks')}) AS n_tri,
+                   len(list_distinct({_TRIGRAMS_SQL.format(t='toks')})) AS d_tri
+            FROM t
+        )
+        SELECT ua.doc_id,
+               CAST(ua.top_uni AS DOUBLE) / ua.n_uni AS top_unigram_frac,
+               CAST(ba.top_bi AS DOUBLE) / ba.n_bi AS top_bigram_frac,
+               CAST(1.0 AS DOUBLE) - CAST(tr.d_tri AS DOUBLE) / tr.n_tri
+                   AS dup_trigram_frac
+        FROM ua JOIN ba ON ua.doc_id = ba.doc_id
+                JOIN tr ON ua.doc_id = tr.doc_id
+    """,
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.text import shingles3
+
+    par = spark.sparkContext.defaultParallelism
+    # persist barrier: three consumers below would each re-inline the
+    # tokenize chain (no CSE across HOF lambdas)
+    toks_df = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .persist()
+    )
+    uni = (
+        toks_df.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_uni"), F.sum("count").alias("n_uni"))
+    )
+    bi = (
+        toks_df.select("doc_id", F.explode(_bigrams(F.col("toks"))).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bi"), F.sum("count").alias("n_bi"))
+    )
+    tri = toks_df.select(
+        "doc_id",
+        F.size(shingles3(F.col("toks"))).alias("n_tri"),
+        F.size(F.array_distinct(shingles3(F.col("toks")))).alias("d_tri"),
+    )
+    return (
+        uni.join(bi, "doc_id")
+        .join(tri, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("top_uni").cast("double") / F.col("n_uni")).alias("top_unigram_frac"),
+            (F.col("top_bi").cast("double") / F.col("n_bi")).alias("top_bigram_frac"),
+            (F.lit(1.0) - F.col("d_tri").cast("double") / F.col("n_tri")).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
