@@ -173,6 +173,15 @@ CHECKLIST: list[tuple[str, str, list[str]]] = [
     ]),
     ("§2.3", "post_simple / post_multipart (README-only in reference)", [
         "test:tests/test_transport.py:test_post_ingest_roundtrip",
+        "code:arrow_experiments_spark.transport.multipart:encode_form_data",
+        "code:arrow_experiments_spark.transport.client:post_arrow",
+        "test:tests/test_transport.py:test_post_multipart_ingest_roundtrip",
+    ]),
+    ("§2.3", "bounded-memory Spark egress (spill / local_iter readers)", [
+        "code:arrow_experiments_spark.sources.arrow_ipc:df_to_reader",
+        "code:arrow_experiments_spark.sources.arrow_ipc:spill_dataframe",
+        "test:tests/test_egress.py:test_spill_driver_memory_is_bounded",
+        "test:tests/test_egress.py:test_global_order_preserved",
     ]),
     ("§2.3", "cors_headers (latent)", [
         "code:arrow_experiments_spark.transport.server:ArrowHttpHandler",
@@ -190,6 +199,10 @@ CHECKLIST: list[tuple[str, str, list[str]]] = [
     ]),
     ("§2.4", "phase_metrics (schema / first batch / reader.stats)", [
         "test:tests/test_transport.py:test_fetch_metrics_ipc_stats",
+    ]),
+    ("§2.4", "keepalive_off (Connection: close)", [
+        "code:arrow_experiments_spark.transport.client:fetch_arrow",
+        "test:tests/test_transport.py:test_fetch_close_connection",
     ]),
     # §2.5 dissociated IPC
     ("§2.5", "flight_get_info (describe endpoint)", [
@@ -210,6 +223,11 @@ CHECKLIST: list[tuple[str, str, list[str]]] = [
     ("§2.5", "ucx_conn / ucx_server / ucx_client / gpu_residency", [
         "doc:UCX transport replaced by HTTP; GPU residency out of scope for "
         "CPU PySpark (SURVEY §2.5, §3.3) — seq-correlation semantics kept",
+    ]),
+    ("§2.5", "main_dispatch (CLI serve/fetch)", [
+        "code:arrow_experiments_spark.__main__:main",
+        "test:tests/test_cli.py:test_cli_serve_catalog_and_dataset",
+        "test:tests/test_cli.py:test_cli_fetch_prints_metrics",
     ]),
 ]
 
