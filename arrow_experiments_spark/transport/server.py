@@ -230,7 +230,7 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
             self._get_describe(path[len("/datasets/") : -len("/describe")])
         elif path.startswith("/datasets/") and path.endswith(("/meta", "/body")):
             name, _, which = path[len("/datasets/") :].rpartition("/")
-            self._get_dissociated(name, which)
+            self._get_dissociated(name, which, params)
         elif path.startswith("/datasets/"):
             self._get_dataset(path[len("/datasets/") :], params)
         elif path.startswith("/files/"):
@@ -265,11 +265,15 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
                 # FlightInfo carries one endpoint with *two* locations (ctrl
                 # + data URI) — cudf-flight-server.cc:349-371; ours are the
                 # single-stream URI plus the dissociated meta/body pair.
+                # the meta/body URIs carry the want_data ident the client
+                # must echo — the handshake of the dissociated protocol
+                # (client sends the ident, server probes it to pick its
+                # stream role: cudf-flight-server.cc:115-135, client :66-74)
                 "endpoints": [
                     {"uri": f"http://{host}/datasets/{name}"},
                     {
-                        "meta_uri": f"http://{host}/datasets/{name}/meta",
-                        "body_uri": f"http://{host}/datasets/{name}/body",
+                        "meta_uri": f"http://{host}/datasets/{name}/meta?want_data={name}",
+                        "body_uri": f"http://{host}/datasets/{name}/body?want_data={name}",
                     },
                 ],
                 "metadata": self.registry.meta(name),
@@ -278,7 +282,7 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
             }
         )
 
-    def _get_dissociated(self, name: str, which: str) -> None:
+    def _get_dissociated(self, name: str, which: str, params: dict[str, str]) -> None:
         from arrow_experiments_spark.transport.dissociated import (
             encode_body_stream,
             encode_meta_stream,
@@ -287,6 +291,19 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
         reader = self.registry.reader(name)
         if reader is None:
             self._send_404()
+            return
+        # want_data handshake: the client must echo the dataset ident from
+        # the describe endpoint before either stream is served (the
+        # reference's tag probe, cudf-flight-server.cc:115-135).
+        if params.get("want_data") != name:
+            self._send_json(
+                {
+                    "error": "want_data handshake required",
+                    "expected": name,
+                    "got": params.get("want_data"),
+                },
+                status=400,
+            )
             return
         encode = encode_meta_stream if which == "meta" else encode_body_stream
         self.protocol_version = "HTTP/1.1"

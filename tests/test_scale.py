@@ -123,3 +123,16 @@ def test_two_phase_components_high_diameter(spark):
     rows = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
     # every non-root node maps to the component min (node 0)
     assert rows == {i: 0 for i in range(1, n)}
+
+
+def test_two_phase_components_multi_component(spark):
+    """Two disjoint components + isolated handling: each node maps to its
+    component minimum, nodes without edges are absent from the result."""
+    from arrow_experiments_spark.operators.dedup import _two_phase_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)]
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, "src long, dst long")
+    comp = _two_phase_components(df, max_rounds=10)
+    rows = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
+    assert rows == {2: 1, 3: 1, 11: 10, 12: 10, 13: 10}

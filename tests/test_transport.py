@@ -380,12 +380,29 @@ def test_http10_unchunked(server):
 
 
 def test_dissociated_roundtrip(server, table):
+    """Full protocol: describe → tagged URIs (want_data handshake) →
+    split-stream fetch → reassembly."""
+    import json
+
     from arrow_experiments_spark.transport.dissociated import fetch_dissociated
 
-    got = fetch_dissociated(
-        f"{server}/datasets/bench/meta", f"{server}/datasets/bench/body"
-    )
+    with urllib.request.urlopen(f"{server}/datasets/bench/describe") as resp:
+        doc = json.loads(resp.read())
+    pair = doc["endpoints"][1]
+    got = fetch_dissociated(pair["meta_uri"], pair["body_uri"])
     assert got.equals(table)
+
+
+def test_dissociated_requires_want_data_handshake(server):
+    """Without (or with a wrong) want_data ident neither stream is served —
+    the reference server probes the ident tag before streaming."""
+    for url in (
+        f"{server}/datasets/bench/meta",
+        f"{server}/datasets/bench/body?want_data=other",
+    ):
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(url)
+        assert exc_info.value.code == 400
 
 
 def test_dissociated_wire_format(server, table):
@@ -398,8 +415,12 @@ def test_dissociated_wire_format(server, table):
         reassemble,
     )
 
-    meta_raw = urllib.request.urlopen(f"{server}/datasets/bench/meta").read()
-    body_raw = urllib.request.urlopen(f"{server}/datasets/bench/body").read()
+    meta_raw = urllib.request.urlopen(
+        f"{server}/datasets/bench/meta?want_data=bench"
+    ).read()
+    body_raw = urllib.request.urlopen(
+        f"{server}/datasets/bench/body?want_data=bench"
+    ).read()
     meta = parse_meta_stream(meta_raw)
     body = parse_body_stream(body_raw)
     assert sorted(meta) == list(range(len(meta)))
@@ -415,8 +436,8 @@ def test_dissociated_endpoints_advertised(server):
     with urllib.request.urlopen(f"{server}/datasets/bench/describe") as resp:
         doc = json.loads(resp.read())
     pair = doc["endpoints"][1]
-    assert pair["meta_uri"].endswith("/datasets/bench/meta")
-    assert pair["body_uri"].endswith("/datasets/bench/body")
+    assert pair["meta_uri"].endswith("/datasets/bench/meta?want_data=bench")
+    assert pair["body_uri"].endswith("/datasets/bench/body?want_data=bench")
 
 
 def test_dictionary_encoded_egress(table):
