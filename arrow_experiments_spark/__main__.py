@@ -10,6 +10,14 @@ dissociated-ipc/cudf-flight-ucx.cc:25-39 selects server vs client with
   python -m arrow_experiments_spark fetch URL
       One-shot client: stream-decode a dataset and print the metrics
       contract (batches + seconds, get_simple/README.md:37).
+
+  python -m arrow_experiments_spark pipeline --out DIR
+      The make-pipeline (reference data/rand-many-types/Makefile:18-33):
+      21-type fixture → .arrows → {.arrow, .parquet} → {.duckdb, .sqlite3}.
+
+  python -m arrow_experiments_spark commits --repo PATH --out DIR
+      The arrow-commits fixture builder (data/arrow-commits):
+      git log → drop author / UTC / first-line → .arrows + JSONL mirror.
 """
 
 from __future__ import annotations
@@ -65,6 +73,44 @@ def _cmd_fetch(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_pipeline(args: argparse.Namespace) -> int:
+    from arrow_experiments_spark.session import build_session
+    from arrow_experiments_spark.sources.arrow_ipc import run_pipeline
+    from arrow_experiments_spark.sources.generators import gen_many_types
+    from arrow_experiments_spark.sources.sidecar import widen_for_spark
+
+    spark = build_session(app_name="arrow-experiments-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    fixture = gen_many_types(
+        seed=args.seed, batches=args.batches, rows_per_batch=args.rows_per_batch
+    ).read_all()
+    widened, _sidecar = widen_for_spark(fixture)
+    df = spark.createDataFrame(widened.to_pandas())
+    artifacts = run_pipeline(df, args.out, stem=args.stem)
+    for kind, path in artifacts.items():
+        print(f"{kind}: {path or '(skipped)'}")
+    spark.stop()
+    return 0
+
+
+def _cmd_commits(args: argparse.Namespace) -> int:
+    from arrow_experiments_spark.session import build_session
+    from arrow_experiments_spark.sources.commits import (
+        build_commits_table,
+        write_commits_fixture,
+    )
+
+    spark = build_session(app_name="arrow-experiments-commits")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = build_commits_table(spark, args.repo)
+    out = write_commits_fixture(df, args.out)
+    print(f"rows: {out['rows']}")
+    print(f"arrows: {out['arrows']}")
+    print(f"jsonl: {out['jsonl']}")
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m arrow_experiments_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -84,6 +130,19 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--close-connection", action="store_true")
     f.add_argument("--no-collect", action="store_true")
     f.set_defaults(fn=_cmd_fetch)
+
+    pl = sub.add_parser("pipeline", help="rand-many-types make pipeline")
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--stem", default="random")
+    pl.add_argument("--seed", type=int, default=12345)
+    pl.add_argument("--batches", type=int, default=100)
+    pl.add_argument("--rows-per-batch", type=int, default=1000)
+    pl.set_defaults(fn=_cmd_pipeline)
+
+    cm = sub.add_parser("commits", help="arrow-commits fixture builder")
+    cm.add_argument("--repo", default=".")
+    cm.add_argument("--out", required=True)
+    cm.set_defaults(fn=_cmd_commits)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -95,3 +95,21 @@ def test_spill_files_cleaned_up(spark, tmp_path):
     import os
 
     assert not os.path.exists(d)
+
+
+def test_iter_arrow_batches_keeps_null_order_rows(spark):
+    """Rows whose order_col is NULL must land in the first slice instead
+    of vanishing from every slice predicate."""
+    from arrow_experiments_spark.sources.arrow_ipc import iter_arrow_batches
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e"), (4, "f")],
+        "k int, v string",
+    )
+    rows = []
+    for batch in iter_arrow_batches(df, "k", n_slices=3):
+        rows.extend(batch.to_pylist())
+    assert len(rows) == 6
+    assert {r["v"] for r in rows} == {"a", "b", "c", "d", "e", "f"}
+    # nulls-first ordering puts the NULL rows at the head
+    assert {rows[0]["v"], rows[1]["v"]} == {"a", "e"}
