@@ -308,3 +308,103 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# k-th (0-based) byte of a lowercase-hex digest, as DuckDB SQL int
+def _hexbyte_sql(h: str, k: int) -> str:
+    return (
+        f"((strpos('0123456789abcdef', {h}[{2 * k + 1}]) - 1) * 16"
+        f" + (strpos('0123456789abcdef', {h}[{2 * k + 2}]) - 1))"
+    )
+
+
+_MIX_RATES = {"en": 204, "de": 102, "fr": 102, "es": 102, "zh": 51}  # of 256
+
+
+@register(
+    "pipeline_stratified_sample",
+    "text",
+    doc="deterministic stratified sampling for data mixing: keep a "
+    "document iff the first byte of md5(text) falls under its language's "
+    "mixing rate (en 80%, de/fr/es 40%, zh 20% of 256).  Content-hash "
+    "gating is reproducible across engines, reruns, and corpus "
+    "repartitions — no RNG state — and is row-local: zero shuffle at any "
+    "scale.  The rate table is the tunable mixing-weights config.",
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {_hexbyte_sql("md5(text)", 0)} <
+              CASE lang {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_RATES.items())}
+                   ELSE 0 END
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.text import md5_str
+
+    docs = table(spark, sf_dir, "documents")
+    first_byte = F.conv(F.substring(md5_str(F.col("text")), 1, 2), 16, 10).cast("int")
+    rate = F.lit(0)
+    for lang, thr in _MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(thr)).otherwise(rate)
+    return docs.filter(first_byte < rate).select("doc_id", "lang", "source")
+
+
+_SHARD_TOKEN_CAP = 512
+
+
+@register(
+    "pipeline_pack_shards",
+    "text",
+    doc="sequence packing for training shards: within each source (the "
+    "parallel unit — a global order would serialize), documents ordered "
+    "by doc_id accumulate whitespace-token counts and split into shards "
+    f"of ≤{_SHARD_TOKEN_CAP} tokens (shard_id = floor(cumsum_before/cap)); "
+    "shard_pos numbers documents inside their shard.  One window "
+    "partitioned by source — shuffle on source only, scales with source "
+    "count; at 100 TB the partition key becomes (source, day) or a hash "
+    "prefix to bound partition size.",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT source, doc_id, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens AS cum_before
+            FROM t
+        )
+        SELECT source, doc_id, n_tokens,
+               CAST(cum_before // {_SHARD_TOKEN_CAP} AS BIGINT) AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source, cum_before // {_SHARD_TOKEN_CAP}
+                   ORDER BY doc_id) AS BIGINT) AS shard_pos
+        FROM c
+    """,
+)
+def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn(
+        "shard_id", F.floor(F.col("cum_before") / _SHARD_TOKEN_CAP).cast("bigint")
+    )
+    w2 = Window.partitionBy("source", "shard_id").orderBy("doc_id")
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "shard_id",
+        F.row_number().over(w2).cast("bigint").alias("shard_pos"),
+    )
