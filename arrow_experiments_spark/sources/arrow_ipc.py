@@ -131,15 +131,21 @@ def spill_dataframe(
     def dump(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(d, f"part-{pid:08d}.arrows")
+        # Write to an attempt-private temp name, then atomically rename:
+        # a failed/speculative attempt can never leave a partial file at
+        # the final path, and concurrent attempts (identical deterministic
+        # content) race harmlessly — last rename wins with complete bytes.
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}"
         writer = None
         sink = None
         rows = 0
         try:
             for b in batches:
                 if writer is None:
-                    sink = open(path, "wb")
+                    sink = open(tmp, "wb")
                     writer = ipc.new_stream(sink, b.schema)
                 writer.write_batch(b)
                 rows += b.num_rows
@@ -147,6 +153,8 @@ def spill_dataframe(
             if writer is not None:
                 writer.close()
                 sink.close()
+        if writer is not None:
+            os.replace(tmp, path)
         yield pa.record_batch(
             {"pid": pa.array([pid], pa.int64()), "rows": pa.array([rows], pa.int64())}
         )
