@@ -17,6 +17,14 @@ read driver-side from the first stream's schema message only (no data
 pulled).  Arrow types Spark lacks are widened per the schema sidecar
 (sources/sidecar.py); batches are yielded as Arrow (zero row-wise Python).
 
+IPC *file* format (``.arrow``, or ``ipc_format=file``) goes further: the
+footer indexes every record-batch block, so ONE file splits into
+``file_splits`` independent partitions and each task reads only its block
+ranges — over HTTP via byte-range requests (the get_range pattern,
+http/get_range/curl/client/client.sh:21-49, realized as FilePartition-
+style splits instead of a driver-side reassembly).  An IPC *stream* has no
+footer, which is why streams stay one-task-per-URI (SURVEY §7 Phase 3).
+
 HTTP decompression mirrors the client matrix
 (http/get_compressed/python/client/client.py:26-48): Content-Encoding
 gzip/zstd/br wrap the raw stream; IPC-level codecs are transparent to the
@@ -107,9 +115,70 @@ def _widen_batch(batch: pa.RecordBatch, target: pa.Schema) -> pa.RecordBatch:
     return out[0] if out else pa.RecordBatch.from_pylist([], schema=target)
 
 
+class _HttpRangeFile(io.RawIOBase):
+    """Seekable read-only file over HTTP Range requests (the get_range
+    client shape, http/get_range/curl/client/client.sh:21-49, as a file
+    object).  Content-codings are deliberately not requested: transfer
+    compression would break byte offsets, and range-served artifacts are
+    stored uncompressed (reference serves static files)."""
+
+    def __init__(self, url: str) -> None:
+        super().__init__()
+        self.url = url
+        with urlopen(Request(url, method="HEAD")) as resp:
+            if resp.headers.get("Accept-Ranges") != "bytes":
+                raise ValueError(f"{url} does not accept byte ranges")
+            self._size = int(resp.headers["Content-Length"])
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        base = {io.SEEK_SET: 0, io.SEEK_CUR: self._pos, io.SEEK_END: self._size}[whence]
+        self._pos = max(0, base + offset)
+        return self._pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def readinto(self, b) -> int:
+        n = min(len(b), self._size - self._pos)
+        if n <= 0:
+            return 0
+        req = Request(
+            self.url, headers={"Range": f"bytes={self._pos}-{self._pos + n - 1}"}
+        )
+        with urlopen(req) as resp:
+            data = resp.read()
+        b[: len(data)] = data
+        self._pos += len(data)
+        return len(data)
+
+
+def _open_seekable(uri: str):
+    """Seekable source for the IPC *file* format: local open or HTTP
+    ranges, buffered so footer parsing and block reads coalesce."""
+    if uri.startswith(("http://", "https://")):
+        return io.BufferedReader(_HttpRangeFile(uri), 1 << 20)
+    return open(uri, "rb")
+
+
+def _is_file_format(uri: str, options: dict) -> bool:
+    fmt = options.get("ipc_format")
+    if fmt:
+        return fmt == "file"
+    return uri.partition("?")[0].endswith(".arrow")
+
+
 class ArrowsPartition(InputPartition):
-    def __init__(self, uri: str) -> None:
+    def __init__(self, uri: str, batch_lo: int = -1, batch_hi: int = -1) -> None:
         self.uri = uri
+        self.batch_lo = batch_lo  # -1 ⇒ whole stream
+        self.batch_hi = batch_hi
 
 
 class ArrowsReader(DataSourceReader):
@@ -118,10 +187,39 @@ class ArrowsReader(DataSourceReader):
         self._schema_bytes = arrow_schema_bytes
 
     def partitions(self) -> list[InputPartition]:
-        return [ArrowsPartition(u) for u in _resolve_uris(self._options)]
+        parts: list[InputPartition] = []
+        n_splits = int(self._options.get("file_splits", 8))
+        for uri in _resolve_uris(self._options):
+            if not _is_file_format(uri, self._options):
+                parts.append(ArrowsPartition(uri))
+                continue
+            # IPC *file* format: the footer indexes every record-batch
+            # block, so the file splits into independent block ranges —
+            # one Spark task per contiguous index range, each task
+            # Range-reading ONLY its blocks (SURVEY §2.1 source_http_range
+            # realized as FilePartition-style splits).
+            src = _open_seekable(uri)
+            try:
+                n_batches = ipc.open_file(src).num_record_batches
+            finally:
+                src.close()
+            k = max(1, min(n_splits, n_batches))
+            step = (n_batches + k - 1) // k
+            for lo in range(0, n_batches, step):
+                parts.append(ArrowsPartition(uri, lo, min(lo + step, n_batches)))
+        return parts
 
     def read(self, partition: ArrowsPartition) -> Iterator[pa.RecordBatch]:
         target = ipc.read_schema(io.BytesIO(self._schema_bytes))
+        if partition.batch_lo >= 0:
+            src = _open_seekable(partition.uri)
+            try:
+                reader = ipc.open_file(src)
+                for i in range(partition.batch_lo, partition.batch_hi):
+                    yield _widen_batch(reader.get_batch(i), target)
+            finally:
+                src.close()
+            return
         src = _open_source(partition.uri)
         try:
             reader = ipc.open_stream(src)
@@ -143,15 +241,24 @@ class ArrowsDataSource(DataSource):
 
     def _widened_arrow_schema(self) -> pa.Schema:
         uri = _resolve_uris(self.options)[0]
-        src = _open_source(uri)
-        try:
-            # open_stream consumes only the schema message here — no
-            # record batches are pulled off the wire for inference.
-            raw = ipc.open_stream(src).schema
-        finally:
-            close = getattr(src, "close", None)
-            if close:
-                close()
+        if _is_file_format(uri, self.options):
+            src = _open_seekable(uri)
+            try:
+                # footer-only read: schema comes from the file footer, no
+                # record-batch blocks are fetched
+                raw = ipc.open_file(src).schema
+            finally:
+                src.close()
+        else:
+            src = _open_source(uri)
+            try:
+                # open_stream consumes only the schema message here — no
+                # record batches are pulled off the wire for inference.
+                raw = ipc.open_stream(src).schema
+            finally:
+                close = getattr(src, "close", None)
+                if close:
+                    close()
         from arrow_experiments_spark.sources.sidecar import _widened_type
 
         return pa.schema(

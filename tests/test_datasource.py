@@ -137,3 +137,43 @@ def test_server_side_projection_pushdown(spark, small_table):
         assert [r.a for r in rows] == list(range(100))
     finally:
         httpd.shutdown()
+
+
+def _file_bytes(table: pa.Table, chunk: int = 1000) -> bytes:
+    sink = io.BytesIO()
+    with ipc.new_file(sink, table.schema) as w:
+        for b in table.to_batches(max_chunksize=chunk):
+            w.write_batch(b)
+    return sink.getvalue()
+
+
+def test_ipc_file_local_splits(spark, small_table, tmp_path_factory):
+    """IPC file format splits into block-range partitions."""
+    p = tmp_path_factory.mktemp("dsf") / "t.arrow"
+    p.write_bytes(_file_bytes(small_table))  # 5 blocks of 1000 rows
+    df = spark.read.format("arrows").option("file_splits", "3").load(str(p))
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == small_table.num_rows
+    assert df.agg({"b": "sum"}).collect()[0][0] == sum(range(5000)) * 3
+
+
+def test_ipc_file_http_range_partitioned(spark, small_table):
+    """Each task range-reads only its blocks of ONE remote .arrow file —
+    distributed HTTP ingest of a single artifact (get_range as splits)."""
+    registry = DatasetRegistry()
+    registry.register_file("whole.arrow", _file_bytes(small_table))
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        df = (
+            spark.read.format("arrows")
+            .option("urls", f"http://{host}:{port}/files/whole.arrow")
+            .option("file_splits", "5")
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 5
+        assert df.count() == small_table.num_rows
+        got = df.orderBy("a").toPandas()
+        assert list(got["a"]) == list(range(5000))
+    finally:
+        httpd.shutdown()
