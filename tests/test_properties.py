@@ -105,3 +105,76 @@ def test_project_reader_rejects_unknown_column():
     table = pa.table({"a": [1]})
     with pytest.raises(KeyError):
         project_reader(_reader(table, 1), columns=["zzz"])
+
+
+@given(
+    n_rows=st.integers(0, 3000),
+    in_chunk=st.integers(1, 1000),
+    out_chunk=st.integers(1, 1000),
+)
+@settings(max_examples=25, deadline=None)
+def test_rebatch_sizes_exact_except_last(n_rows, in_chunk, out_chunk):
+    """Every emitted batch is exactly out_chunk rows except the final
+    remainder — regardless of input geometry (includes the zero-copy
+    fast path when in_chunk == out_chunk)."""
+    table = pa.table({"x": pa.array(range(n_rows), pa.int64())})
+    sizes = [
+        b.num_rows
+        for b in rebatch_reader(_reader(table, in_chunk), out_chunk)
+    ]
+    assert sum(sizes) == n_rows
+    if sizes:
+        assert all(s == out_chunk for s in sizes[:-1])
+        assert 1 <= sizes[-1] <= out_chunk
+
+
+@given(
+    n_rows=st.integers(1, 2000),
+    chunk=st.integers(1, 700),
+    meta=st.dictionaries(
+        st.text(min_size=1, max_size=8), st.integers(-100, 100), max_size=4
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_form_data_roundtrip_any_geometry(n_rows, chunk, meta):
+    """post_multipart body: encode_form_data → stdlib MIME parse →
+    metadata and Arrow part both intact, for any batch geometry and any
+    JSON-object metadata."""
+    import json
+
+    from arrow_experiments_spark.transport.multipart import (
+        encode_form_data,
+        form_data_content_type,
+        make_boundary,
+        parse_multipart,
+        read_arrow_part,
+    )
+
+    table = pa.table({"x": pa.array(range(n_rows), pa.int64())})
+    boundary = make_boundary()
+    body = b"".join(
+        encode_form_data(boundary, meta, table.schema, table.to_batches(max_chunksize=chunk))
+    )
+    parts = parse_multipart(body, form_data_content_type(boundary))
+    assert json.loads(parts["application/json"][0]) == meta
+    assert read_arrow_part(parts).equals(table)
+
+
+@given(n_rows=st.integers(0, 2000), chunk=st.integers(1, 700))
+@settings(max_examples=25, deadline=None)
+def test_dissociated_roundtrip_any_geometry(n_rows, chunk):
+    """Split → reassemble is identity for any batch geometry, including
+    the empty stream (schema-only)."""
+    from arrow_experiments_spark.transport.dissociated import (
+        encode_body_stream,
+        encode_meta_stream,
+        parse_body_stream,
+        parse_meta_stream,
+        reassemble,
+    )
+
+    table = pa.table({"x": pa.array(range(n_rows), pa.int64())})
+    meta_raw = b"".join(encode_meta_stream(_reader(table, chunk)))
+    body_raw = b"".join(encode_body_stream(_reader(table, chunk)))
+    got = reassemble(parse_meta_stream(meta_raw), parse_body_stream(body_raw))
+    assert got.equals(table)
