@@ -86,6 +86,11 @@ CHECKLIST: list[tuple[str, str, list[str]]] = [
         "code:arrow_experiments_spark.transport.client:fetch_resume",
         "test:tests/test_transport.py:test_resume_fetch",
     ]),
+    ("§2.1", "range-partitioned IPC-file ingest (one task per block range)", [
+        "code:arrow_experiments_spark.sources.datasource:_HttpRangeFile",
+        "test:tests/test_datasource.py:test_ipc_file_http_range_partitioned",
+        "test:tests/test_datasource.py:test_ipc_file_local_splits",
+    ]),
     # §2.2 projections / filters / transforms
     ("§2.2", "slice(batch, offset, len)", [
         "query:slice_offset_limit",
