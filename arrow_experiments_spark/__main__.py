@@ -41,9 +41,29 @@ def _cmd_serve(args: argparse.Namespace) -> int:
         # each request re-runs the (lazy) scan through the bounded-memory
         # spill reader; pre-materialization is the client's choice
         register_dataframe(registry, name, df, batch_rows=args.batch_rows)
+    n_queries = 0
+    if args.queries:
+        from arrow_experiments_spark.registry import all_queries
+        from arrow_experiments_spark.sources.arrow_ipc import df_to_reader
+
+        # every registered engine query as a dataset: GET /datasets/query.NAME
+        # builds and streams the result on request (lazy — iterative
+        # queries run their rounds only when asked for)
+        def q_factory(q, sf_dir=args.sf_dir, batch_rows=args.batch_rows):
+            return lambda: df_to_reader(q.build(spark, sf_dir), batch_rows)
+
+        for qname, q in all_queries().items():
+            registry.register(
+                f"query.{qname}", q_factory(q), meta={"category": q.category}
+            )
+            n_queries += 1
     httpd = serve(registry, host=args.host, port=args.port, cors=args.cors)
     host, port = httpd.server_address
-    print(f"serving {len(names)} datasets at http://{host}:{port}", flush=True)
+    print(
+        f"serving {len(names)} datasets + {n_queries} queries "
+        f"at http://{host}:{port}",
+        flush=True,
+    )
     print(f"  catalog: http://{host}:{port}/catalog", flush=True)
     # serve() runs the accept loop on a daemon thread; block until ^C
     import time
@@ -122,6 +142,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--tables", default=None, help="comma-separated subset")
     s.add_argument("--batch-rows", type=int, default=4096)
     s.add_argument("--cors", action="store_true")
+    s.add_argument(
+        "--queries",
+        action="store_true",
+        help="also serve every registered engine query as /datasets/query.NAME",
+    )
     s.set_defaults(fn=_cmd_serve)
 
     f = sub.add_parser("fetch", help="one-shot client with metrics")

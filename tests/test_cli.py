@@ -30,6 +30,7 @@ def cli_server():
             SF_DIR,
             "--tables",
             "region,nation",
+            "--queries",
         ],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
@@ -61,6 +62,17 @@ def test_cli_serve_catalog_and_dataset(cli_server):
     )
     assert table.num_rows == 5  # TPC-H region is always 5 rows
     assert metrics.batches >= 1
+
+
+def test_cli_serves_engine_queries(cli_server):
+    """--queries exposes every registered engine query as a dataset:
+    fetching one runs the Spark plan and streams the Arrow result."""
+    table, _ = fetch_arrow(
+        f"{cli_server}/datasets/query.q1_pricing_summary",
+        accept_encoding="identity",
+    )
+    assert table.num_rows == 6  # canonical q1 group count on the testdata
+    assert "sum_qty" in table.schema.names or table.num_columns >= 4
 
 
 def test_cli_fetch_prints_metrics(cli_server):
