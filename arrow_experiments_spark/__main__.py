@@ -53,6 +53,9 @@ def _cmd_serve(args: argparse.Namespace) -> int:
             return lambda: df_to_reader(q.build(spark, sf_dir), batch_rows)
 
         for qname, q in all_queries().items():
+            # no schema hint: computing it would build every plan (and run
+            # the iterative ones) at startup — /describe on a query
+            # dataset executes it, which is the documented tradeoff
             registry.register(
                 f"query.{qname}", q_factory(q), meta={"category": q.category}
             )

@@ -229,8 +229,17 @@ def register_dataframe(registry, name: str, df: DataFrame, batch_rows: int = 409
                        mode: str = "spill", meta: dict | None = None) -> None:
     """Register a live DataFrame with the HTTP server: each request re-runs
     the (lazy) plan through the bounded-memory reader — the server never
-    holds more than one batch per in-flight request."""
-    registry.register(name, lambda: df_to_reader(df, batch_rows, mode=mode), meta)
+    holds more than one batch per in-flight request.  The Arrow schema is
+    derived from the plan (no job) so /describe answers without executing
+    the query."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    registry.register(
+        name,
+        lambda: df_to_reader(df, batch_rows, mode=mode),
+        meta,
+        schema=to_arrow_schema(df.schema, timestamp_utc=True),
+    )
 
 
 def iter_arrow_batches(

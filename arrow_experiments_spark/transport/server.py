@@ -141,19 +141,31 @@ class DatasetRegistry:
     def __init__(self) -> None:
         self._factories: dict[str, ReaderFactory] = {}
         self._meta: dict[str, dict] = {}
+        self._schemas: dict[str, pa.Schema] = {}
         self._files: dict[str, bytes] = {}
         self._lock = threading.Lock()
 
-    def register(self, name: str, factory: ReaderFactory, meta: dict | None = None) -> None:
+    def register(
+        self,
+        name: str,
+        factory: ReaderFactory,
+        meta: dict | None = None,
+        schema: pa.Schema | None = None,
+    ) -> None:
+        """``schema`` lets /describe answer without invoking the factory —
+        essential when the factory runs a full Spark job (a lazy query
+        dataset must not execute just to report its columns)."""
         with self._lock:
             self._factories[name] = factory
             self._meta[name] = meta or {}
+            if schema is not None:
+                self._schemas[name] = schema
 
     def register_table(self, name: str, table: pa.Table, meta: dict | None = None) -> None:
         def factory() -> pa.RecordBatchReader:
             return pa.RecordBatchReader.from_batches(table.schema, table.to_batches())
 
-        self.register(name, factory, meta)
+        self.register(name, factory, meta, schema=table.schema)
 
     def register_file(self, name: str, data: bytes) -> None:
         """Static .arrows artifact served with range support."""
@@ -163,6 +175,14 @@ class DatasetRegistry:
     def reader(self, name: str) -> pa.RecordBatchReader | None:
         factory = self._factories.get(name)
         return factory() if factory else None
+
+    def schema(self, name: str) -> pa.Schema | None:
+        """Schema without side effects where known; falls back to opening
+        the reader (which may execute the underlying query)."""
+        if name in self._schemas:
+            return self._schemas[name]
+        reader = self.reader(name)
+        return reader.schema if reader is not None else None
 
     def meta(self, name: str) -> dict:
         return self._meta.get(name, {})
@@ -249,12 +269,11 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
         self._send_json(listing)
 
     def _get_describe(self, name: str) -> None:
-        reader = self.registry.reader(name)
-        if reader is None:
+        schema = self.registry.schema(name)
+        if schema is None:
             self._send_404()
             return
         host = self.headers.get("Host", "localhost")
-        schema = reader.schema
         self._send_json(
             {
                 "name": name,

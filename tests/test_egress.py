@@ -86,6 +86,39 @@ def test_register_dataframe_serves_per_request(spark):
         httpd.shutdown()
 
 
+def test_describe_does_not_execute_the_query(spark):
+    """/describe must answer from the registered schema hint — never by
+    invoking the factory (which runs a full Spark job for lazy query
+    datasets)."""
+    import json
+    import urllib.request
+
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    registry = DatasetRegistry()
+    df = gen_flight_bench(spark, rows=1_000)
+    register_dataframe(registry, "lazy", df)
+    calls = {"n": 0}
+    orig = registry._factories["lazy"]
+
+    def counting():
+        calls["n"] += 1
+        return orig()
+
+    registry._factories["lazy"] = counting
+    httpd = serve(registry)
+    try:
+        host, port = httpd.server_address
+        with urllib.request.urlopen(
+            f"http://{host}:{port}/datasets/lazy/describe"
+        ) as resp:
+            doc = json.loads(resp.read())
+        assert [f["name"] for f in doc["schema"]] == ["a", "b", "c", "d"]
+        assert calls["n"] == 0, "describe executed the query"
+    finally:
+        httpd.shutdown()
+
+
 def test_spill_files_cleaned_up(spark, tmp_path):
     df = gen_flight_bench(spark, rows=1_000)
     d, files, schema = spill_dataframe(df, str(tmp_path))
