@@ -153,7 +153,14 @@ class _HttpRangeFile(io.RawIOBase):
             self.url, headers={"Range": f"bytes={self._pos}-{self._pos + n - 1}"}
         )
         with urlopen(req) as resp:
-            data = resp.read()
+            # a 200 here means the server ignored Range — the bytes would
+            # be from offset 0, not self._pos; corrupt reads must not pass
+            if resp.status != 206:
+                raise OSError(
+                    f"expected 206 Partial Content from {self.url}, "
+                    f"got {resp.status}"
+                )
+            data = resp.read()[:n]
         b[: len(data)] = data
         self._pos += len(data)
         return len(data)
