@@ -349,6 +349,123 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(first_byte < rate).select("doc_id", "lang", "source")
 
 
+@register(
+    "text_unigram_popularity",
+    "text",
+    doc="unigram-LM quality proxy: corpus-wide token frequency table "
+    "(vocabulary-sized by Heaps' law — broadcastable at any corpus "
+    "scale), broadcast-joined back onto the exploded token stream, then "
+    "one per-document regroup.  All sums are over integers (exact, "
+    "order-independent); the only double op is the final division, so "
+    "the score is bit-identical across engines.  popularity = "
+    "sum(corpus_count(tok)) / (n_tokens * corpus_total) — the mean "
+    "relative frequency of the document's tokens, the transcendental-free "
+    "stand-in for mean unigram log-prob.",
+    oracle=f"""
+        WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+        freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tok_count
+                 FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(tok_count) AS BIGINT) AS sum_counts,
+               CAST(SUM(tok_count) AS DOUBLE)
+                   / CAST(COUNT(*) * MAX(total) AS DOUBLE) AS popularity
+        FROM tok JOIN freq USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+)
+def text_unigram_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # Materialize the exploded token stream once: it feeds three stages
+    # (frequency agg, corpus total, the scoring join) and the tokenizer is
+    # a split/filter HOF chain Catalyst would otherwise re-inline into
+    # each (no CSE across HOF lambdas — see _minhash_bands).
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).persist()
+    freq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("tok_count"))
+    tot = tok.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        tok.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("tok_count").cast("bigint").alias("sum_counts"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_counts",
+            (
+                F.col("sum_counts").cast("double")
+                / (F.col("n_tokens") * F.col("total")).cast("double")
+            ).alias("popularity"),
+        )
+    )
+
+
+_SHUFFLE_SEED = "epoch0"
+_SHUFFLE_SHARDS = 8
+
+
+@register(
+    "pipeline_global_shuffle",
+    "text",
+    doc="deterministic epoch shuffle for training order: order_key = "
+    "md5(seed ':' doc_id) gives every document a pseudorandom but "
+    "reproducible position; shard_id = first hash byte mod "
+    f"{_SHUFFLE_SHARDS} (row-local, no shuffle), shard_pos = rank of "
+    "order_key inside the shard (one window partitioned by shard).  A "
+    "global total order would serialize on one partition; sharding is "
+    "how training readers consume a shuffled corpus anyway (interleave "
+    "shards, read each in order).  At 100 TB the shard count rises to "
+    "whatever bounds a shard to one output file — the plan shape is "
+    "unchanged.  Re-keying the seed re-shuffles reproducibly per epoch.",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(concat('{_SHUFFLE_SEED}:', CAST(doc_id AS VARCHAR))) AS order_key
+            FROM documents
+        )
+        SELECT doc_id, order_key,
+               CAST({_hexbyte_sql("order_key", 0)} % {_SHUFFLE_SHARDS} AS INT)
+                   AS shard_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY {_hexbyte_sql("order_key", 0)} % {_SHUFFLE_SHARDS}
+                   ORDER BY order_key, doc_id) AS BIGINT) AS shard_pos
+        FROM h
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from arrow_experiments_spark.functions.text import md5_str
+
+    keyed = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        md5_str(
+            F.concat(F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+        ).alias("order_key"),
+    )
+    sharded = keyed.select(
+        "doc_id",
+        "order_key",
+        (
+            F.conv(F.substring("order_key", 1, 2), 16, 10).cast("int")
+            % _SHUFFLE_SHARDS
+        ).alias("shard_id"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("order_key", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "order_key",
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )
+
+
 _SHARD_TOKEN_CAP = 512
 
 
