@@ -174,3 +174,36 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", _FMT_SPARK_US).alias("first_ts"),
         )
     )
+
+
+@register(
+    "events_interval_join",
+    "events",
+    doc="stream-stream interval join batch analog (view→purchase "
+    "attribution): purchases joined to same-user views they follow within "
+    "30 minutes.  Equi key user_id + band predicate — one shuffle of each "
+    "side on user_id, no time explosion; the streaming twin "
+    "(streaming/joins.py:view_purchase_join) runs the identical plan with "
+    "watermarks bounding the join state.  lag_us is an exact µs bigint "
+    "(timestamp_diff vs DuckDB date_diff at storage granularity).",
+    oracle=f"""
+        WITH v AS (SELECT event_id AS view_id, user_id,
+                          CAST(ts AS TIMESTAMP) AS vts
+                   FROM events WHERE event_type = 'view'),
+        p AS (SELECT event_id AS purchase_id, user_id,
+                     CAST(ts AS TIMESTAMP) AS pts
+              FROM events WHERE event_type = 'purchase')
+        SELECT view_id, purchase_id, v.user_id,
+               CAST(date_diff('microsecond', vts, pts) AS BIGINT) AS lag_us
+        FROM v JOIN p ON v.user_id = p.user_id
+                     AND pts >= vts AND pts < vts + INTERVAL 30 MINUTE
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.streaming.joins import view_purchase_join
+
+    ev = table(spark, sf_dir, "events")
+    return view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -132,3 +132,25 @@ def test_stream_to_registry_serves_microbatches(spark, events_stream):
         assert total == batch_rows
     finally:
         httpd.shutdown()
+
+
+def test_streaming_interval_join_equals_batch(spark, events_stream):
+    """Stream-stream interval join == batch interval join (watermark beyond
+    the data span, so no state eviction and exact equality)."""
+    from arrow_experiments_spark.streaming.joins import view_purchase_join
+
+    views = events_stream.filter(F.col("event_type") == "view")
+    purchases = events_stream.filter(F.col("event_type") == "purchase")
+    got = _run(
+        view_purchase_join(views, purchases, watermark=WATERMARK),
+        spark,
+        "t_interval_join",
+        "append",
+    )
+    batch = table(spark, SF_DIR, "events")
+    want = view_purchase_join(
+        batch.filter(F.col("event_type") == "view"),
+        batch.filter(F.col("event_type") == "purchase"),
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
