@@ -99,3 +99,60 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 0,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Hive-partitioned parquet write without the files-per-task explosion.
+
+    A naive ``df.write.partitionBy(cols)`` has every task write one file
+    into every partition directory it holds rows for — at 1000 tasks ×
+    1000 partition values that is up to a million tiny files per write,
+    the classic 100 TB output trap.  Repartitioning on the partition
+    columns first routes each partition value to one task, so each
+    directory gets one file (plus ``maxRecordsPerFile`` splits, which cap
+    file size without re-introducing the explosion).  ``sort_within``
+    clusters rows inside each file (e.g. by doc_id or timestamp) so
+    downstream range scans and parquet row-group statistics prune well.
+    """
+    routed = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_within:
+        routed = routed.sortWithinPartitions(*partition_cols, *sort_within)
+    writer = routed.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    roughly ``target_file_bytes``.  Streaming ingest and fine-grained
+    partitioned writes both accumulate small files, and at 100 TB the
+    file-open overhead (driver listing, footer reads, one scan task per
+    tiny file) dominates scan cost long before the data does — periodic
+    compaction is standard pipeline hygiene.  The output file count comes
+    from the *actual* input bytes, so the same call works at any scale.
+    Returns the file count it targeted."""
+    import math
+
+    df = spark.read.parquet(in_path)
+    total_bytes = sum(
+        f.stat().st_size
+        for f in __import__("pathlib").Path(in_path).rglob("*.parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    # repartition (not coalesce): coalesce(1) would also collapse the
+    # *read* parallelism of the scan into one task; a shuffle keeps the
+    # scan wide and only narrows at the write.
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

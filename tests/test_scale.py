@@ -13,7 +13,7 @@ from arrow_experiments_spark.operators.scale import (
 )
 from arrow_experiments_spark.tables import table
 
-from conftest import SF_DIR_T2
+from conftest import SF_DIR, SF_DIR_T2
 
 
 def _plan(df) -> str:
@@ -136,3 +136,45 @@ def test_two_phase_components_multi_component(spark):
     comp = _two_phase_components(df, max_rounds=10)
     rows = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
     assert rows == {2: 1, 3: 1, 11: 10, 12: 10, 13: 10}
+
+
+def test_write_partitioned_one_file_per_partition(spark, tmp_path):
+    """Partition-routed write: each lang directory holds exactly one file
+    (no files-per-task explosion), rows roundtrip exactly."""
+    from pathlib import Path
+
+    from arrow_experiments_spark.operators.scale import write_partitioned
+    from arrow_experiments_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").repartition(8)
+    out = str(tmp_path / "by_lang")
+    write_partitioned(docs, out, ["lang"], sort_within=["doc_id"])
+    dirs = [d for d in Path(out).iterdir() if d.name.startswith("lang=")]
+    assert dirs, "no partition directories written"
+    for d in dirs:
+        files = list(d.glob("*.parquet"))
+        assert len(files) == 1, f"{d.name}: {len(files)} files"
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from pathlib import Path
+
+    from arrow_experiments_spark.operators.scale import compact_parquet
+    from arrow_experiments_spark.tables import table
+
+    frag = str(tmp_path / "fragmented")
+    docs = table(spark, SF_DIR, "documents")
+    docs.repartition(32).write.parquet(frag)
+    n_in = len(list(Path(frag).rglob("*.parquet")))
+    assert n_in >= 32
+
+    out = str(tmp_path / "compacted")
+    total = sum(f.stat().st_size for f in Path(frag).rglob("*.parquet"))
+    n_target = compact_parquet(spark, frag, out, target_file_bytes=total)
+    n_out = len(list(Path(out).rglob("*.parquet")))
+    assert n_target == 1
+    assert n_out < n_in
+    assert spark.read.parquet(out).count() == docs.count()
