@@ -182,6 +182,12 @@ CHECKLIST: list[tuple[str, str, list[str]]] = [
         "code:arrow_experiments_spark.transport.client:post_arrow",
         "test:tests/test_transport.py:test_post_multipart_ingest_roundtrip",
     ]),
+    ("§2.2", "partition-routed writes / small-file compaction (layout hygiene)", [
+        "code:arrow_experiments_spark.operators.scale:write_partitioned",
+        "code:arrow_experiments_spark.operators.scale:compact_parquet",
+        "test:tests/test_scale.py:test_write_partitioned_one_file_per_partition",
+        "test:tests/test_scale.py:test_compact_parquet_reduces_file_count",
+    ]),
     ("§2.3", "bounded-memory Spark egress (spill / local_iter readers)", [
         "code:arrow_experiments_spark.sources.arrow_ipc:df_to_reader",
         "code:arrow_experiments_spark.sources.arrow_ipc:spill_dataframe",
