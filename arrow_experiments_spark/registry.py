@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "arrow_experiments_spark.operators.tpch",
     "arrow_experiments_spark.operators.udfs",
     "arrow_experiments_spark.operators.scale",
+    "arrow_experiments_spark.operators.analytics",
     "arrow_experiments_spark.streaming.stateful",
 )
 
