@@ -203,6 +203,118 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_transition_matrix",
+    "analytics",
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: lead(event_type) over (user_id, ts, event_id) pairs "
+    "consecutive events, then one grouped count per (from, to) and a "
+    "row-normalized probability.  The window shuffle is keyed on user_id "
+    "(high cardinality); the (from, to) regroup is 25 cells — trivially "
+    "small at any corpus size.  The event_id tiebreak makes the order "
+    "total, so duplicate timestamps cannot flip pairs between engines.",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, event_type AS from_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+            FROM events
+        ), n AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        FROM n
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .where(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(wf).cast("double")
+    )
+
+
+_CENT_SCALE = 1_000_000
+
+
+@register(
+    "embedding_label_centroids",
+    "analytics",
+    doc="exact per-label embedding centroids — the codebook-training step "
+    "feeding ann_ivf_codebook: posexplode to (label, dim) cells, exact "
+    "integer summation of floor(v * 1e6) (bigint — order-independent, "
+    "unlike float sums, so the result is bit-identical across engines and "
+    "partitionings), one division at the end, reassembled in dim order.  "
+    "Shuffle rows = n_vectors x dim keyed on (label, dim) — wide but "
+    "perfectly partitioned; a 100x corpus scales linearly.",
+    oracle=f"""
+        WITH e AS (
+            SELECT label, embedding[i] AS v, i - 1 AS pos
+            FROM embeddings,
+                 LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+        ), c AS (
+            SELECT label, pos,
+                   SUM(CAST(floor(CAST(v AS DOUBLE) * {_CENT_SCALE}) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM e GROUP BY 1, 2
+        )
+        SELECT label,
+               CAST(MAX(n) AS BIGINT) AS n_vectors,
+               list(CAST(s AS DOUBLE) / CAST(n * {_CENT_SCALE} AS DOUBLE)
+                    ORDER BY pos) AS centroid
+        FROM c GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cells = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("v").cast("double") * _CENT_SCALE).cast("bigint").alias(
+            "sv"
+        ),
+    )
+    sums = cells.groupBy("label", "pos").agg(
+        F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_dim = sums.select(
+        "label",
+        "pos",
+        "n",
+        (
+            F.col("s").cast("double")
+            / (F.col("n") * _CENT_SCALE).cast("double")
+        ).alias("c"),
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x["c"],
+        ).alias("centroid"),
+    )
+
+
 # quality band -> keep probability, in 1/256ths of the md5 first-byte space
 # (exact integer thresholds — no float RNG semantics to match across engines)
 _SAMPLE_BANDS = (
