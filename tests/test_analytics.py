@@ -1,0 +1,207 @@
+"""Hand-built fixture tests for the analytics composites.
+
+The oracle suite (test_oracle.py) proves Spark == DuckDB on the testdata,
+but both sides share the operator's logic *shape* — these tests pin the
+semantics against hand-computed answers instead: funnel stage ordering
+(a click before the first view must not count), transition-pair tiebreaks
+on duplicate timestamps, exact centroid arithmetic, TF-IDF ranking, and
+the md5-gated sampling weights.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from arrow_experiments_spark.operators.analytics import (
+    embedding_label_centroids,
+    events_funnel,
+    events_retention_cohort,
+    events_transition_matrix,
+    pipeline_importance_sample,
+    text_tfidf_top_terms,
+)
+
+_DAY_NS = 86_400_000_000_000
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_ns, user_id, event_type) — matches the testdata
+    schema including the TIMESTAMP(NANOS) quirk tables.table() handles."""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _write_documents(tmp_path, rows):
+    """rows: (doc_id, text, lang, source, n_chars)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_embeddings(tmp_path, rows):
+    """rows: (vec_id, embedding, label)."""
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_click_before_view_does_not_count(spark, tmp_path):
+    us = 1_000  # whole-µs ns offsets (testdata invariant: ns are whole µs)
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1 completes the funnel in order
+            (1, 10 * us, 1, "view"),
+            (2, 20 * us, 1, "click"),
+            (3, 30 * us, 1, "purchase"),
+            # user 2's only click precedes their first view
+            (4, 5 * us, 2, "click"),
+            (5, 10 * us, 2, "view"),
+            (6, 20 * us, 2, "purchase"),
+            # user 3 stops after the click stage
+            (7, 10 * us, 3, "view"),
+            (8, 15 * us, 3, "click"),
+        ],
+    )
+    got = {
+        r["stage"]: (r["users"], r["conv_from_prev"])
+        for r in events_funnel(spark, sf).collect()
+    }
+    assert got["view"] == (3, None)
+    assert got["click"] == (2, pytest.approx(2 / 3))
+    # user 2's purchase must not count either: they never reached click
+    assert got["purchase"] == (1, pytest.approx(1 / 2))
+
+
+def test_transition_matrix_duplicate_ts_tiebreak(spark, tmp_path):
+    us = 1_000
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1: two events share ts=100µs — event_id orders them
+            (1, 100 * us, 1, "view"),
+            (2, 100 * us, 1, "click"),
+            (3, 200 * us, 1, "purchase"),
+            # user 2: a second outgoing edge from 'view'
+            (4, 100 * us, 2, "view"),
+            (5, 200 * us, 2, "error"),
+        ],
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["p"])
+        for r in events_transition_matrix(spark, sf).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "error"): (1, 0.5),
+        ("click", "purchase"): (1, 1.0),
+    }
+
+
+def test_retention_cohort_offsets(spark, tmp_path):
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 0, 1, "view"),                      # user 1 day 0
+            (2, 2 * _DAY_NS + 1_000, 1, "view"),    # user 1 day 2
+            (3, 1 * _DAY_NS, 2, "view"),            # user 2 day 1
+            (4, 1 * _DAY_NS + 2_000, 2, "click"),   # same user+day: one row
+        ],
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["users"]
+        for r in events_retention_cohort(spark, sf).collect()
+    }
+    assert got == {
+        ("1970-01-01", 0): 1,
+        ("1970-01-01", 2): 1,
+        ("1970-01-02", 0): 1,
+    }
+
+
+def test_centroids_exact_mean(spark, tmp_path):
+    sf = _write_embeddings(
+        tmp_path,
+        [
+            (1, [1.0, 3.0], 0),
+            (2, [3.0, 5.0], 0),
+            (3, [0.5, -0.5], 1),
+        ],
+    )
+    got = {
+        r["label"]: (r["n_vectors"], r["centroid"])
+        for r in embedding_label_centroids(spark, sf).collect()
+    }
+    assert got[0] == (2, [2.0, 4.0])
+    # floor(-0.5e6) = -500000 exactly — negative values stay exact
+    assert got[1] == (1, [0.5, -0.5])
+
+
+def test_tfidf_ranks_rare_repeated_term_first(spark, tmp_path):
+    sf = _write_documents(
+        tmp_path,
+        [
+            (1, "aa aa bb", "en", "s", 8),
+            (2, "bb cc", "en", "s", 5),
+        ],
+    )
+    rows = text_tfidf_top_terms(spark, sf).collect()
+    got = {(r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["score"]) for r in rows}
+    # N=2; doc 1: aa tf=2 df=1 -> 2*(2/1)=4; bb tf=1 df=2 -> 1
+    assert got[(1, 1)] == ("aa", 2, 4.0)
+    assert got[(1, 2)] == ("bb", 1, 1.0)
+    # doc 2: cc 1*(2/1)=2; bb 1
+    assert got[(2, 1)] == ("cc", 1, 2.0)
+    assert got[(2, 2)] == ("bb", 1, 1.0)
+
+
+def test_importance_sample_gate_and_weights(spark, tmp_path):
+    docs = [
+        (i, "x", "en", "s", n_chars)
+        for i, n_chars in enumerate([600, 300, 100] * 40)
+    ]
+    sf = _write_documents(tmp_path, docs)
+    got = {r["doc_id"]: r["weight"] for r in
+           pipeline_importance_sample(spark, sf).collect()}
+
+    def gate(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16)
+
+    for doc_id, _, _, _, n_chars in docs:
+        thr = 256 if n_chars >= 500 else 128 if n_chars >= 200 else 64
+        if gate(doc_id) < thr:
+            assert got[doc_id] == 256 / thr
+        else:
+            assert doc_id not in got
+    # the full-keep band must survive in its entirety
+    assert all(i in got for i, *_ in docs if docs[i][4] >= 500)
