@@ -44,6 +44,8 @@ HEADLINE = [
     "ann_lsh_hyperplane",
     "text_quality_score",
     "multimodal_image_features",
+    "text_tfidf_top_terms",
+    "events_retention_cohort",
 ]
 
 
