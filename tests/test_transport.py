@@ -478,3 +478,27 @@ def test_fetch_metrics_ipc_stats(server):
     assert st["num_record_batches"] == metrics.batches
     assert st["num_messages"] >= st["num_record_batches"] + 1  # schema msg
     assert st["num_dictionary_batches"] == 0
+
+
+def test_concurrent_clients_all_decode_intact(server, table):
+    """ThreadingHTTPServer claim: 16 concurrent fetches across mixed
+    codings and both the reader and raw-file endpoints must each decode
+    the complete dataset — no cross-talk between per-connection writers."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [
+        (f"{server}/datasets/bench", enc)
+        for enc in ("identity", "gzip", "zstd", "identity")
+    ] * 3 + [(f"{server}/files/bench.arrows", "identity")] * 4
+
+    def one(job):
+        url, enc = job
+        got, metrics = fetch_arrow(url, accept_encoding=enc)
+        return got, metrics.batches
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(one, jobs))
+    for got, batches in results:
+        assert got.num_rows == table.num_rows
+        assert batches >= 1
+        assert got.select(["a", "b", "s"]).equals(table)
