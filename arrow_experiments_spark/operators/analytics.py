@@ -315,6 +315,86 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rollup_gapfill",
+    "analytics",
+    doc="hypertable-style rollup with gap-fill: hourly buckets per "
+    "event_type (exact decimal sums), a generated per-key bucket grid "
+    "from first to last activity, left-joined so silent hours appear "
+    "with n_events=0, and a carry-forward column (last non-null sum) for "
+    "dashboard-style continuity.  The grid explode is bounded by "
+    "time-range/bucket-width per key — never by row count — and the fill "
+    "join is keyed on (key, bucket); at 100 TB the key becomes (entity, "
+    "day) so each partition's grid stays small.  Window origins: Spark "
+    "buckets align to the epoch, DuckDB time_bucket to 2000-01-01 — both "
+    "whole multiples of 1 hour, so boundaries agree exactly.",
+    oracle="""
+        WITH h AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), b AS (
+            SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM h GROUP BY 1
+        ), g AS (
+            SELECT b.event_type,
+                   unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+            FROM b
+        )
+        SELECT g.event_type,
+               strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+               h.sum_value AS sum_value,
+               last_value(h.sum_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sum_value_ffill
+        FROM g LEFT JOIN h
+          ON g.event_type = h.event_type AND g.bucket = h.bucket
+    """,
+)
+def events_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.numeric import dsum
+
+    ev = table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(dsum("value").alias("sum_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("bucket"),
+            "sum_value",
+            "n_events",
+        )
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            "sum_value",
+            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
+        )
+    )
+
+
 # quality band -> keep probability, in 1/256ths of the md5 first-byte space
 # (exact integer thresholds — no float RNG semantics to match across engines)
 _SAMPLE_BANDS = (

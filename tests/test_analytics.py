@@ -205,3 +205,27 @@ def test_importance_sample_gate_and_weights(spark, tmp_path):
             assert doc_id not in got
     # the full-keep band must survive in its entirety
     assert all(i in got for i, *_ in docs if docs[i][4] >= 500)
+
+
+def test_rollup_gapfill_fills_silent_hours(spark, tmp_path):
+    hour_ns = 3_600_000_000_000
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 0, 1, "view"),               # hour 0
+            (2, 3 * hour_ns + 1_000, 1, "view"),  # hour 3 — hours 1,2 silent
+        ],
+    )
+    from arrow_experiments_spark.operators.analytics import events_rollup_gapfill
+
+    rows = sorted(
+        events_rollup_gapfill(spark, sf).collect(),
+        key=lambda r: r["bucket_start"],
+    )
+    assert [r["bucket_start"][-8:] for r in rows] == [
+        "00:00:00", "01:00:00", "02:00:00", "03:00:00",
+    ]
+    assert [r["n_events"] for r in rows] == [1, 0, 0, 1]
+    assert [r["sum_value"] for r in rows] == [1.0, None, None, 1.0]
+    # carry-forward bridges the gap
+    assert [r["sum_value_ffill"] for r in rows] == [1.0, 1.0, 1.0, 1.0]
