@@ -156,3 +156,43 @@ def compact_parquet(
     # scan wide and only narrows at the write.
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns, low
+    ``bits`` bits each -> one 2*bits-bit sort key.
+
+    Sorting (and then range-partitioning a write) by this key clusters
+    rows that are close in BOTH dimensions into the same parquet files,
+    so row-group min/max statistics prune scans filtered on *either*
+    column.  A lexicographic sort only ever prunes its leading column —
+    the classic multi-dimensional data-skipping gap at 100 TB.  Pure
+    bitwise column expressions: whole-stage codegen, zero Python.
+    """
+    a = (F.col(a) if isinstance(a, str) else a).cast("long")
+    b = (F.col(b) if isinstance(b, str) else b).cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        key = key.bitwiseOR(F.shiftleft(abit, 2 * i)).bitwiseOR(
+            F.shiftleft(bbit, 2 * i + 1)
+        )
+    return key
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 8
+) -> None:
+    """Write parquet clustered on the Z-order of (col_a, col_b):
+    repartitionByRange on the Morton key routes contiguous key ranges to
+    files, sortWithinPartitions orders rows inside each.  Downstream
+    filters on either column skip files/row-groups via parquet stats."""
+    keyed = df.withColumn("__z", zorder_key(col_a, col_b))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

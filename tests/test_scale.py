@@ -178,3 +178,52 @@ def test_compact_parquet_reduces_file_count(spark, tmp_path):
     assert n_target == 1
     assert n_out < n_in
     assert spark.read.parquet(out).count() == docs.count()
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered files must bound BOTH columns' per-file ranges; a
+    lexicographic sort bounds only its leading column."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from arrow_experiments_spark.operators.scale import write_zordered
+
+    n, side = 1 << 14, 1 << 7  # 16k rows on a 128x128 grid
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") * 2654435761) % side).alias("y"),  # decorrelated
+    )
+
+    zpath, lexpath = str(tmp_path / "z"), str(tmp_path / "lex")
+    write_zordered(df, zpath, "x", "y", n_files=8)
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lexpath)
+    )
+
+    def mean_span(path, col):
+        spans = []
+        for f in Path(path).rglob("*.parquet"):
+            md = pq.read_metadata(str(f))
+            lo = min(md.row_group(i).column(
+                md.schema.to_arrow_schema().get_field_index(col)
+            ).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(
+                md.schema.to_arrow_schema().get_field_index(col)
+            ).statistics.max for i in range(md.num_row_groups))
+            spans.append((hi - lo + 1) / side)
+        return sum(spans) / len(spans)
+
+    # same rows either way
+    assert spark.read.parquet(zpath).count() == n
+
+    # lexicographic: y is unconstrained per file (~full range)
+    assert mean_span(lexpath, "y") > 0.9
+    # z-order: each of the 8 key-range files covers ~a strip of the curve,
+    # bounding both dimensions well below the full range
+    assert mean_span(zpath, "x") < 0.6
+    assert mean_span(zpath, "y") < 0.6

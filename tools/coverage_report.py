@@ -188,6 +188,11 @@ CHECKLIST: list[tuple[str, str, list[str]]] = [
         "test:tests/test_scale.py:test_write_partitioned_one_file_per_partition",
         "test:tests/test_scale.py:test_compact_parquet_reduces_file_count",
     ]),
+    ("§2.2", "Z-order clustered writes (multi-dimensional data skipping)", [
+        "code:arrow_experiments_spark.operators.scale:zorder_key",
+        "code:arrow_experiments_spark.operators.scale:write_zordered",
+        "test:tests/test_scale.py:test_zorder_write_prunes_both_dimensions",
+    ]),
     ("§2.3", "bounded-memory Spark egress (spill / local_iter readers)", [
         "code:arrow_experiments_spark.sources.arrow_ipc:df_to_reader",
         "code:arrow_experiments_spark.sources.arrow_ipc:spill_dataframe",
