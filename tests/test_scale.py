@@ -227,3 +227,24 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
     # bounding both dimensions well below the full range
     assert mean_span(zpath, "x") < 0.6
     assert mean_span(zpath, "y") < 0.6
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    from pyspark.sql import functions as F
+
+    from arrow_experiments_spark.operators.scale import zorder_key
+
+    def morton(x, y, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((x >> i) & 1) << (2 * i)
+            k |= ((y >> i) & 1) << (2 * i + 1)
+        return k
+
+    pairs = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 0), (0, 65535),
+             (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pairs, "x long, y long").withColumn(
+        "k", zorder_key("x", "y")
+    )
+    for r in df.collect():
+        assert r["k"] == morton(r["x"], r["y"]), (r["x"], r["y"])
