@@ -284,12 +284,20 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # Two aggregations joined on the tiny group key, NOT one combined agg:
+    # count-distinct rewrites through Expand, and a percentile_approx in
+    # the same Aggregate then builds its accuracy-10000 sketch once per
+    # (group, distinct-key) partial group — measured 41 s vs 2 s split at
+    # sf0.1 (~20x), and the gap widens with distinct-key cardinality.
+    dist = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    pct = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_median"),
         F.expr("percentile(l_quantity, array(0.49D, 0.5D, 0.51D))").alias("pct"),
     )
+    agg = dist.join(pct, "l_returnflag")
     return agg.select(
         "l_returnflag",
         F.col("exact_orders").cast("long").alias("exact_orders"),
