@@ -60,7 +60,8 @@ _TOKS_SQL = TOKENS_SQL.format(col="text")
         )
         SELECT stage_no, stage, CAST(users AS BIGINT) AS users,
                CAST(users AS DOUBLE)
-                   / CAST(LAG(users) OVER (ORDER BY stage_no) AS DOUBLE)
+                   / CAST(NULLIF(LAG(users) OVER (ORDER BY stage_no), 0)
+                          AS DOUBLE)
                    AS conv_from_prev
         FROM s
     """,
@@ -96,9 +97,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage(p, 3, "purchase")
     )
     w = Window.orderBy("stage_no")
+    # try_divide: an empty upstream stage (0 users) must yield NULL, not an
+    # ANSI DIVIDE_BY_ZERO error (Spark 4 default); NULLIF mirrors it in SQL.
     return stages.withColumn(
         "conv_from_prev",
-        F.col("users").cast("double") / F.lag("users").over(w).cast("double"),
+        F.try_divide(
+            F.col("users").cast("double"), F.lag("users").over(w).cast("double")
+        ),
     )
 
 

@@ -229,3 +229,23 @@ def test_rollup_gapfill_fills_silent_hours(spark, tmp_path):
     assert [r["sum_value"] for r in rows] == [1.0, None, None, 1.0]
     # carry-forward bridges the gap
     assert [r["sum_value_ffill"] for r in rows] == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_funnel_empty_first_stage_yields_null_not_error(spark, tmp_path):
+    """ANSI mode turns 0-divisors into runtime errors; the funnel must
+    emit NULL conversions instead when an upstream stage is empty."""
+    us = 1_000
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 10 * us, 1, "click"),
+            (2, 20 * us, 1, "purchase"),
+        ],
+    )
+    got = {
+        r["stage"]: (r["users"], r["conv_from_prev"])
+        for r in events_funnel(spark, sf).collect()
+    }
+    assert got["view"] == (0, None)
+    assert got["click"] == (0, None)   # 0 / NULLIF(0) -> NULL
+    assert got["purchase"] == (0, None)
