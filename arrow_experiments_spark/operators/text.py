@@ -28,14 +28,17 @@ _SW_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
     "text_language_id",
     "text",
     doc="language-ID heuristic: English stopword hit-ratio over tokens; "
-    "row-local, zero shuffle.",
+    "row-local, zero shuffle.  Empty documents (0 tokens) get a NULL "
+    "ratio and 'other' — under Spark's ANSI mode a bare division would "
+    "abort the whole job on the first empty doc (inevitable at corpus "
+    "scale), so the zero-divisor is NULLed in both engines.",
     oracle=f"""
         WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents)
         SELECT doc_id, lang,
                CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
-                   / len(toks) AS en_stopword_ratio,
+                   / NULLIF(len(toks), 0) AS en_stopword_ratio,
                CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
-                         / len(toks) >= 0.05
+                         / NULLIF(len(toks), 0) >= 0.05
                     THEN 'en_like' ELSE 'other' END AS predicted
         FROM t
     """,
@@ -44,7 +47,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
     toks = tokens(F.col("text"))
     hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
-    ratio = hits.cast("double") / F.size(toks)
+    ratio = F.try_divide(hits.cast("double"), F.size(toks))
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -58,17 +61,21 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text",
     doc="quality scoring: token count, mean token length, punctuation "
     "ratio, repetition ratio (distinct/total tokens); composite score in "
-    "deterministic double arithmetic.",
+    "deterministic double arithmetic.  Empty documents (0 tokens / 0 "
+    "chars) yield NULL ratios instead of aborting the job under ANSI "
+    "mode — NULLIF mirrors try_divide on the oracle side.",
     oracle=f"""
         WITH t AS (SELECT doc_id, n_chars, {_TOKS_SQL} AS toks, lower(text) AS lt
                    FROM documents)
         SELECT doc_id,
                CAST(len(toks) AS BIGINT) AS n_tokens,
-               CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS mean_token_len,
-               CAST(length(regexp_replace(lt, '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / n_chars
-                   AS punct_ratio,
-               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
-               CAST(len(toks) AS DOUBLE) / n_chars AS tokens_per_char
+               CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS mean_token_len,
+               CAST(length(regexp_replace(lt, '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / NULLIF(n_chars, 0) AS punct_ratio,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / NULLIF(len(toks), 0) AS distinct_ratio,
+               CAST(len(toks) AS DOUBLE) / NULLIF(n_chars, 0) AS tokens_per_char
         FROM t
     """,
 )
@@ -80,13 +87,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_tokens.cast("bigint").alias("n_tokens"),
-        (F.length(F.concat_ws("", toks)).cast("double") / n_tokens).alias("mean_token_len"),
-        (
-            F.length(F.regexp_replace(lt, r"[a-z0-9\s]", "")).cast("double")
-            / F.col("n_chars")
+        F.try_divide(
+            F.length(F.concat_ws("", toks)).cast("double"), n_tokens
+        ).alias("mean_token_len"),
+        F.try_divide(
+            F.length(F.regexp_replace(lt, r"[a-z0-9\s]", "")).cast("double"),
+            F.col("n_chars"),
         ).alias("punct_ratio"),
-        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias("distinct_ratio"),
-        (n_tokens.cast("double") / F.col("n_chars")).alias("tokens_per_char"),
+        F.try_divide(
+            F.size(F.array_distinct(toks)).cast("double"), n_tokens
+        ).alias("distinct_ratio"),
+        F.try_divide(n_tokens.cast("double"), F.col("n_chars")).alias(
+            "tokens_per_char"
+        ),
     )
 
 
@@ -156,9 +169,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         s AS (
             SELECT doc_id, lang, text,
                    CAST(len(toks) AS BIGINT) AS n_tokens,
-                   CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS distinct_ratio,
                    CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
-                       / len(toks) AS stopword_ratio
+                       / NULLIF(len(toks), 0) AS stopword_ratio
             FROM t
         ), kept AS (
             SELECT * FROM s
@@ -182,12 +196,14 @@ def pipeline_training_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "text",
         n_tokens.cast("bigint").alias("n_tokens"),
-        (F.size(F.array_distinct(toks)).cast("double") / n_tokens).alias(
-            "distinct_ratio"
-        ),
-        (
-            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double")
-            / n_tokens
+        F.try_divide(
+            F.size(F.array_distinct(toks)).cast("double"), n_tokens
+        ).alias("distinct_ratio"),
+        F.try_divide(
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
+                "double"
+            ),
+            n_tokens,
         ).alias("stopword_ratio"),
     )
     kept = scored.filter(

@@ -249,3 +249,30 @@ def test_funnel_empty_first_stage_yields_null_not_error(spark, tmp_path):
     assert got["view"] == (0, None)
     assert got["click"] == (0, None)   # 0 / NULLIF(0) -> NULL
     assert got["purchase"] == (0, None)
+
+
+def test_text_ops_survive_empty_documents(spark, tmp_path):
+    """A 100 TB corpus inevitably contains empty documents; under ANSI
+    mode a bare ratio would abort the job on the first one.  The text ops
+    must emit NULL ratios (language-ID predicting 'other') instead."""
+    from arrow_experiments_spark.operators.text import (
+        pipeline_training_select,
+        text_language_id,
+        text_quality_score,
+    )
+
+    sf = _write_documents(
+        tmp_path,
+        [(1, "hello world the end", "en", "s", 19), (2, "", "en", "s", 0)],
+    )
+    lid = {r["doc_id"]: r for r in text_language_id(spark, sf).collect()}
+    assert lid[2]["en_stopword_ratio"] is None
+    assert lid[2]["predicted"] == "other"
+
+    q = {r["doc_id"]: r for r in text_quality_score(spark, sf).collect()}
+    assert q[2]["n_tokens"] == 0
+    assert q[2]["mean_token_len"] is None
+    assert q[2]["tokens_per_char"] is None
+
+    # empty docs can't pass the >= 20 token gate, and must not crash it
+    assert pipeline_training_select(spark, sf).count() == 0
