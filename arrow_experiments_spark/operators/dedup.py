@@ -25,7 +25,7 @@ from arrow_experiments_spark.functions.text import (
     shingles3,
     tokens,
 )
-from arrow_experiments_spark.functions.vectors import cosine_sql, dot
+from arrow_experiments_spark.functions.vectors import cosine_sql, dot, norm_sql
 from arrow_experiments_spark.functions.vectors import norm as vnorm
 from arrow_experiments_spark.registry import register
 from arrow_experiments_spark.tables import table
@@ -572,7 +572,7 @@ def _emb_band_union_sql() -> str:
 
     return " UNION ".join(
         f"SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
-        f"FROM embeddings a JOIN embeddings b "
+        f"FROM nz a JOIN nz b "
         f"ON {lsh_bucket_sql('a.embedding', band, _EMB_LSH_BITS)}"
         f" = {lsh_bucket_sql('b.embedding', band, _EMB_LSH_BITS)}"
         f" AND a.vec_id < b.vec_id"
@@ -594,7 +594,8 @@ def _emb_band_union_sql() -> str:
     "bands (at the production threshold 0.9 three 4-bit bands give ~90% "
     "recall; the 0.3 gate here just exercises more pairs at test scale).",
     oracle=f"""
-        WITH cand AS ({_emb_band_union_sql()})
+        WITH nz AS (SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0),
+        cand AS ({_emb_band_union_sql()})
         SELECT vec_id_a, vec_id_b,
                CAST(CAST({cosine_sql('a.embedding', 'b.embedding')} AS DECIMAL(28,6)) AS DOUBLE)
                    AS cos_sim
@@ -605,9 +606,12 @@ def _emb_band_union_sql() -> str:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arrow_experiments_spark.operators.similarity import lsh_bucket_col
+    from arrow_experiments_spark.operators.similarity import (
+        _nonzero_embeddings,
+        lsh_bucket_col,
+    )
 
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding")
     # (vec_id, band, bucket) — buckets materialized once behind a persist
     # barrier so the hyperplane dot-products aren't re-inlined per band
     # reference (no CSE across HOF lambdas; see _minhash_bands).

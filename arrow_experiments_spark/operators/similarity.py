@@ -18,13 +18,30 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from arrow_experiments_spark.functions.numeric import snap6
-from arrow_experiments_spark.functions.vectors import cosine_sql, dot, dot_sql, norm
+from arrow_experiments_spark.functions.vectors import (
+    cosine_sql,
+    dot,
+    dot_sql,
+    norm,
+    norm_sql,
+)
 from arrow_experiments_spark.registry import register
 from arrow_experiments_spark.tables import table
 
 _COS_SNAP_SQL = (
     "CAST(CAST(" + cosine_sql("q.embedding", "c.embedding") + " AS DECIMAL(28,6)) AS DOUBLE)"
 )
+
+# Zero-norm vectors have no defined cosine; under Spark's ANSI mode the
+# norm-product divisor would abort the whole job on the first one (failed
+# embeddings are inevitable at corpus scale), so every cosine-scoring
+# query excludes them at entry — in BOTH engines.
+_NZ_SQL = f"SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0"
+
+
+def _nonzero_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.filter(norm(F.col("embedding")) > 0)
 
 
 @register(
@@ -33,12 +50,13 @@ _COS_SNAP_SQL = (
     doc="exact brute-force cosine top-5 for 10 probe vectors; probes "
     "broadcast against the candidate scan, window top-k per probe.",
     oracle=f"""
+        WITH nz AS ({_NZ_SQL})
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    {_COS_SNAP_SQL} AS cos_sim,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                       ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
-            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            FROM nz q JOIN nz c ON q.vec_id <> c.vec_id
             WHERE q.vec_id < 10
         ) WHERE rnk <= 5
     """,
@@ -47,7 +65,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are projected BELOW the join (once per vector, not once per
     # pair) — the per-pair work is a single dot-product fold.  Identical
     # arithmetic to the oracle's per-pair formula, 3× less of it.
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -80,19 +98,20 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probe's label cell; top-3 per probe. Equi-join on cell id keeps the "
     "shuffle proportional to cell size, not corpus size.",
     oracle=f"""
+        WITH nz AS ({_NZ_SQL})
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    {_COS_SNAP_SQL} AS cos_sim,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                       ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
-            FROM embeddings q
-            JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
+            FROM nz q
+            JOIN nz c ON q.label = c.label AND q.vec_id <> c.vec_id
             WHERE q.vec_id < 10
         ) WHERE rnk <= 3
     """,
 )
 def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _nonzero_embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
@@ -244,9 +263,9 @@ def ivf_cell_sql(emb: str, k: int = _IVF_K) -> str:
     "key (same shape as the MinHash band join) and bits are added per "
     "recall target; the hyperplane family is seed-derived, never stored.",
     oracle=f"""
-        WITH bucketed AS (
+        WITH nz AS ({_NZ_SQL}), bucketed AS (
             SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
-            FROM embeddings
+            FROM nz
         )
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -260,7 +279,7 @@ def ivf_cell_sql(emb: str, k: int = _IVF_K) -> str:
     """,
 )
 def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _nonzero_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
         _bucket_col(F.col("embedding")).alias("bucket"),
@@ -311,9 +330,9 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary caveat of label cells: cell count is a parameter, so cell "
     "population stays bounded as the corpus grows.",
     oracle=f"""
-        WITH cells AS (
+        WITH nz AS ({_NZ_SQL}), cells AS (
             SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
-            FROM embeddings
+            FROM nz
         )
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -327,7 +346,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
+    emb = _nonzero_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
         ivf_cell_col(F.col("embedding")).alias("cell"),

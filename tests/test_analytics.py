@@ -276,3 +276,31 @@ def test_text_ops_survive_empty_documents(spark, tmp_path):
 
     # empty docs can't pass the >= 20 token gate, and must not crash it
     assert pipeline_training_select(spark, sf).count() == 0
+
+
+def test_cosine_ops_exclude_zero_vectors(spark, tmp_path):
+    """A zero-norm embedding (failed encode) has no defined cosine; the
+    similarity/dedup queries must exclude it at entry rather than abort
+    the job under ANSI division."""
+    from arrow_experiments_spark.operators.dedup import dedup_embedding_cosine
+    from arrow_experiments_spark.operators.similarity import (
+        ann_lsh_hyperplane,
+        knn_bruteforce_cosine,
+    )
+
+    sf = _write_embeddings(
+        tmp_path,
+        [
+            (1, [1.0, 2.0], 0),
+            (2, [0.0, 0.0], 0),  # zero vector
+            (3, [3.0, 4.0], 0),
+            (4, [1.0, 2.1], 0),
+        ],
+    )
+    for op in (knn_bruteforce_cosine, ann_lsh_hyperplane):
+        rows = op(spark, sf).collect()
+        ids = {r[0] for r in rows} | {r[1] for r in rows}
+        assert rows and 2 not in ids, op.__name__
+    dd = dedup_embedding_cosine(spark, sf).collect()
+    ids = {r["vec_id_a"] for r in dd} | {r["vec_id_b"] for r in dd}
+    assert 2 not in ids
