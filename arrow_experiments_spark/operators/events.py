@@ -8,8 +8,9 @@ tests, while these batch forms are the DuckDB-oracle-checkable contract.
 
 Window starts are epoch-aligned in both engines (Spark window origin =
 Unix epoch; DuckDB time_bucket origin 2000-01-01 is a whole multiple of
-the bucket widths used here), so boundaries agree exactly.  events.ts is
-nanosecond parquet; the oracle casts to µs TIMESTAMP to match the Spark-side
+the bucket widths used here), so boundaries agree exactly.  events.ts has
+shipped as ns or µs parquet (tables.py normalizes either to µs
+timestamp_ntz); the oracle casts to µs TIMESTAMP to match the Spark-side
 conversion (tables.py).
 """
 

@@ -46,7 +46,10 @@ def _update_user_stats(
         cents += int(
             np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum()
         )
-        ts_us = pdf["ts"].astype("int64") // 1000
+        # Arrow hands pandas datetime64 columns whose unit varies by
+        # pandas/pyarrow version (ns historically, us on pandas 2.x):
+        # normalize explicitly instead of assuming ns.
+        ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
         last_us = max(last_us, int(ts_us.max()))
     seq += 1
     state.update((seq, n, cents, last_us))
@@ -80,35 +83,39 @@ def run_user_stats(
     sf_dir: str,
     n_files: int = 4,
     query_name: str = "stateful_user_stats",
+    stage_dir: str | None = None,
 ) -> DataFrame:
-    """Drive the stateful operator over the events table as a real
-    multi-micro-batch stream (one file per trigger) and return the final
-    per-user state.
+    """Drive the stateful operator over the events table as a stream and
+    return the final per-user state.
 
-    The materialize→readStream hop exists because the testdata is a single
-    nanos-timestamp parquet file; in production the source is already a
-    stream (Kafka / file arrival), and ``user_running_stats`` applies
-    unchanged.
+    Default path: stream straight off the source parquet (one file per
+    trigger) — zero staging copies, so the query body scales with the
+    source layout; a partitioned production table yields one micro-batch
+    per file.  Pass ``stage_dir`` (a SHARED-storage path on a cluster;
+    tests use a tmp dir) to first re-split the table into ``n_files``
+    files and exercise true multi-micro-batch state evolution even when
+    the source is a single file.
     """
-    import tempfile
-
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from arrow_experiments_spark.tables import table
+    from arrow_experiments_spark.tables import events_stream, table
 
-    src = (
-        table(spark, sf_dir, "events")
-        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
-    )
-    stage_dir = tempfile.mkdtemp(prefix="stateful_events_")
-    src.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+    def project(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+        )
 
-    stream = (
-        spark.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage_dir)
-    )
+    if stage_dir is None:
+        stream = project(events_stream(spark, sf_dir))
+    else:
+        src = project(table(spark, sf_dir, "events"))
+        src.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
     q = (
         user_running_stats(stream)
         .writeStream.format("memory")

@@ -3,19 +3,26 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet each under ``{sf_dir}/{name}.parquet``.
 
-The only schema quirk: ``events.ts`` is parquet TIMESTAMP(NANOS), which
-Spark's vectorized reader rejects.  We read it via the
-``spark.sql.legacy.parquet.nanosAsLong`` conf (runtime-settable, so it also
-works on a driver-owned session) and rebuild a microsecond
-``timestamp_ntz`` with timezone-independent arithmetic.  The testdata's ns
-values are whole microseconds, so the ``div 1000`` is lossless (mirrors the
-SURVEY.md §1.2 row 15 ns→µs decision).
+The only schema quirk: ``events.ts`` has shipped as either parquet
+TIMESTAMP(NANOS) (older testdata drops) or TIMESTAMP(MICROS) (current).
+The loader is dtype-driven so both layouts normalize to a microsecond
+``timestamp_ntz``:
+
+* NANOS arrives as LongType under the ``spark.sql.legacy.parquet.nanosAsLong``
+  conf (runtime-settable, so it also works on a driver-owned session); we
+  rebuild the timestamp with timezone-independent arithmetic.  The ns
+  values are whole microseconds, so ``div 1000`` is lossless (SURVEY.md
+  §1.2 row 15 ns→µs decision).
+* MICROS arrives as TIMESTAMP_NTZ (isAdjustedToUTC=false) or TIMESTAMP
+  (true); either is cast to timestamp_ntz, which for the UTC-instant case
+  is resolved under a UTC session timezone pin so values are stable.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -36,17 +43,49 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 _EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # ns since epoch; rebuild µs timestamp_ntz without consulting
+        # the session timezone.
+        return df.withColumn(
+            "ts",
+            F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})"),
+        )
+    if not isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        # ts arrives as LongType (ns since epoch); rebuild µs timestamp_ntz
-        # without consulting the session timezone.
-        return df.withColumn(
-            "ts", F.expr(f"timestampadd(MICROSECOND, ts div 1000, {_EPOCH_NTZ})")
-        )
+        return _normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming read of the events table directly from the source parquet
+    — no staging copy — with the same ts normalization as :func:`table`.
+    One file per trigger; on a partitioned production table each file (or
+    arrival batch) becomes a micro-batch."""
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # The testdata table is a bare file, not a directory; FileStreamSource
+    # requires a directory basePath, so stream the directory and glob-filter
+    # down to the one table.  A directory-per-table production layout streams
+    # the same way without the filter.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_events_ts(stream)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -89,13 +89,18 @@ def test_streaming_dedup_within_watermark(spark, events_stream):
     assert got.count() == distinct_pairs
 
 
-def test_stateful_user_stats_multi_microbatch(spark):
+def test_stateful_user_stats_multi_microbatch(spark, tmp_path):
     """applyInPandasWithState accumulates across micro-batches: with 4
     one-file triggers, users spanning files must emit multiple monotone
-    updates, and the final state equals the batch aggregate."""
+    updates, and the final state equals the batch aggregate.  stage_dir
+    re-splits the single-file testdata so the stream really has 4 triggers
+    (on a cluster this is a shared-storage path; tmp_path suffices locally)."""
     from arrow_experiments_spark.streaming.stateful import run_user_stats
 
-    final = run_user_stats(spark, SF_DIR, n_files=4, query_name="t_stateful")
+    final = run_user_stats(
+        spark, SF_DIR, n_files=4, query_name="t_stateful",
+        stage_dir=str(tmp_path / "events_staged"),
+    )
     emissions = spark.table("t_stateful")
     # at least one user was updated in more than one micro-batch
     assert emissions.groupBy("user_id").count().agg(F.max("count")).first()[0] > 1
