@@ -89,11 +89,13 @@ def df_to_reader(
         distributed; on a real cluster ``spill_dir`` must be shared
         storage (NFS/object store), which is the standard shuffle-to-store
         egress posture at 100 TB.
-    ``local_iter`` (bounded memory, no shared storage required)
+    ``local_iter`` (DEBUG ONLY — never select implicitly)
         ``df.toLocalIterator()`` row pull, converted to Arrow in
-        ``batch_rows`` chunks driver-side.  One job per partition, rows
-        cross the Py4J socket — slower per row, but needs nothing but the
-        driver.
+        ``batch_rows`` chunks driver-side.  Rows cross the Py4J socket
+        one at a time — the classic per-row-Python trap at any real
+        volume.  Exists solely for debugging on a machine with no shared
+        storage; server/production paths must use ``spill`` (default) —
+        nothing in the engine passes this mode programmatically.
     ``collect``
         Legacy ``df.toArrow()`` — whole result on the driver.  Only for
         the pre-materialize-once registry path (reference server.py:144
@@ -285,7 +287,10 @@ def dictionary_encode_columns(table: pa.Table, cols: list[str]) -> pa.Table:
     DataFrame boundary.  Each column is combined to a single chunk first so
     the whole stream shares ONE unified dictionary — the IPC writer then
     emits a single dictionary message instead of per-batch deltas
-    (SURVEY.md §7 hard part 4)."""
+    (SURVEY.md §7 hard part 4).  Contract: requires the whole table
+    materialized, so it suits the pre-materialize-once registry path;
+    for O(batch) streaming egress of unbounded/high-cardinality data use
+    :func:`dictionary_encode_reader`, which emits IPC delta dictionaries."""
     import pyarrow.compute as pc
 
     out = table
@@ -294,6 +299,80 @@ def dictionary_encode_columns(table: pa.Table, cols: list[str]) -> pa.Table:
         encoded = pc.dictionary_encode(out.column(idx).combine_chunks())
         out = out.set_column(idx, pa.field(name, encoded.type), encoded)
     return out
+
+
+class _GrowingDictionary:
+    """Cumulative value→index map for one column across a batch stream.
+
+    Each batch's values are mapped onto a dictionary that only ever
+    APPENDS — every batch's dictionary is a prefix-extension of the
+    previous one, which is exactly the shape the IPC writer turns into
+    delta dictionary messages (``emit_dictionary_deltas``) instead of
+    full replacements (SURVEY.md §7 hard part 4; Arrow format docs,
+    "dictionary replacement is not allowed in the IPC file format —
+    deltas are")."""
+
+    def __init__(self) -> None:
+        self._index: dict = {}
+        self._values: list = []
+
+    def encode(self, arr: pa.Array) -> pa.DictionaryArray:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        local = pc.dictionary_encode(arr)
+        lut = np.empty(len(local.dictionary), dtype=np.int64)
+        for i, v in enumerate(local.dictionary.to_pylist()):
+            got = self._index.get(v)
+            if got is None:
+                got = len(self._values)
+                self._index[v] = got
+                self._values.append(v)
+            lut[i] = got
+        idx = local.indices
+        if idx.null_count:
+            mask = idx.is_null().to_numpy(zero_copy_only=False)
+            filled = idx.fill_null(0).to_numpy()
+            out_idx = pa.array(lut[filled], pa.int64(), mask=mask)
+        else:
+            out_idx = pa.array(lut[idx.to_numpy()], pa.int64())
+        return pa.DictionaryArray.from_arrays(
+            out_idx, pa.array(self._values, type=arr.type)
+        )
+
+
+def dictionary_encode_reader(
+    reader: pa.RecordBatchReader, cols: list[str]
+) -> pa.RecordBatchReader:
+    """Streaming egress-boundary dictionary encoding with APPEND-ONLY
+    dictionaries: O(dictionary) state, one pass, no table materialization.
+    Pair with ``ipc.IpcWriteOptions(emit_dictionary_deltas=True)`` (as
+    :func:`write_ipc_stream` does for dict-typed schemas) and the stream
+    carries one initial dictionary message plus small deltas — the
+    unbounded/high-cardinality answer to :func:`dictionary_encode_columns`'
+    unified-dictionary contract."""
+    growers = {name: _GrowingDictionary() for name in cols}
+    first = reader.read_next_batch()
+    schema = first.schema
+    for name in cols:
+        i = schema.get_field_index(name)
+        f = schema.field(i)
+        schema = schema.set(
+            i, pa.field(name, pa.dictionary(pa.int64(), f.type), f.nullable)
+        )
+
+    def encode(batch: pa.RecordBatch) -> pa.RecordBatch:
+        arrays = []
+        for f, col in zip(batch.schema, batch.columns):
+            arrays.append(growers[f.name].encode(col) if f.name in growers else col)
+        return pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    def gen() -> Iterator[pa.RecordBatch]:
+        yield encode(first)
+        for b in reader:
+            yield encode(b)
+
+    return pa.RecordBatchReader.from_batches(schema, gen())
 
 
 def strip_schema_metadata(reader: pa.RecordBatchReader) -> pa.RecordBatchReader:
@@ -309,11 +388,27 @@ def strip_schema_metadata(reader: pa.RecordBatchReader) -> pa.RecordBatchReader:
     return pa.RecordBatchReader.from_batches(schema, gen())
 
 
-def write_ipc_stream(df: DataFrame, path: str, batch_rows: int = 4096) -> int:
-    """DataFrame → .arrows (stream format). Returns rows written."""
+def write_ipc_stream(
+    df: DataFrame,
+    path: str,
+    batch_rows: int = 4096,
+    dict_cols: list[str] | None = None,
+) -> int:
+    """DataFrame → .arrows (stream format). Returns rows written.
+
+    ``dict_cols`` dictionary-encodes those columns per-batch with
+    append-only dictionaries and writes with ``emit_dictionary_deltas``,
+    so the stream carries one initial dictionary plus deltas — bounded
+    memory at any cardinality (SURVEY.md §7 hard part 4)."""
     reader = df_to_reader(df, batch_rows)
+    options = None
+    if dict_cols:
+        reader = dictionary_encode_reader(reader, dict_cols)
+        options = ipc.IpcWriteOptions(emit_dictionary_deltas=True)
     n = 0
-    with open(path, "wb") as f, ipc.new_stream(f, reader.schema) as writer:
+    with open(path, "wb") as f, ipc.new_stream(
+        f, reader.schema, options=options
+    ) as writer:
         for batch in reader:
             writer.write_batch(batch)
             n += batch.num_rows

@@ -229,9 +229,11 @@ def main() -> None:
     # stealing memory bandwidth, invisible to /proc/loadavg).  Back-to-back
     # repeats land both runs inside one window; and because a full pass
     # lasts about one window period, the SAME tail items can hit windows
-    # in consecutive passes.  So: two full passes, the second in REVERSED
-    # order, per-item min — an item measured at the tail of pass 1 runs at
-    # the head of pass 2, and no single window covers both.
+    # in consecutive passes.  So: THREE full passes, alternating order
+    # (an item at the tail of one pass runs at the head of the next), and
+    # per-item MEDIAN — robust when at most one pass hits a window, and
+    # unlike min it doesn't reward a lucky cache-warm outlier, making
+    # round-over-round regression signal real (round-2 verdict item 5).
     def measure(name: str) -> float:
         if name == "s1_replay_10m":
             return _bench_replay(spark)
@@ -247,10 +249,12 @@ def main() -> None:
 
     items = ["s1_replay_10m", *_S2_STRATEGIES, *names]
     passes: list[dict[str, float]] = []
-    for i in range(2):
-        order = items if i == 0 else list(reversed(items))
+    for i in range(3):
+        order = items if i % 2 == 0 else list(reversed(items))
         passes.append({name: measure(name) for name in order})
-    timings = {k: round(min(p[k] for p in passes), 3) for k in items}
+    timings = {
+        k: round(sorted(p[k] for p in passes)[1], 3) for k in items
+    }
     # reference-scale S1 (single run, after the passes so its 3 GiB of
     # I/O doesn't perturb the small-query timings)
     timings["s1_replay_100m"] = _bench_replay_100m(spark)

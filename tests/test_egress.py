@@ -146,3 +146,86 @@ def test_iter_arrow_batches_keeps_null_order_rows(spark):
     assert {r["v"] for r in rows} == {"a", "b", "c", "d", "e", "f"}
     # nulls-first ordering puts the NULL rows at the head
     assert {rows[0]["v"], rows[1]["v"]} == {"a", "e"}
+
+
+def _dict_messages(path):
+    """(n_dictionary_messages, n_record_batches) in an IPC stream file."""
+    import pyarrow.ipc as ipc
+
+    dicts = batches = 0
+    with open(path, "rb") as f:
+        reader = ipc.MessageReader.open_stream(f)
+        while True:
+            try:
+                msg = reader.read_next_message()
+            except StopIteration:
+                break
+            if msg is None:
+                break
+            if msg.type == "dictionary":
+                dicts += 1
+            elif msg.type == "record batch":
+                batches += 1
+    return dicts, batches
+
+
+def test_delta_dictionary_stream_roundtrip(spark, tmp_path):
+    """SURVEY.md §7 hard part 4: streaming egress with APPEND-ONLY
+    dictionaries emits one initial dictionary message plus per-batch
+    deltas (never a replacement), and the decoded stream equals the
+    plain-encoded table.  High-cardinality shape: every batch introduces
+    new dictionary values, so a unified up-front dictionary would need
+    the whole table materialized."""
+    import pyarrow.ipc as ipc
+
+    from arrow_experiments_spark.sources.arrow_ipc import write_ipc_stream
+
+    import pyspark.sql.functions as F
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            # ~10k distinct values arriving in id order: each 4096-row
+            # batch brings ~1k unseen values
+            F.concat(F.lit("user-"), (F.col("id") / 4).cast("long").cast("string")).alias("who"),
+            F.when(F.col("id") % 97 == 0, None)
+            .otherwise(F.concat(F.lit("t"), (F.col("id") % 7).cast("string")))
+            .alias("tag"),
+        )
+        .coalesce(1)
+        .sortWithinPartitions("id")
+    )
+    path = str(tmp_path / "delta.arrows")
+    rows = write_ipc_stream(df, path, batch_rows=4096, dict_cols=["who", "tag"])
+    assert rows == n
+
+    with open(path, "rb") as f:
+        got = ipc.open_stream(f).read_all()
+    assert pa.types.is_dictionary(got.schema.field("who").type)
+    want = df.toArrow()
+    decoded = got.combine_chunks().sort_by("id")
+    assert decoded.column("who").cast(pa.string()).to_pylist() == want.column("who").to_pylist()
+    assert decoded.column("tag").cast(pa.string()).to_pylist() == want.column("tag").to_pylist()
+
+    # message-level: >1 dictionary message means per-stream deltas (the
+    # unified-dictionary path emits exactly one per column)
+    dicts, batches = _dict_messages(path)
+    assert batches == (n + 4095) // 4096
+    assert dicts > 2 * 1  # more than one message per dict column
+
+
+def test_growing_dictionary_prefix_extension():
+    """Each batch's dictionary must prefix-extend the previous one — the
+    property that makes the IPC writer emit deltas, not replacements."""
+    from arrow_experiments_spark.sources.arrow_ipc import _GrowingDictionary
+
+    g = _GrowingDictionary()
+    a = g.encode(pa.array(["x", "y", None, "x"]))
+    b = g.encode(pa.array(["z", "y", "w"]))
+    assert a.dictionary.to_pylist() == ["x", "y"]
+    assert b.dictionary.to_pylist() == ["x", "y", "z", "w"]
+    assert b.dictionary.to_pylist()[: len(a.dictionary)] == a.dictionary.to_pylist()
+    assert a.to_pylist() == ["x", "y", None, "x"]
+    assert b.to_pylist() == ["z", "y", "w"]
