@@ -135,6 +135,24 @@ def run_user_stats(
     )
 
 
+def user_stats_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalent plan of the stateful operator (same integer-cents
+    semantics, pure built-ins).  Streaming plans don't explain() like
+    batch ones, so this is the shape the plan audit checks: one shuffle
+    on user_id with partial aggregation below it — exactly the state
+    store's partitioning in the streaming form."""
+    from pyspark.sql import functions as F
+
+    from arrow_experiments_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_ts_us"),
+    )
+
+
 ORACLE_SQL = """
     SELECT user_id,
            COUNT(*) AS n_events,

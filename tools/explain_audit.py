@@ -58,6 +58,9 @@ AUDIT = [
     "events_transition_matrix",
     "embedding_label_centroids",
     "events_rollup_gapfill",
+    # batch-equivalent plan of the applyInPandasWithState operator
+    # (streaming plans don't explain() like batch ones)
+    "stateful_user_stats_batch",
 ]
 
 # Queries whose plan legitimately contains a non-equi or cartesian join:
@@ -75,11 +78,15 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = build_session(app_name="explain_audit")
     spark.sparkContext.setLogLevel("ERROR")
+    from arrow_experiments_spark.streaming.stateful import user_stats_batch
+
     queries = all_queries()
+    builders = {n: queries[n].build for n in queries}
+    builders["stateful_user_stats_batch"] = user_stats_batch
     sections: list[str] = []
     failures: list[str] = []
     for name in AUDIT:
-        df = queries[name].build(spark, sf_dir)
+        df = builders[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
         )
