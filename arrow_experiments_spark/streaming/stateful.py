@@ -78,12 +78,73 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+class _UserStatsProcessor:
+    """Spark 4 ``StatefulProcessor`` form of the same operator —
+    ``transformWithStateInPandas`` with a typed ``ValueState`` handle
+    (requires the RocksDB state store provider, which is also the 100 TB
+    posture: state spills to disk instead of living on the executor
+    heap).  Same integer-cents exactness discipline as
+    :func:`_update_user_stats`."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "stats", "n bigint, cents bigint, last_us bigint"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        got = self._state.get()
+        n, cents, last_us = got if got is not None else (0, 0, 0)
+        for pdf in rows:
+            n += int(len(pdf))
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum()
+            )
+            ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            last_us = max(last_us, int(ts_us.max()))
+        self._state.update((n, cents, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_cents": [cents],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """``transformWithStateInPandas`` application of the per-user stats
+    operator to a streaming DataFrame (ts timestamp, user_id long,
+    value double)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclass inside the function so importing this module never
+    # requires the streaming-state API to exist (older runtimes)
+    class UserStatsProcessor(_UserStatsProcessor, StatefulProcessor):
+        pass
+
+    proc = UserStatsProcessor()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType="user_id bigint, n_events bigint, "
+        "sum_cents bigint, last_ts_us bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_user_stats(
     spark: SparkSession,
     sf_dir: str,
     n_files: int = 4,
     query_name: str = "stateful_user_stats",
     stage_dir: str | None = None,
+    api: str = "applyInPandasWithState",
 ) -> DataFrame:
     """Drive the stateful operator over the events table as a stream and
     return the final per-user state.
@@ -116,9 +177,18 @@ def run_user_stats(
             .option("maxFilesPerTrigger", 1)
             .parquet(stage_dir)
         )
+    if api == "transformWithState":
+        # transformWithState requires the RocksDB state store provider
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        out = user_running_stats_tws(stream)
+    else:
+        out = user_running_stats(stream)
     q = (
-        user_running_stats(stream)
-        .writeStream.format("memory")
+        out.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("update")
         .trigger(availableNow=True)
@@ -127,7 +197,12 @@ def run_user_stats(
     q.awaitTermination(300)
 
     emissions = spark.table(query_name)
-    w = Window.partitionBy("user_id").orderBy(F.desc("upd_seq"))
+    if api == "transformWithState":
+        # n_events is monotone per user: the max-count row is final state
+        order = F.desc("n_events")
+    else:
+        order = F.desc("upd_seq")
+    w = Window.partitionBy("user_id").orderBy(order)
     return (
         emissions.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -176,3 +251,36 @@ from arrow_experiments_spark.registry import register  # noqa: E402
 )
 def stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_user_stats(spark, sf_dir)
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas drives its state protocol over protobuf
+    (a standard pyspark extra, present on real clusters); this container
+    ships a broken google.protobuf, so the TWS form is registered only
+    where it can actually run — the applyInPandasWithState form above is
+    the always-available operator."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stateful_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_user_stats(
+        spark, sf_dir, query_name="stateful_user_stats_tws",
+        api="transformWithState",
+    )
+
+
+if tws_available():  # pragma: no cover — container lacks protobuf
+    register(
+        "stateful_user_stats_tws",
+        "events",
+        doc="Spark 4 transformWithStateInPandas form of the stateful "
+        "operator (StatefulProcessor + typed ValueState on the RocksDB "
+        "state store — the disk-backed state posture for 100 TB); same "
+        "oracle as the applyInPandasWithState form.",
+        oracle=ORACLE_SQL,
+    )(stateful_user_stats_tws)

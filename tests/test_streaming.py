@@ -111,6 +111,33 @@ def test_stateful_user_stats_multi_microbatch(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
 
 
+def test_stateful_user_stats_tws_multi_microbatch(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas form (StatefulProcessor +
+    ValueState on RocksDB): same multi-micro-batch accumulation and the
+    same final state as the batch aggregate.  Needs a working
+    google.protobuf (the TWS state protocol) — skipped where absent."""
+    from arrow_experiments_spark.streaming.stateful import (
+        run_user_stats,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable (TWS state protocol)")
+
+    final = run_user_stats(
+        spark, SF_DIR, n_files=4, query_name="t_stateful_tws",
+        stage_dir=str(tmp_path / "events_staged"),
+        api="transformWithState",
+    )
+    emissions = spark.table("t_stateful_tws")
+    assert emissions.groupBy("user_id").count().agg(F.max("count")).first()[0] > 1
+    batch = table(spark, SF_DIR, "events")
+    want = batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    got = final.select("user_id", "n_events")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
 def test_stream_to_registry_serves_microbatches(spark, events_stream):
     """foreachBatch egress: each micro-batch lands in the registry and is
     fetchable over HTTP as an Arrow stream (Phase 5 serving model)."""

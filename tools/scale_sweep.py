@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Above-bench-scale evidence (round-2 verdict item 4): run the dedup /
+ANN / text family at 1×, 10× and 100× the sf0.1 corpus and record how
+each plan's wall-clock actually bends — measured scaling, not argued.
+
+Corpus synthesis (the driver ships no sf≥1 testdata): each replica k>0
+re-keys ids into a fresh range and perturbs the payload deterministically
+so near-dup/bucket structure stays corpus-like instead of collapsing into
+k-way exact duplicates:
+
+* documents: ``doc_id += k * max_id``; a per-(k, doc_id) suffix token is
+  appended so replicas are near-dups of their original (same shingle mass
+  ± one shingle), not byte-identical copies.
+* embeddings: ``vec_id += k * max_id``; every element gets hash-seeded
+  noise (±1e-2 scale) so directions spread the way a larger real corpus
+  would, rather than stacking identical vectors into one LSH bucket.
+
+Other tables are symlinked unchanged — this family only reads documents
+and embeddings.
+
+Usage: python tools/scale_sweep.py [base_sf_dir] [out_md]
+Writes SCALE.md (committed) and prints one JSON line for tooling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from arrow_experiments_spark.registry import all_queries
+from arrow_experiments_spark.session import build_session
+
+FACTORS = [1, 10, 100]
+
+SWEEP = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "decontaminate_ngram_overlap",
+    "knn_bruteforce_cosine",
+    "ann_lsh_hyperplane",
+    "ann_ivf_codebook",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_count",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "pipeline_global_shuffle",
+]
+
+
+def build_corpus(spark, base: str, factor: int, dest: str) -> None:
+    import pyspark.sql.functions as F
+
+    os.makedirs(dest, exist_ok=True)
+    for name in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        link = os.path.join(dest, f"{name}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(base, f"{name}.parquet"), link)
+
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    scaled_docs = (
+        docs.select("*", reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * max_doc).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" zq"),
+                    F.conv(
+                        F.abs(F.hash("doc_id", "rep")).cast("string"), 10, 36
+                    ),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    scaled_docs.repartition(max(1, factor // 4)).write.mode("overwrite").parquet(
+        f"{dest}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    scaled_emb = (
+        emb.select("*", reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * max_vec).alias("vec_id"),
+            F.when(F.col("rep") == 0, F.col("embedding"))
+            .otherwise(
+                F.expr(
+                    "transform(embedding, (x, i) -> "
+                    "cast(x + (pmod(hash(vec_id, i), 2000) - 1000) * 1.0e-5 "
+                    "as float))"
+                )
+            )
+            .alias("embedding"),
+            "label",
+        )
+    )
+    scaled_emb.repartition(max(1, factor // 4)).write.mode("overwrite").parquet(
+        f"{dest}/embeddings.parquet"
+    )
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_md = sys.argv[2] if len(sys.argv) > 2 else str(Path(_REPO, "SCALE.md"))
+    work = "/tmp/scale_sweep"
+    spark = build_session(app_name="scale_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    dirs: dict[int, str] = {1: base}
+    for k in FACTORS:
+        if k == 1:
+            continue
+        dest = f"{work}/x{k}"
+        build_corpus(spark, base, k, dest)
+        dirs[k] = dest
+        print(f"built x{k} corpus at {dest}", flush=True)
+
+    def measure(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        queries[name].build(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    # warm the JVM once
+    measure("dedup_exact", base)
+
+    # two alternating passes per scale, per-item min (co-tenant noise
+    # windows — see bench.py) — scales measured smallest-first so a noise
+    # window hits the cheap end
+    results: dict[str, dict[int, float]] = {n: {} for n in SWEEP}
+    progress = Path(work, "progress.json")
+    base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for k in FACTORS:
+        # Partition count must scale with data volume or per-partition
+        # state (pair-agg hash maps, sort runs) outgrows the heap — the
+        # first 100× run OOMed at the sf0.1 default of 32.  Overprovision
+        # data-proportionally; AQE coalesces what turns out to be excess.
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(min(base_parts * k, 1024))
+        )
+        for i in range(2):
+            order = SWEEP if i == 0 else list(reversed(SWEEP))
+            for name in order:
+                dt = measure(name, dirs[k])
+                cur = results[name].get(k)
+                results[name][k] = dt if cur is None else min(cur, dt)
+                print(f"x{k} pass{i} {name} {dt:.2f}s", flush=True)
+                progress.write_text(json.dumps(
+                    {n: {str(kk): vv for kk, vv in r.items()}
+                     for n, r in results.items()}))
+        print(f"x{k} done", flush=True)
+
+    lines = [
+        "# SCALE — measured scaling of the dedup/ANN/text family",
+        "",
+        f"Generated by `tools/scale_sweep.py` from `{base}` (5k docs / 2k",
+        "embeddings at 1×) with deterministic perturbation-replication at",
+        "10× and 100× (see the tool docstring for the synthesis rules).",
+        "Per-item min of two alternating-order passes, local[32],",
+    "shuffle partitions scaled data-proportionally per factor (the",
+    "sf0.1 default of 32 OOMed the pair aggregation at 100× — partition",
+    "count is part of the scale contract; AQE coalesces overprovision).",
+        "",
+        "`exp` = log(t100/t1)/log(100): 1.0 is perfectly linear; sub-linear",
+        "values mean fixed overhead still dominates at 100×; anything",
+        "clearly above 1 would flag a plan that bends super-linearly.",
+        "",
+        "| query | 1x (s) | 10x (s) | 100x (s) | exp |",
+        "|---|---|---|---|---|",
+    ]
+    js: dict[str, dict[str, float]] = {}
+    worst = None
+    for name in SWEEP:
+        r = results[name]
+        import math
+
+        exp = math.log(r[100] / r[1]) / math.log(100) if r[1] > 0 else 0.0
+        lines.append(
+            f"| {name} | {r[1]:.2f} | {r[10]:.2f} | {r[100]:.2f} | {exp:.2f} |"
+        )
+        js[name] = {"x1": round(r[1], 3), "x10": round(r[10], 3),
+                    "x100": round(r[100], 3), "exp": round(exp, 2)}
+        if worst is None or exp > worst[1]:
+            worst = (name, exp)
+    lines += [
+        "",
+        f"Steepest observed exponent: `{worst[0]}` at {worst[1]:.2f}.",
+        "",
+    ]
+    Path(out_md).write_text("\n".join(lines))
+    print(json.dumps({"metric": "scale_sweep", "queries": js}))
+    spark.stop()
+    for k in FACTORS:
+        if k != 1:
+            shutil.rmtree(f"{work}/x{k}", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
