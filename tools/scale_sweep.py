@@ -190,6 +190,15 @@ def main() -> None:
         "values mean fixed overhead still dominates at 100×; anything",
         "clearly above 1 would flag a plan that bends super-linearly.",
         "",
+        "Near-dup caveat: replication makes every document one of a",
+        "100-clone near-dup cluster, so the candidate-pair mass the",
+        "minhash/ngram/embedding dedup queries must score grows",
+        "~quadratically in the factor BY CONSTRUCTION (clone pairs are",
+        "real near-dups the query is obliged to emit).  Those exponents",
+        "measure output-sensitive cost on a pathologically dup-dense",
+        "corpus — an upper bound, not the plan's scaling on a natural",
+        "corpus of the same size.",
+        "",
         "| query | 1x (s) | 10x (s) | 100x (s) | exp |",
         "|---|---|---|---|---|",
     ]
