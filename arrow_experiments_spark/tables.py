@@ -57,12 +57,39 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Columns the engine depends on by exact dtype.  Driver testdata has
+# changed physical types between rounds (events.ts ns→µs); any such drift
+# is absorbed here with an explicit cast instead of surfacing as an
+# AnalysisException deep inside a query.  Casts are no-ops when the
+# parquet already matches.
+_CANONICAL_COLS: dict[str, dict[str, str]] = {
+    "documents": {"doc_id": "bigint", "n_chars": "bigint"},
+    "embeddings": {"vec_id": "bigint", "embedding": "array<float>",
+                   "label": "int"},
+    "events": {"event_id": "bigint", "user_id": "bigint", "value": "double"},
+}
+
+
+def _canonicalize(df: DataFrame, name: str) -> DataFrame:
+    want = _CANONICAL_COLS.get(name)
+    if not want:
+        return df
+    cols = []
+    for f in df.schema.fields:
+        target = want.get(f.name)
+        if target is not None and f.dataType.simpleString() != target:
+            cols.append(F.col(f.name).cast(target).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _normalize_events_ts(spark.read.parquet(path))
-    return spark.read.parquet(path)
+        return _canonicalize(_normalize_events_ts(spark.read.parquet(path)), name)
+    return _canonicalize(spark.read.parquet(path), name)
 
 
 def events_stream(
