@@ -658,3 +658,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id_a", "vec_id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+@register(
+    "dedup_ngram_jaccard_lsh",
+    "dedup",
+    doc="two-stage near-dup: MinHash-LSH band join proposes candidate "
+    "pairs, exact n-gram Jaccard verifies ONLY those pairs (threshold "
+    "0.02).  This is the 100 TB shape for Jaccard dedup: SCALE.md "
+    "measures the all-pair inverted-index scorer at exponent ~1.36 on a "
+    "dup-dense corpus, while the LSH candidate stage stays ~0.68 — "
+    "verification cost then tracks true near-dups, not corpus size. "
+    "Result = dedup_ngram_jaccard restricted to LSH candidates "
+    "(LSH bounds recall; the verify threshold is exact).",
+    oracle=_minhash_bands_sql()
+    + """
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.ida AS doc_id_a, c.idb AS doc_id_b,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / NULLIF(len(x.sh) + len(y.sh)
+                          - len(list_intersect(x.sh, y.sh)), 0) AS jaccard
+        FROM cand c
+        JOIN sh_t x ON x.doc_id = c.ida
+        JOIN sh_t y ON y.doc_id = c.idb
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / NULLIF(len(x.sh) + len(y.sh)
+                          - len(list_intersect(x.sh, y.sh)), 0) >= 0.02
+    """,
+)
+def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = (
+        _candidate_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
+    )
+    sh = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .persist()
+        .select("doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh"))
+        .persist()
+    )
+    a = sh.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("idb"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jac = F.try_divide(
+        inter.cast("double"),
+        (F.size("sha") + F.size("shb") - inter).cast("double"),
+    )
+    return (
+        cand.join(a, "ida")
+        .join(b, "idb")
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.02)
+    )

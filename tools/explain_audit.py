@@ -35,6 +35,7 @@ AUDIT = [
     "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_lsh",
     "knn_bruteforce_cosine",
     "text_quality_score",
     "join_salted_skew",
