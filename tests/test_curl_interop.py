@@ -186,3 +186,30 @@ def test_curl_range_resume_interrupted(server, table, tmp_path):
     assert data == full
     got = pa.ipc.open_stream(io.BytesIO(data)).read_all()
     assert got.equals(table)
+
+
+# ---- get_indirect matrix (curl/client/client.sh) --------------------------
+
+def test_curl_indirect_catalog_parallel_fetch(server, table, tmp_path):
+    """The reference's indirect client: GET the JSON catalog, extract
+    `arrow_stream_files[].uri`, fetch every URI with one parallel curl
+    invocation (`--parallel --remote-name-all`), decode each."""
+    import json
+
+    headers, body = _curl([f"{server}/catalog"], tmp_path)
+    assert headers["content-type"].startswith("application/json")
+    uris = [e["uri"] for e in json.loads(body)["arrow_stream_files"]]
+    assert uris, "catalog advertised no streams"
+    proc = subprocess.run(
+        ["curl", "-sS", "--parallel", "--remote-name-all",
+         "-H", "Accept-Encoding: identity", *uris],
+        capture_output=True,
+        cwd=tmp_path,
+        timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr.decode()
+    for uri in uris:
+        name = uri.rsplit("/", 1)[-1]
+        data = (tmp_path / name).read_bytes()
+        got = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+        assert got.equals(table)
