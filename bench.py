@@ -141,6 +141,53 @@ def _bench_replay_100m(spark) -> float:
 # (identity+zstd, identity+lz4).  (accept, accept_encoding) per key; the
 # IPC-codec rows pin the HTTP coding to identity so exactly one layer
 # compresses (the reference's don't-double-compress rule).
+def _bench_serve_42m(spark) -> float:
+    """BASELINE.md S2 at REFERENCE scale: 42,000,000 trading rows
+    (ticker/price/volume, get_compressed server.py:81) in 6,144-row
+    batches, ticker dictionary-encoded at the egress boundary with
+    APPEND-ONLY per-stream dictionaries (IPC delta messages — the
+    streaming form of the reference's dict-encoded ticker column), zstd
+    HTTP coding (the server's preferred codec), stream-decoded.
+    Generation and spill are distributed; serving holds O(batch).  Run
+    once per round."""
+    import shutil
+    import time as _time
+
+    from arrow_experiments_spark.sources.arrow_ipc import (
+        dictionary_encode_reader,
+        spill_dataframe,
+        spilled_files_reader,
+    )
+    from arrow_experiments_spark.sources.generators import gen_trading
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    rows = 42_000_000
+    d, files, schema = spill_dataframe(gen_trading(spark, rows=rows))
+    registry = DatasetRegistry()
+    registry.register(
+        "trading42m",
+        lambda: dictionary_encode_reader(
+            spilled_files_reader(files, schema, batch_rows=6144), ["ticker"]
+        ),
+    )
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        t0 = _time.perf_counter()
+        tbl, metrics = fetch_arrow(
+            f"http://{host}:{port}/datasets/trading42m",
+            accept_encoding="zstd",
+            collect_table=False,
+        )
+        dt = _time.perf_counter() - t0
+        assert metrics.rows == rows
+        return round(dt, 3)
+    finally:
+        httpd.shutdown()
+        shutil.rmtree(d, ignore_errors=True)
+
+
 _S2_STRATEGIES: dict[str, tuple[str | None, str]] = {
     "s2_serve_1m_identity": (None, "identity"),
     "s2_serve_1m_gzip": (None, "gzip"),
@@ -258,6 +305,7 @@ def main() -> None:
     # reference-scale S1 (single run, after the passes so its 3 GiB of
     # I/O doesn't perturb the small-query timings)
     timings["s1_replay_100m"] = _bench_replay_100m(spark)
+    timings["s2_serve_42m_zstd"] = _bench_serve_42m(spark)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
