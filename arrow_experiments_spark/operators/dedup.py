@@ -722,3 +722,92 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.02)
     )
+
+
+@register(
+    "dedup_embedding_topk",
+    "dedup",
+    doc="bounded-output embedding near-dup: per vector, its top-4 LSH-"
+    "candidate neighbors at cosine ≥ 0.3 (row_number over cos desc, "
+    "neighbor id asc).  The scale answer to the unbounded pair list: "
+    "SCALE.md measures the full pair emission out-spilling local disk on "
+    "a 100-clone-dense corpus, while per-vector top-k caps output (and "
+    "the window state behind it) at k·N regardless of dup density.",
+    oracle=f"""
+        WITH nz AS (SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0),
+        half AS ({_emb_band_union_sql()}),
+        cand AS (
+            SELECT vec_id_a AS vec_id, vec_id_b AS nbr_id FROM half
+            UNION
+            SELECT vec_id_b AS vec_id, vec_id_a AS nbr_id FROM half
+        ), scored AS (
+            SELECT c.vec_id, c.nbr_id,
+                   CAST(CAST({cosine_sql('a.embedding', 'b.embedding')}
+                        AS DECIMAL(28,6)) AS DOUBLE) AS cos_sim
+            FROM cand c JOIN embeddings a ON c.vec_id = a.vec_id
+                        JOIN embeddings b ON c.nbr_id = b.vec_id
+        ), ranked AS (
+            SELECT vec_id, nbr_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos_sim DESC, nbr_id) AS rnk
+            FROM scored WHERE cos_sim >= 0.3
+        )
+        SELECT vec_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk
+        FROM ranked WHERE rnk <= 4
+    """,
+)
+def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from arrow_experiments_spark.operators.similarity import (
+        _nonzero_embeddings,
+        lsh_bucket_col,
+    )
+
+    emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    banded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_bucket_col(F.col("embedding"), band, _EMB_LSH_BITS).alias(
+                            "bucket"
+                        ),
+                    )
+                    for band in range(_EMB_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket").persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    # symmetric distinct candidates: every vector sees all its bucket
+    # partners as potential neighbors
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("nbr_id"))
+        .distinct()
+    )
+    scored = emb.select("vec_id", "embedding", vnorm(F.col("embedding")).alias("nrm"))
+    sa = scored.alias("sa")
+    sb = scored.alias("sb")
+    cos = snap6(
+        dot(F.col("sa.embedding"), F.col("sb.embedding"))
+        / (F.col("sa.nrm") * F.col("sb.nrm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        cand.join(sa, cand["vec_id"] == F.col("sa.vec_id"))
+        .join(sb, cand["nbr_id"] == F.col("sb.vec_id"))
+        .select(cand["vec_id"], cand["nbr_id"], cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+    )

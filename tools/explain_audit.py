@@ -44,6 +44,7 @@ AUDIT = [
     "pipeline_training_select",
     "multimodal_resize",
     "dedup_embedding_cosine",
+    "dedup_embedding_topk",
     "ann_ivf_codebook",
     "text_repetition_signals",
     "pipeline_pack_shards",
