@@ -267,7 +267,10 @@ _CENT_SCALE = 1_000_000
     "feeding ann_ivf_codebook: posexplode to (label, dim) cells, exact "
     "integer summation of floor(v * 1e6) (bigint — order-independent, "
     "unlike float sums, so the result is bit-identical across engines and "
-    "partitionings), one division at the end, reassembled in dim order.  "
+    "partitionings), one division at the end.  Output is the exploded "
+    "scalar form (label, n_vectors, pos, c) — one row per centroid "
+    "dimension — so every column is hashable by any harness; callers "
+    "wanting the array form reassemble with collect_list over pos.  "
     "Shuffle rows = n_vectors x dim keyed on (label, dim) — wide but "
     "perfectly partitioned; a 100x corpus scales linearly.",
     oracle=f"""
@@ -282,10 +285,10 @@ _CENT_SCALE = 1_000_000
             FROM e GROUP BY 1, 2
         )
         SELECT label,
-               CAST(MAX(n) AS BIGINT) AS n_vectors,
-               list(CAST(s AS DOUBLE) / CAST(n * {_CENT_SCALE} AS DOUBLE)
-                    ORDER BY pos) AS centroid
-        FROM c GROUP BY label
+               CAST(n AS BIGINT) AS n_vectors,
+               CAST(pos AS INT) AS pos,
+               CAST(s AS DOUBLE) / CAST(n * {_CENT_SCALE} AS DOUBLE) AS c
+        FROM c
     """,
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,21 +305,14 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = cells.groupBy("label", "pos").agg(
         F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    per_dim = sums.select(
+    return sums.select(
         "label",
-        "pos",
-        "n",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("pos").cast("int").alias("pos"),
         (
             F.col("s").cast("double")
             / (F.col("n") * _CENT_SCALE).cast("double")
         ).alias("c"),
-    )
-    return per_dim.groupBy("label").agg(
-        F.max("n").cast("bigint").alias("n_vectors"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))),
-            lambda x: x["c"],
-        ).alias("centroid"),
     )
 
 

@@ -158,13 +158,13 @@ def test_centroids_exact_mean(spark, tmp_path):
             (3, [0.5, -0.5], 1),
         ],
     )
-    got = {
-        r["label"]: (r["n_vectors"], r["centroid"])
-        for r in embedding_label_centroids(spark, sf).collect()
-    }
-    assert got[0] == (2, [2.0, 4.0])
+    rows = embedding_label_centroids(spark, sf).collect()
+    got = {(r["label"], r["pos"]): (r["n_vectors"], r["c"]) for r in rows}
+    assert got[(0, 0)] == (2, 2.0)
+    assert got[(0, 1)] == (2, 4.0)
     # floor(-0.5e6) = -500000 exactly — negative values stay exact
-    assert got[1] == (1, [0.5, -0.5])
+    assert got[(1, 0)] == (1, 0.5)
+    assert got[(1, 1)] == (1, -0.5)
 
 
 def test_tfidf_ranks_rare_repeated_term_first(spark, tmp_path):
