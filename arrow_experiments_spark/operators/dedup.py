@@ -213,9 +213,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
+    # sa/sb are per-doc shingle counts — SF-scaled, so no broadcast hint:
+    # AQE broadcasts at bench SF; at corpus scale the equi-join shuffles.
     return (
-        inter.join(F.broadcast(sa), "ida")
-        .join(F.broadcast(sb), "idb")
+        inter.join(sa, "ida")
+        .join(sb, "idb")
         .select(
             F.col("ida").alias("doc_id_a"),
             F.col("idb").alias("doc_id_b"),

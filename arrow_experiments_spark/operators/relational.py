@@ -4,7 +4,8 @@ set operations (SURVEY.md §2.6 rows Scan/Joins/Aggregation/Window/Sort/Set).
 The reference itself has no relational algebra beyond slice/take/drop
 (SURVEY.md §2.2) — this module is the declared query surface the engine
 exposes on top of it, all Catalyst-planned built-ins.  Scale posture:
-dimension joins are broadcast (region/nation/supplier are tiny at any SF);
+fixed-cardinality dims (region/nation) are hint-broadcast; SF-scaled
+dims are AQE-sized (see tpch.py broadcast policy);
 fact-fact joins shuffle on their keys with AQE handling skew; every
 aggregate is partial-aggregable (map-side combine) because it is a plain
 sum/count/min/max over decimals.
@@ -321,7 +322,8 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     "join",
     doc="TPC-H Q3-style: 3-way join, filter both sides of a date split, "
-    "top-10 revenue. customer side broadcast-eligible; orders⨝lineitem "
+    "top-10 revenue. customer side AQE-sized (SF-scaled, no hint — see "
+    "tpch.py broadcast policy); orders⨝lineitem "
     "shuffles on orderkey.",
     oracle="""
         SELECT l_orderkey,
@@ -347,7 +349,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .select(
@@ -364,7 +366,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     "join",
-    doc="TPC-H Q5-style: 6-table star join; region/nation/supplier broadcast, "
+    doc="TPC-H Q5-style: 6-table star join; region/nation hint-broadcast, "
+    "supplier AQE-sized, "
     "fact joins shuffle. Revenue per nation in ASIA.",
     oracle="""
         SELECT n_name,
@@ -392,7 +395,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(sup),
+            sup,
             (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey),
         )
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)

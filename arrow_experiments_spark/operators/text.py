@@ -403,7 +403,9 @@ def text_unigram_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("tok").agg(F.count("*").cast("bigint").alias("tok_count"))
     tot = tok.agg(F.count("*").cast("bigint").alias("total"))
     return (
-        tok.join(F.broadcast(freq), "tok")
+        # freq is vocabulary-sized (Heaps-law sublinear but still
+        # SF-scaled) — no hint; AQE broadcasts it at bench SF.
+        tok.join(freq, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),

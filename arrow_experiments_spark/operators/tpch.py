@@ -11,6 +11,16 @@ Float discipline (oracle.py compares doubles bit-exact): every SUM over a
 money/quantity column goes through DECIMAL(18,2) so Spark and DuckDB both
 compute exact sums, cast to double only at the end; ratios divide two
 exact doubles (one IEEE op, deterministic on both engines).
+
+Broadcast policy (100 TB posture): an explicit ``F.broadcast`` hint
+bypasses ``autoBroadcastJoinThreshold``, so it is reserved for frames
+whose size is bounded by CONSTRUCTION, independent of SF — nation (25
+rows), region (5), their projections, and 1-row scalar aggregates.
+SF-scaled tables (part = SF x 200k, supplier = SF x 10k, customer =
+SF x 150k, and per-key aggregates derived from the fact) carry NO hint:
+at bench SF AQE still picks a broadcast join from actual sizes, while at
+1000-executor scale the same code degrades gracefully to a shuffle join
+instead of a driver OOM.  ``tools/explain_audit.py`` asserts the policy.
 """
 
 from __future__ import annotations
@@ -41,7 +51,7 @@ def _revenue() -> F.Column:
     "join",
     doc="TPC-H Q2 adapted (no partsupp): for each small part, the "
     "highest-acctbal supplier that actually shipped it.  distinct "
-    "part-supp pairs from the fact table, broadcast part/supplier dims, "
+    "part-supp pairs from the fact table, AQE-sized part/supplier joins (hint-free per the module broadcast policy), "
     "per-part max via window; ties kept on both sides.",
     oracle="""
         SELECT p_partkey, p_name, s_name, s_acctbal, n_name
@@ -63,8 +73,8 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     w = Window.partitionBy("p_partkey")
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(supp, pairs.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .withColumn("max_bal", F.max("s_acctbal").over(w))
         .filter(F.col("s_acctbal") == F.col("max_bal"))
@@ -147,7 +157,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     "join",
     doc="TPC-H Q7: revenue between two nations by year and direction; "
-    "fact shuffles once per dim key, nation/supplier/customer broadcast; "
+    "fact shuffles once per dim key; nation projections are hint-broadcast, supplier/customer joins are AQE-sized; "
     "year() stays in whole-stage codegen.",
     oracle=f"""
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
@@ -178,8 +188,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
@@ -205,7 +215,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8 adapted: NATION_3's share of PROMO-part revenue inside "
     "region REGION_0 by order year.  Share = exact-decimal sums cast to "
     "double, one division.  Part filter prunes the fact early via the "
-    "broadcast-join; conditional sum is a single pass.",
+    "AQE-sized join; conditional sum is a single pass.",
     oracle=f"""
         SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
                CAST(CAST(SUM(CASE WHEN sn.n_name = 'NATION_3' THEN {_REV_SQL}
@@ -239,12 +249,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = _revenue()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -269,7 +279,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join",
     doc="TPC-H Q9 adapted (no partsupp supplycost): net revenue on "
     "red-named parts by supplier nation and year.  p_name LIKE filter "
-    "broadcast-prunes the fact; group key (25 nations × 7 years) is tiny "
+    "prunes the fact via an AQE-sized join; group key (25 nations × 7 years) is tiny "
     "so the final shuffle is negligible at any SF.",
     oracle=f"""
         SELECT n_name AS nation,
@@ -291,8 +301,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     orders = table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -336,7 +346,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -380,7 +390,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     "join",
     doc="TPC-H Q14: PROMO-part share of one month's revenue; part dim "
-    "broadcast, one conditional aggregate pass, single double division.",
+    "joined AQE-sized, one conditional aggregate pass, single double division.",
     oracle=f"""
         SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
                                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
@@ -399,7 +409,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part")
     rev = _revenue()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(
                 F.when(F.col("p_type") == "PROMO", rev).otherwise(
@@ -453,7 +463,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -463,7 +473,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join",
     doc="TPC-H Q17: revenue from small-quantity orders of one brand — "
     "correlated avg-per-part subquery as a self-aggregate join; the "
-    "per-part avg df is small (≤ #parts rows) and broadcast.",
+    "per-part avg df is ≤ #parts rows — SF-scaled, so AQE sizes the join.",
     oracle="""
         SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                     / 7.0 AS DOUBLE) AS avg_yearly,
@@ -491,8 +501,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(per_part), li.l_partkey == F.col("ap_key"))
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
@@ -530,7 +540,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
     )
 
@@ -539,7 +549,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_discounted_revenue",
     "join",
     doc="TPC-H Q19 adapted (no container/shipmode): disjunctive "
-    "brand × size × quantity predicates — one broadcast-join pass with the "
+    "brand × size × quantity predicates — one AQE-sized join pass with the "
     "OR evaluated post-join inside codegen, no union-of-scans.",
     oracle=f"""
         SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
@@ -569,7 +579,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
             F.sum(_revenue()).cast("double").alias("revenue"),
@@ -583,7 +593,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join",
     doc="TPC-H Q20 adapted (no partsupp): suppliers that shipped more than "
     "400 units of red parts in 1996 — semi-join shaped: aggregate fact "
-    "per supplier after broadcast part filter, then broadcast dims.",
+    "per supplier after the part filter (AQE-sized joins; nation hint-broadcast).",
     oracle="""
         SELECT s_name, n_name,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS red_qty
@@ -607,8 +617,8 @@ def q20_red_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier")
     nation = table(spark, sf_dir, "nation")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("s_name", "n_name")
         .agg(dsum("l_quantity").alias("red_qty"))
@@ -727,7 +737,7 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q16 adapted (partsupp ≡ distinct lineitem pairs): distinct "
     "shipping suppliers per (brand, type, size) for mid-size parts, "
     "excluding negative-balance suppliers — distinct-pair aggregate, "
-    "broadcast dims, count(distinct) on the reduced set.",
+    "AQE-sized dim joins, count(distinct) on the reduced set.",
     oracle="""
         SELECT p_brand, p_type, p_size,
                CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
@@ -744,8 +754,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0)
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), pairs.l_suppkey == supp.s_suppkey)
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(supp, pairs.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -796,7 +806,7 @@ def q21_last_shipper_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(stats, (li.l_orderkey == F.col("so_key")) & (li.l_shipdate == F.col("max_ship")))
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("s_name")
         .agg(F.countDistinct(li.l_orderkey).cast("bigint").alias("numwait"))

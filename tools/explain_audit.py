@@ -6,7 +6,13 @@ and check the scale invariants README.md claims:
     scans feeding narrow projections),
   - dimension joins use BroadcastHashJoin,
   - no CartesianProduct anywhere except queries that are by-construction
-    probe×candidate scoring (knn against <10 broadcast probes).
+    probe×candidate scoring (knn against <10 broadcast probes),
+  - broadcast-hint policy (tpch.py module docstring): explicit F.broadcast
+    is allowed only over frames bounded by construction — the
+    fixed-cardinality nation/region tables, 1-row scalar aggregates,
+    limit-bounded frames, and the per-query allowlisted probe/eval sets.
+    A hint over an SF-scaled relation bypasses autoBroadcastJoinThreshold
+    and becomes a driver OOM at 100 TB, so it fails the audit.
 
 Writes PLANS.md (committed) so plan regressions show up in review diffs.
 Usage: python tools/explain_audit.py [sf_dir]
@@ -75,6 +81,66 @@ CARTESIAN_OK = {
     "text_tfidf_top_terms",  # 1-row broadcast corpus-total, same as unigram
 }
 
+# Broadcast-hint policy: tables whose cardinality is fixed by the schema
+# (nation 25, region 5) may always carry an explicit F.broadcast hint.
+FIXED_CARD_TABLES = {"nation", "region"}
+
+# Per-query exceptions: frames hint-broadcast although their SOURCE table
+# is SF-scaled, because a filter bounds their cardinality by construction
+# (vec_id < 10 probe sets; the src0 eval slice of documents).  The
+# structural walk below cannot read cardinality out of a predicate, so
+# these are declared — and reviewed — here.
+BOUNDED_BROADCAST_OK = {
+    "knn_bruteforce_cosine": {"embeddings"},
+    "ann_lsh_hyperplane": {"embeddings"},
+    "ann_ivf_label": {"embeddings"},
+    "ann_ivf_codebook": {"embeddings"},
+    "dedup_embedding_cosine": {"embeddings"},
+    "dedup_embedding_topk": {"embeddings"},
+    "decontaminate_ngram_overlap": {"documents"},
+}
+
+
+def broadcast_hint_violations(df, name: str) -> list[str]:
+    """Walk the analyzed logical plan; return parquet table names that sit
+    under an explicit broadcast hint without being bounded by construction
+    (fixed-cardinality table, ungrouped 1-row aggregate, limit, or the
+    per-query allowlist)."""
+
+    def leaf_tables(node, out: set[str]) -> None:
+        nn = node.nodeName()
+        if nn == "Aggregate" and node.groupingExpressions().isEmpty():
+            return  # 1-row scalar aggregate — bounded at any SF
+        if nn in ("GlobalLimit", "LocalLimit"):
+            return  # limit-bounded
+        if nn == "LogicalRelation":
+            try:
+                paths = node.relation().location().rootPaths()
+                for i in range(paths.size()):
+                    out.add(Path(paths.apply(i).toString()).stem)
+            except Exception:  # noqa: BLE001 — non-file relation
+                out.add("<unknown-relation>")
+            return
+        kids = node.children()
+        for i in range(kids.size()):
+            leaf_tables(kids.apply(i), out)
+
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        nn = node.nodeName()
+        if nn == "ResolvedHint" and "broadcast" in node.hints().toString().lower():
+            tabs: set[str] = set()
+            leaf_tables(node.children().apply(0), tabs)
+            allowed = FIXED_CARD_TABLES | BOUNDED_BROADCAST_OK.get(name, set())
+            bad.extend(sorted(tabs - allowed))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())  # noqa: SLF001
+    return bad
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -87,6 +153,25 @@ def main() -> None:
     builders["stateful_user_stats_batch"] = user_stats_batch
     sections: list[str] = []
     failures: list[str] = []
+    # Policy sweep: the broadcast-hint rule holds for EVERY registered
+    # query (plan analysis only — no execution), not just the audited set.
+    for name in sorted(queries):
+        try:
+            hint_bad = broadcast_hint_violations(
+                queries[name].build(spark, sf_dir), name
+            )
+        except Exception as exc:  # noqa: BLE001 — surface, don't mask
+            failures.append(f"{name}: hint-policy sweep errored: {exc}")
+            continue
+        if hint_bad:
+            failures.append(
+                f"{name}: F.broadcast hint over SF-scaled table(s) {hint_bad}"
+            )
+    print(
+        f"hint-policy sweep: {len(queries)} queries, "
+        f"{len(failures)} violation(s)",
+        flush=True,
+    )
     for name in AUDIT:
         df = builders[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
@@ -102,6 +187,14 @@ def main() -> None:
             checks.append(f"scan-count: {len(read_schemas)}, widths: {widths}")
         if "BroadcastHashJoin" in plan:
             checks.append("broadcast-join: present")
+        hint_bad = broadcast_hint_violations(df, name)
+        if hint_bad:
+            checks.append(f"broadcast-hint policy: VIOLATION {hint_bad}")
+            failures.append(
+                f"{name}: F.broadcast hint over SF-scaled table(s) {hint_bad}"
+            )
+        else:
+            checks.append("broadcast-hint policy: ok")
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             if name in CARTESIAN_OK:
                 checks.append("nested-loop: expected (broadcast probe scoring)")
