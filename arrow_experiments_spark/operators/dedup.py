@@ -267,17 +267,24 @@ def _candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Propagation-round cap before dedup_clusters hands off to the
+# large-star/small-star fallback (module-level so tests can force the
+# fallback path on a normal corpus).
+_PROP_MAX_ROUNDS = 25
+
+
 @register(
     "dedup_clusters",
     "dedup",
     doc="duplicate clustering: connected components over the MinHash-LSH "
     "candidate graph via iterative min-label propagation (cluster_id = min "
     "doc_id in component). Each round is one shuffle join on doc_id; "
-    "convergence detected by the monotone sum-of-labels invariant; raises "
-    "if the 25-round cap is hit. For high-diameter graphs use "
-    "dedup_clusters_twophase (large-star/small-star, O(log n) rounds) — "
-    "component diameters in near-dup graphs are small, so plain "
-    "propagation is the simpler win here.",
+    "convergence detected by the monotone sum-of-labels invariant. If the "
+    "25-round cap is hit (component diameter > 25), falls back to "
+    "large-star/small-star contraction (O(log n) rounds) — same output "
+    "contract, no user-visible failure mode. Component diameters in "
+    "near-dup graphs are small, so plain propagation is the common-case "
+    "win and the contraction path is the safety net.",
     oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,7 +309,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (one cheap scalar aggregate per round, no row-wise diff join).
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     converged = False
-    for _ in range(25):
+    for _ in range(_PROP_MAX_ROUNDS):
         nbr_min = (
             edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
             .groupBy("src")
@@ -327,12 +334,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = new_sum
     if not converged:
-        # A component with diameter > 25 would otherwise silently return
-        # stale labels that diverge from the transitive-closure oracle.
-        raise RuntimeError(
-            "dedup_clusters: min-label propagation did not reach its "
-            "fixpoint in 25 rounds — component diameter exceeds the cap; "
-            "use large-star/small-star (O(log n) rounds) for this input"
+        # A component with diameter > the cap would otherwise silently
+        # return stale labels diverging from the transitive-closure
+        # oracle.  Fall back to large-star/small-star contraction
+        # (O(log n) rounds regardless of diameter) — same output
+        # contract, so the caller never sees the cap.
+        labels.unpersist()
+        comp = _two_phase_components(edges)
+        labels = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
         )
     w = Window.partitionBy("cluster_id")
     return labels.select(

@@ -312,6 +312,11 @@ class _GrowingDictionary:
     "dictionary replacement is not allowed in the IPC file format —
     deltas are")."""
 
+    # Lookup sentinel for float NaN: NaN != NaN, so raw NaN keys would
+    # miss on every batch and append duplicate dictionary slots without
+    # bound — the one value that breaks the O(dictionary) state contract.
+    _NAN_KEY = object()
+
     def __init__(self) -> None:
         self._index: dict = {}
         self._values: list = []
@@ -323,10 +328,11 @@ class _GrowingDictionary:
         local = pc.dictionary_encode(arr)
         lut = np.empty(len(local.dictionary), dtype=np.int64)
         for i, v in enumerate(local.dictionary.to_pylist()):
-            got = self._index.get(v)
+            key = self._NAN_KEY if isinstance(v, float) and v != v else v
+            got = self._index.get(key)
             if got is None:
                 got = len(self._values)
-                self._index[v] = got
+                self._index[key] = got
                 self._values.append(v)
             lut[i] = got
         idx = local.indices
@@ -352,8 +358,14 @@ def dictionary_encode_reader(
     unbounded/high-cardinality answer to :func:`dictionary_encode_columns`'
     unified-dictionary contract."""
     growers = {name: _GrowingDictionary() for name in cols}
-    first = reader.read_next_batch()
-    schema = first.schema
+    try:
+        first = reader.read_next_batch()
+    except StopIteration:
+        # Empty input: no batch to peek, so derive the dict-typed schema
+        # from the reader's own schema and emit a valid empty stream
+        # (parity with the dict_cols=None path).
+        first = None
+    schema = reader.schema if first is None else first.schema
     for name in cols:
         i = schema.get_field_index(name)
         f = schema.field(i)
@@ -368,9 +380,10 @@ def dictionary_encode_reader(
         return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     def gen() -> Iterator[pa.RecordBatch]:
-        yield encode(first)
-        for b in reader:
-            yield encode(b)
+        if first is not None:
+            yield encode(first)
+            for b in reader:
+                yield encode(b)
 
     return pa.RecordBatchReader.from_batches(schema, gen())
 

@@ -112,7 +112,10 @@ def events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return _normalize_events_ts(stream)
+    # Same dtype-drift absorption as table(): a future testdata drop with
+    # e.g. int32 user_id must normalize at the loader, not surface as a
+    # schema mismatch inside applyInPandasWithState.
+    return _canonicalize(_normalize_events_ts(stream), "events")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

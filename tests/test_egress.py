@@ -229,3 +229,35 @@ def test_growing_dictionary_prefix_extension():
     assert b.dictionary.to_pylist()[: len(a.dictionary)] == a.dictionary.to_pylist()
     assert a.to_pylist() == ["x", "y", None, "x"]
     assert b.to_pylist() == ["z", "y", "w"]
+
+
+def test_growing_dictionary_nan_is_one_slot():
+    """float NaN must map to ONE dictionary slot across batches (NaN !=
+    NaN would otherwise append a fresh slot per batch — unbounded state)."""
+    import math
+
+    from arrow_experiments_spark.sources.arrow_ipc import _GrowingDictionary
+
+    g = _GrowingDictionary()
+    a = g.encode(pa.array([1.5, float("nan"), 1.5]))
+    b = g.encode(pa.array([float("nan"), 2.5]))
+    c = g.encode(pa.array([float("nan")]))
+    assert len(c.dictionary) == 3  # 1.5, nan, 2.5 — no duplicate nan slots
+    assert sum(1 for v in c.dictionary.to_pylist() if math.isnan(v)) == 1
+    assert math.isnan(b.to_pylist()[0]) and b.to_pylist()[1] == 2.5
+    assert a.dictionary.to_pylist()[0] == 1.5
+
+
+def test_dict_encode_reader_empty_stream(spark, tmp_path):
+    """write_ipc_stream with dict_cols on an EMPTY DataFrame must write a
+    valid empty stream with the dict-typed schema (not StopIteration)."""
+    from arrow_experiments_spark.sources.arrow_ipc import write_ipc_stream
+
+    df = spark.createDataFrame([], "id long, who string").filter("id < 0")
+    path = str(tmp_path / "empty_dict.arrows")
+    rows = write_ipc_stream(df, path, dict_cols=["who"])
+    assert rows == 0
+    with open(path, "rb") as f:
+        got = pa.ipc.open_stream(f).read_all()
+    assert got.num_rows == 0
+    assert pa.types.is_dictionary(got.schema.field("who").type)

@@ -248,3 +248,20 @@ def test_zorder_key_matches_python_interleave(spark):
     )
     for r in df.collect():
         assert r["k"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+def test_dedup_clusters_fallback_matches_converged(spark, monkeypatch):
+    """Force the propagation cap to 0 so dedup_clusters takes the
+    large-star/small-star fallback, and check the fallback output is
+    identical to the converged propagation output on the same corpus —
+    the no-user-visible-failure contract."""
+    from arrow_experiments_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    want = sorted(
+        tuple(r) for r in dedup.dedup_clusters(spark, sf).collect()
+    )
+    monkeypatch.setattr(dedup, "_PROP_MAX_ROUNDS", 0)
+    got = sorted(
+        tuple(r) for r in dedup.dedup_clusters(spark, sf).collect()
+    )
+    assert got == want
