@@ -41,6 +41,15 @@ def _cmd_serve(args: argparse.Namespace) -> int:
         # each request re-runs the (lazy) scan through the bounded-memory
         # spill reader; pre-materialization is the client's choice
         register_dataframe(registry, name, df, batch_rows=args.batch_rows)
+    if args.taxi:
+        from arrow_experiments_spark.sources.arrow_ipc import (
+            register_parquet_chunked,
+        )
+
+        # the reference's dissociated serving scenario: a taxi-data
+        # parquet read in ~1 MiB chunks, exposed at
+        # /datasets/train.parquet/{describe,meta,body}
+        register_parquet_chunked(registry, "train.parquet", args.taxi)
     n_queries = 0
     if args.queries:
         from arrow_experiments_spark.registry import all_queries
@@ -134,6 +143,25 @@ def _cmd_commits(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_gen_taxi(args: argparse.Namespace) -> int:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from arrow_experiments_spark.session import build_session
+    from arrow_experiments_spark.sources.generators import TAXI_ROWS, gen_taxi
+
+    spark = build_session(app_name="arrow-experiments-gen-taxi")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = args.rows or TAXI_ROWS
+    pq.write_table(gen_taxi(spark, rows=rows).toArrow(), args.out)
+    print(f"rows: {rows}")
+    print(f"bytes: {os.path.getsize(args.out)}")
+    print(f"out: {args.out}")
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m arrow_experiments_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -145,6 +173,13 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--tables", default=None, help="comma-separated subset")
     s.add_argument("--batch-rows", type=int, default=4096)
     s.add_argument("--cors", action="store_true")
+    s.add_argument(
+        "--taxi",
+        default=None,
+        metavar="PARQUET",
+        help="serve this parquet as the dissociated taxi-data scenario "
+        "(dataset train.parquet, 1 MiB chunks, meta+body streams)",
+    )
     s.add_argument(
         "--queries",
         action="store_true",
@@ -166,6 +201,15 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--batches", type=int, default=100)
     pl.add_argument("--rows-per-batch", type=int, default=1000)
     pl.set_defaults(fn=_cmd_pipeline)
+
+    tx = sub.add_parser(
+        "gen-taxi",
+        help="synthesize the taxi-data fixture parquet (dissociated-ipc "
+        "scenario; ~38.5 MB at the default row count)",
+    )
+    tx.add_argument("--out", required=True)
+    tx.add_argument("--rows", type=int, default=None)
+    tx.set_defaults(fn=_cmd_gen_taxi)
 
     cm = sub.add_parser("commits", help="arrow-commits fixture builder")
     cm.add_argument("--repo", default=".")

@@ -192,3 +192,72 @@ def gen_many_types(
             yield _gen_batch(rng, rows_per_batch)
 
     return pa.RecordBatchReader.from_batches(many_types_schema(), it())
+
+
+# ---- taxi-data fixture (dissociated-ipc serving scenario) -----------------
+#
+# The reference's dissociated-ipc example serves data/taxi-data/
+# train.parquet (38,521,857 bytes per its LFS pointer — the file itself is
+# an LFS stub, not in the tree), loaded through a chunked parquet reader
+# with a 1 MiB chunk limit (dissociated-ipc/cudf-flight-server.cc:68-93).
+# The honest substitute is a synthesized same-shape parquet: the NYC TLC
+# yellow-trip schema the README names, at a row count that lands the
+# snappy-compressed file at the pointer's size.
+
+TAXI_ROWS = 1_500_000  # ≈38.5 MB snappy parquet (tuned, test asserts ±15%)
+
+
+def gen_taxi(spark: SparkSession, rows: int = TAXI_ROWS, seed: int = 7) -> DataFrame:
+    """NYC yellow-taxi trip records, generated distributed: 17 columns of
+    the TLC yellow tripdata schema with plausible value distributions.
+    Deterministic (seeded F.rand) so the fixture is reproducible."""
+    df = spark.range(rows)
+    pickup = (
+        F.lit("2015-01-01 00:00:00").cast("timestamp_ntz")
+        + F.make_dt_interval(secs=(F.rand(seed) * 2_592_000).cast("long"))
+    )
+    duration = (F.rand(seed + 1) * 3600 + 60).cast("long")
+    dist = F.round(F.rand(seed + 2) * 15 + 0.3, 2)
+    fare = F.round(F.col("trip_distance") * 2.5 + 2.5, 2)
+    tip = F.round(F.col("fare_amount") * F.rand(seed + 3) * 0.3, 2)
+    return (
+        df.select(
+            (F.rand(seed + 4) * 2 + 1).cast("int").alias("vendor_id"),
+            pickup.alias("tpep_pickup_datetime"),
+            (pickup + F.make_dt_interval(secs=duration)).alias(
+                "tpep_dropoff_datetime"
+            ),
+            (F.rand(seed + 5) * 6 + 1).cast("int").alias("passenger_count"),
+            dist.alias("trip_distance"),
+            (F.rand(seed + 6) * 6 + 1).cast("int").alias("rate_code_id"),
+            F.when(F.rand(seed + 7) < 0.01, "Y").otherwise("N").alias(
+                "store_and_fwd_flag"
+            ),
+            (F.rand(seed + 8) * 265 + 1).cast("int").alias("pu_location_id"),
+            (F.rand(seed + 9) * 265 + 1).cast("int").alias("do_location_id"),
+            (F.rand(seed + 10) * 4 + 1).cast("int").alias("payment_type"),
+        )
+        .withColumn("fare_amount", fare)
+        .withColumn("extra", F.round(F.rand(seed + 11) * 1.0, 2))
+        .withColumn("mta_tax", F.lit(0.5))
+        .withColumn("tip_amount", tip)
+        .withColumn(
+            "tolls_amount",
+            F.round(
+                F.when(F.rand(seed + 12) < 0.05, 5.54).otherwise(0.0), 2
+            ),
+        )
+        .withColumn("improvement_surcharge", F.lit(0.3))
+        .withColumn(
+            "total_amount",
+            F.round(
+                F.col("fare_amount")
+                + F.col("extra")
+                + F.col("mta_tax")
+                + F.col("tip_amount")
+                + F.col("tolls_amount")
+                + F.col("improvement_surcharge"),
+                2,
+            ),
+        )
+    )

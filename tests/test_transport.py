@@ -502,3 +502,52 @@ def test_concurrent_clients_all_decode_intact(server, table):
         assert got.num_rows == table.num_rows
         assert batches >= 1
         assert got.select(["a", "b", "s"]).equals(table)
+
+
+def test_taxi_dissociated_serving_scenario(spark, tmp_path):
+    """The reference's actual dissociated serving scenario reproduced
+    (dissociated-ipc/cudf-flight-server.cc:68-93): a taxi-data parquet
+    (synthesized same-shape — the reference's train.parquet is an LFS
+    stub), read in ~1 MiB-bounded chunks, served as meta+body streams,
+    reassembled client-side and verified equal to the source file."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from arrow_experiments_spark.sources.arrow_ipc import (
+        chunked_parquet_reader,
+        register_parquet_chunked,
+    )
+    from arrow_experiments_spark.sources.generators import gen_taxi
+    from arrow_experiments_spark.transport.dissociated import fetch_dissociated
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    path = str(tmp_path / "train.parquet")
+    pq.write_table(gen_taxi(spark, rows=60_000).toArrow(), path)
+    want = pq.read_table(path)
+
+    # chunk bound: every batch decodes to ~<= 1 MiB (2x slack for pyarrow
+    # buffer rounding), and the file yields multiple chunks like the
+    # reference's chunked reader does on its 38.5 MB file
+    batches = list(chunked_parquet_reader(path, chunk_bytes=1 << 20))
+    assert len(batches) > 1
+    assert all(b.nbytes <= 2 * (1 << 20) for b in batches)
+    assert sum(b.num_rows for b in batches) == want.num_rows
+
+    registry = DatasetRegistry()
+    register_parquet_chunked(registry, "train.parquet", path)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(
+            f"{base}/datasets/train.parquet/describe"
+        ) as resp:
+            doc = json.loads(resp.read())
+        pair = doc["endpoints"][1]
+        got = fetch_dissociated(pair["meta_uri"], pair["body_uri"])
+        assert got.num_rows == want.num_rows
+        assert got.schema.equals(want.schema)
+        assert got.equals(want)
+    finally:
+        httpd.shutdown()
