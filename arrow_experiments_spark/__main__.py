@@ -69,6 +69,16 @@ def _cmd_serve(args: argparse.Namespace) -> int:
                 f"query.{qname}", q_factory(q), meta={"category": q.category}
             )
             n_queries += 1
+    if args.asgi:
+        # FastAPI/uvicorn posture (reference fastapi_uvicorn/server.py):
+        # same registry, same negotiation, ASGI transport.  Blocks.
+        from arrow_experiments_spark.transport.asgi import serve_asgi
+
+        print(f"serving {len(names)} datasets (ASGI) at "
+              f"http://{args.host}:{args.port}", flush=True)
+        serve_asgi(registry, host=args.host, port=args.port, cors=args.cors)
+        spark.stop()
+        return 0
     httpd = serve(registry, host=args.host, port=args.port, cors=args.cors)
     host, port = httpd.server_address
     print(
@@ -173,6 +183,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--tables", default=None, help="comma-separated subset")
     s.add_argument("--batch-rows", type=int, default=4096)
     s.add_argument("--cors", action="store_true")
+    s.add_argument(
+        "--asgi",
+        action="store_true",
+        help="run the ASGI form under uvicorn (requires uvicorn installed)",
+    )
     s.add_argument(
         "--taxi",
         default=None,

@@ -200,6 +200,27 @@ class DatasetRegistry:
 _RANGE_RE = re.compile(r"bytes=(\d*)-(\d*)$")
 
 
+def resolve_range(header: str, total: int) -> tuple[int, int] | None:
+    """Parse a single-range ``Range`` header against a ``total``-byte body.
+    Returns (start, end) inclusive, or None for an unsatisfiable/malformed
+    range (caller answers 416 with ``Content-Range: bytes */total``).
+    Shared by the threaded and ASGI server forms."""
+    m = _RANGE_RE.match(header.strip())
+    if not m:
+        return None
+    start_s, end_s = m.groups()
+    if start_s:
+        start = int(start_s)
+        end = int(end_s) if end_s else total - 1
+    else:  # suffix range: last N bytes
+        start = max(total - int(end_s), 0)
+        end = total - 1
+    end = min(end, total - 1)
+    if start > end or start >= total:
+        return None
+    return start, end
+
+
 class ArrowHttpHandler(BaseHTTPRequestHandler):
     registry: DatasetRegistry  # set by serve()
     enable_cors: bool = False
@@ -420,25 +441,13 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
         rng = self.headers.get("Range")
         self.protocol_version = "HTTP/1.1"
         if rng:
-            m = _RANGE_RE.match(rng.strip())
-            if not m:
+            resolved = resolve_range(rng, len(data))
+            if resolved is None:
                 self.send_response(416)
                 self.send_header("Content-Range", f"bytes */{len(data)}")
                 self.end_headers()
                 return
-            start_s, end_s = m.groups()
-            if start_s:
-                start = int(start_s)
-                end = int(end_s) if end_s else len(data) - 1
-            else:  # suffix range: last N bytes
-                start = max(len(data) - int(end_s), 0)
-                end = len(data) - 1
-            end = min(end, len(data) - 1)
-            if start > end or start >= len(data):
-                self.send_response(416)
-                self.send_header("Content-Range", f"bytes */{len(data)}")
-                self.end_headers()
-                return
+            start, end = resolved
             part = data[start : end + 1]
             self.send_response(206)
             self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
