@@ -74,13 +74,20 @@ def _load_operators() -> None:
 
 
 # Queries that already earned a green driver-side CORRECTNESS row
-# (union of CORRECTNESS_r01/r02/r03.json greens).  If the driver harness
+# (union of CORRECTNESS_r01..r04.json greens).  If the driver harness
 # verifies a bounded prefix of the registry per round, never-verified
 # queries must surface first so every query earns a hard row across rounds.
-# Excluded on purpose: the 10 queries that errored in r03 (events.ts dtype
-# change, fixed in tables.py) and `dedup_embedding_cosine` (rewritten after
-# its r1 green) — they re-earn a row before anything else is re-checked.
+# Excluded on purpose: `embedding_label_centroids` (reshaped to scalar
+# columns after its r4 driver-canonicalizer failure) — it re-earns a row
+# before anything else is re-checked.
 _DRIVER_VERIFIED = frozenset({
+    # r4 additions
+    "agg_pivot", "asof_join", "dedup_embedding_cosine", "dedup_embedding_topk",
+    "dedup_ngram_jaccard_lsh", "events_funnel", "events_interval_join",
+    "events_retention_cohort", "events_rollup_gapfill",
+    "events_transition_matrix", "map_functions", "pipeline_importance_sample",
+    "stateful_user_stats", "udf_grouped_map_normalize",
+    "udf_pandas_grouped_agg", "udf_pandas_scalar",
     "agg_approx", "agg_basic", "agg_count_distinct", "agg_cube",
     "agg_grouping_sets", "agg_percentile", "agg_rollup", "agg_stats",
     "ann_ivf_codebook", "ann_ivf_label", "ann_lsh_hyperplane",

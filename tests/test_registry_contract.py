@@ -1,0 +1,45 @@
+"""Registry-wide contracts the driver harness implicitly relies on.
+
+The driver's correctness gate canonicalizes results with a pandas
+``sort_values`` over every column and then hashes the values.  That
+canonicalizer cannot factorize array-/map-/struct-valued cells
+(``TypeError: unhashable type: 'numpy.ndarray'`` — the exact failure that
+made ``embedding_label_centroids`` the only red row of round 4), so every
+registered query must emit scalar-typed columns only.  Building the
+DataFrame is enough to check this — no execution needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from arrow_experiments_spark.registry import all_queries
+
+from conftest import SF_DIR
+
+_QUERIES = all_queries()
+
+_COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_output_schema_is_scalar_only(spark, name):
+    q = _QUERIES[name]
+    df = q.build(spark, SF_DIR)
+    offenders = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, _COMPLEX)
+    ]
+    assert not offenders, (
+        f"{name} emits complex-typed columns the driver canonicalizer "
+        f"cannot hash: {offenders}"
+    )
+
+
+def test_oracle_entries_cover_queries():
+    """Every oracle string belongs to a registered query and is non-empty."""
+    for name, q in _QUERIES.items():
+        if q.oracle is not None:
+            assert q.oracle.strip(), f"{name}: empty oracle SQL"
