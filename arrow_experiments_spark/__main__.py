@@ -153,6 +153,53 @@ def _cmd_commits(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_serve_sockets(args: argparse.Namespace) -> int:
+    """Dissociated protocol over the raw-socket transport (the UCX-analog
+    data plane, transport/sockets.py) — the closest CPU shape to the
+    reference's cudf-flight server."""
+    from arrow_experiments_spark.sources.arrow_ipc import register_parquet_chunked
+    from arrow_experiments_spark.transport.server import DatasetRegistry
+    from arrow_experiments_spark.transport.sockets import DissociatedSocketServer
+
+    registry = DatasetRegistry()
+    register_parquet_chunked(registry, "train.parquet", args.taxi)
+    server = DissociatedSocketServer(registry)
+    host, port = server.init(host=args.host, port=args.port)
+    print(f"dissociated socket server at {host}:{port} (dataset train.parquet)",
+          flush=True)
+    import time
+
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    server.shutdown()
+    return 0
+
+
+def _cmd_fetch_sockets(args: argparse.Namespace) -> int:
+    import time
+
+    from arrow_experiments_spark.transport.sockets import fetch_dissociated_sockets
+
+    t0 = time.perf_counter()
+    batches = 0
+
+    def count(_b) -> None:
+        nonlocal batches
+        batches += 1
+
+    tbl = fetch_dissociated_sockets(
+        args.host, args.port, args.ident, batch_callback=count
+    )
+    # the reference's client metrics contract (get_simple/README.md:37)
+    print(f"{batches} record batches received")
+    print(f"{time.perf_counter() - t0:.2f} seconds elapsed")
+    print(tbl.schema)
+    return 0
+
+
 def _cmd_gen_taxi(args: argparse.Namespace) -> int:
     import os
 
@@ -225,6 +272,26 @@ def main(argv: list[str] | None = None) -> int:
     tx.add_argument("--out", required=True)
     tx.add_argument("--rows", type=int, default=None)
     tx.set_defaults(fn=_cmd_gen_taxi)
+
+    ss = sub.add_parser(
+        "serve-sockets",
+        help="dissociated meta/body streams over the raw-socket (UCX-analog) "
+        "transport; serves a taxi-data parquet in 1 MiB chunks",
+    )
+    ss.add_argument("--host", default="127.0.0.1")
+    ss.add_argument("--port", type=int, default=0)
+    ss.add_argument("--taxi", required=True, metavar="PARQUET")
+    ss.set_defaults(fn=_cmd_serve_sockets)
+
+    fs = sub.add_parser(
+        "fetch-sockets",
+        help="dissociated socket client: want_data handshake, two "
+        "connections, ordered streaming reassembly, metrics",
+    )
+    fs.add_argument("--host", default="127.0.0.1")
+    fs.add_argument("--port", type=int, required=True)
+    fs.add_argument("--ident", default="train.parquet")
+    fs.set_defaults(fn=_cmd_fetch_sockets)
 
     cm = sub.add_parser("commits", help="arrow-commits fixture builder")
     cm.add_argument("--repo", default=".")

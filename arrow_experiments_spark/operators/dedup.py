@@ -227,7 +227,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CLUSTERS_ORACLE = _minhash_bands_sql().replace("WITH", "WITH RECURSIVE", 1) + """
+# Transitive closure over the MinHash-LSH candidate graph as recursive
+# CTEs — the oracle-side connected components shared by dedup_clusters /
+# dedup_clusters_twophase / dedup_keep_canonical.
+_COMP_CTES = _minhash_bands_sql().replace("WITH", "WITH RECURSIVE", 1) + """
         , pairs AS (
             SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
             FROM bands a JOIN bands b
@@ -240,6 +243,9 @@ _CLUSTERS_ORACLE = _minhash_bands_sql().replace("WITH", "WITH RECURSIVE", 1) + "
         ), comp AS (
             SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
         )
+    """
+
+_CLUSTERS_ORACLE = _COMP_CTES + """
         SELECT CAST(doc_id AS BIGINT) AS doc_id,
                CAST(cluster_id AS BIGINT) AS cluster_id,
                CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
@@ -843,4 +849,59 @@ def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sym.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 4)
+    )
+
+
+@register(
+    "dedup_keep_canonical",
+    "dedup",
+    doc="end-to-end near-dup dedup, corpus in → surviving corpus out: "
+    "MinHash-LSH candidate edges → connected components → keep ONE "
+    "canonical document per cluster (longest text, doc_id tiebreak).  "
+    "This is the operation a training-data pipeline actually runs; the "
+    "pair- and cluster-level queries above are its observable stages.  "
+    "Scale shape: component labeling is the audited dedup_clusters job "
+    "(broadcast labels / two-phase fallback); canonical selection adds "
+    "one shuffle on cluster_id with output bounded at one row per "
+    "cluster.",
+    oracle=_COMP_CTES + """
+        , sized AS (
+            SELECT doc_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp
+        ), ranked AS (
+            SELECT s.cluster_id, s.doc_id, s.cluster_size,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.cluster_id
+                       ORDER BY LENGTH(d.text) DESC, s.doc_id
+                   ) AS rn
+            FROM sized s JOIN documents d USING (doc_id)
+        )
+        SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(doc_id AS BIGINT) AS kept_doc_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(cluster_size - 1 AS BIGINT) AS n_dropped
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("text_len"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            "cluster_size",
+            (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+        )
     )

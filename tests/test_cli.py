@@ -93,3 +93,62 @@ def test_cli_fetch_prints_metrics(cli_server):
     assert out.returncode == 0, out.stderr
     assert "record batches received" in out.stdout
     assert "seconds elapsed" in out.stdout
+
+
+def test_cli_serve_and_fetch_sockets(tmp_path_factory):
+    """The socket-transport dissociated pair end-to-end as subprocesses:
+    serve-sockets announces its port, fetch-sockets prints the metrics
+    contract and the schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("taxi") / "train.parquet")
+    pq.write_table(
+        pa.table({"a": pa.array(range(20_000), pa.int64())}), path
+    )
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "arrow_experiments_spark",
+            "serve-sockets",
+            "--port",
+            "0",
+            "--taxi",
+            path,
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        port = None
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "dissociated socket server at" in line:
+                port = int(line.split("at ", 1)[1].split()[0].rsplit(":", 1)[1])
+                break
+        assert port, "socket server did not announce itself"
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "arrow_experiments_spark",
+                "fetch-sockets",
+                "--port",
+                str(port),
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=60,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "record batches received" in out.stdout
+        assert "seconds elapsed" in out.stdout
+        assert "a: int64" in out.stdout
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

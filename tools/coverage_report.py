@@ -236,14 +236,33 @@ CHECKLIST: list[tuple[str, str, list[str]]] = [
         "code:arrow_experiments_spark.transport.dissociated:reassemble",
         "test:tests/test_transport.py:test_dissociated_roundtrip",
     ]),
-    ("§2.5", "ucx_conn / ucx_server / ucx_client / gpu_residency", [
-        "doc:UCX transport replaced by HTTP; GPU residency out of scope for "
-        "CPU PySpark (SURVEY §2.5, §3.3) — seq-correlation semantics kept",
+    ("§2.5", "ucx_conn (tagged probe/mask recv, AM + IOV sends, 2 GiB guard)", [
+        "code:arrow_experiments_spark.transport.sockets:SocketConn",
+        "test:tests/test_sockets.py:test_tag_probe_out_of_order_claims",
+        "test:tests/test_sockets.py:test_tag_probe_mask_semantics",
+        "test:tests/test_sockets.py:test_am_2gib_guard_send_and_recv",
+        "doc:TCP analog of the UCX messaging semantics; RDMA itself out of scope",
     ]),
-    ("§2.5", "main_dispatch (CLI serve/fetch)", [
+    ("§2.5", "ucx_server (listener → pending queue → worker per client)", [
+        "code:arrow_experiments_spark.transport.sockets:SocketServer",
+        "test:tests/test_sockets.py:test_server_worker_per_client",
+        "test:tests/test_sockets.py:test_graceful_shutdown_mid_session",
+    ]),
+    ("§2.5", "ucx_client (+ want_data handshake, two-loop reassembly)", [
+        "code:arrow_experiments_spark.transport.sockets:connect",
+        "code:arrow_experiments_spark.transport.sockets:fetch_dissociated_sockets",
+        "test:tests/test_sockets.py:test_dissociated_sockets_roundtrip",
+        "test:tests/test_sockets.py:test_dissociated_sockets_streaming_order",
+        "test:tests/test_sockets.py:test_dissociated_sockets_taxi_scenario",
+    ]),
+    ("§2.5", "gpu_residency", [
+        "doc:out of scope for CPU PySpark (SURVEY §2.5, §3.3)",
+    ]),
+    ("§2.5", "main_dispatch (CLI serve/fetch, both transports)", [
         "code:arrow_experiments_spark.__main__:main",
         "test:tests/test_cli.py:test_cli_serve_catalog_and_dataset",
         "test:tests/test_cli.py:test_cli_fetch_prints_metrics",
+        "test:tests/test_cli.py:test_cli_serve_and_fetch_sockets",
     ]),
 ]
 

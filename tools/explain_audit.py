@@ -46,6 +46,7 @@ AUDIT = [
     "text_quality_score",
     "join_salted_skew",
     "dedup_clusters",
+    "dedup_keep_canonical",
     "decontaminate_ngram_overlap",
     "pipeline_training_select",
     "multimodal_resize",
