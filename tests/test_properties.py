@@ -178,3 +178,61 @@ def test_dissociated_roundtrip_any_geometry(n_rows, chunk):
     body_raw = b"".join(encode_body_stream(_reader(table, chunk)))
     got = reassemble(parse_meta_stream(meta_raw), parse_body_stream(body_raw))
     assert got.equals(table)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**64 - 1), st.binary(max_size=64)),
+        min_size=1,
+        max_size=12,
+    ),
+    st.randoms(),
+)
+def test_socket_tag_matching_any_interleaving(frames, rnd):
+    """For any set of tagged frames sent in any order, exact-tag probes
+    claim each message exactly once with the right payload, regardless
+    of the order the application probes in (UCX tag-matching semantics
+    over the TCP frame stream)."""
+    import socket as socket_mod
+
+    from arrow_experiments_spark.transport.sockets import SocketConn
+
+    a, b = socket_mod.socketpair()
+    left, right = SocketConn(a), SocketConn(b)
+    try:
+        # make tags unique so exact-match claims are unambiguous
+        uniq = {tag + i: payload for i, (tag, payload) in enumerate(frames)}
+        for tag, payload in uniq.items():
+            left.send_tag(tag % (2**64), payload)
+        order = list(uniq.items())
+        rnd.shuffle(order)
+        for tag, payload in order:
+            info, got = right.probe_tag_sync(
+                tag % (2**64), 0xFFFFFFFFFFFFFFFF, remove=True
+            )
+            assert got == payload
+        assert not right._pending_tags
+    finally:
+        left.close()
+        right.close()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 400), st.integers(1, 64))
+def test_fb_body_length_any_geometry(n_rows, chunk):
+    """The flatbuffer bodyLength peek agrees with pyarrow for any batch
+    geometry (incl. string columns whose body size varies per batch)."""
+    import pyarrow.ipc as ipc
+
+    from arrow_experiments_spark.transport.sockets import _fb_body_length
+
+    t = pa.table(
+        {
+            "x": pa.array(range(n_rows), pa.int64()),
+            "s": pa.array([("v" * (i % 7)) for i in range(n_rows)]),
+        }
+    )
+    for batch in t.to_batches(max_chunksize=chunk):
+        msg = ipc.read_message(batch.serialize())
+        assert _fb_body_length(msg.metadata.to_pybytes()) == msg.body.size
