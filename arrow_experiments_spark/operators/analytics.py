@@ -455,3 +455,136 @@ def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "embedding_kmeans_step",
+    "analytics",
+    doc="one distributed Lloyd iteration of k-means over the embeddings "
+    "table, seeded from the exact per-label centroids: (1) seed centroids "
+    "= embedding_label_centroids' exact integer-sum means; (2) assign "
+    "every vector to its nearest centroid by squared L2 — the distance "
+    "fold runs element-order left-to-right in double on both engines and "
+    "is snapped to 6 decimals, argmin ties break on the smaller label; "
+    "(3) recompute centroids over the new assignment with the same exact "
+    "integer summation.  Output is the exploded scalar form "
+    "(new_label, n_vectors, n_moved, pos, c).  Scale shape: k centroid "
+    "arrays are k x dim doubles (broadcast at any corpus size), "
+    "assignment is a map-side cross score + one partial-aggregated "
+    "groupBy(vec_id) argmin — no window sort; the centroid regroup "
+    "shuffles n x dim integer cells keyed (label, pos).  This is the "
+    "building block the iterative-algorithms row of SURVEY §2.6 "
+    "declares; looping it to convergence is the driver's choice of "
+    "rounds, each round this same bounded plan.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, i - 1 AS pos,
+                   CAST(floor(CAST(embedding[i] AS DOUBLE) * {_CENT_SCALE})
+                        AS BIGINT) AS sv
+            FROM embeddings,
+                 LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+        ), cs AS (
+            SELECT label, pos, SUM(sv) AS s, COUNT(*) AS n
+            FROM e GROUP BY 1, 2
+        ), cent AS (
+            SELECT label AS c_label,
+                   list(CAST(s AS DOUBLE) / CAST(n * {_CENT_SCALE} AS DOUBLE)
+                        ORDER BY pos) AS cent
+            FROM cs GROUP BY label
+        ), d AS (
+            SELECT emb.vec_id, emb.label AS old_label, c.c_label,
+                   CAST(CAST(list_reduce(
+                       list_transform(list_zip(emb.embedding, c.cent),
+                           p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                              * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                       (acc, x) -> acc + x) AS DECIMAL(28,6)) AS DOUBLE) AS d2
+            FROM embeddings emb CROSS JOIN cent c
+        ), assign AS (
+            SELECT vec_id, old_label, c_label AS new_label
+            FROM (SELECT d.*, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY d2, c_label) AS rn FROM d)
+            WHERE rn = 1
+        ), stats AS (
+            SELECT new_label,
+                   COUNT(*) AS n_vectors,
+                   SUM(CASE WHEN new_label <> old_label THEN 1 ELSE 0 END)
+                       AS n_moved
+            FROM assign GROUP BY 1
+        ), nc AS (
+            SELECT a.new_label, e.pos, SUM(e.sv) AS s, COUNT(*) AS n
+            FROM assign a JOIN e ON a.vec_id = e.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT CAST(nc.new_label AS INT) AS new_label,
+               CAST(st.n_vectors AS BIGINT) AS n_vectors,
+               CAST(st.n_moved AS BIGINT) AS n_moved,
+               CAST(nc.pos AS INT) AS pos,
+               CAST(nc.s AS DOUBLE) / CAST(nc.n * {_CENT_SCALE} AS DOUBLE) AS c
+        FROM nc JOIN stats st USING (new_label)
+    """,
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.numeric import snap6
+
+    emb = table(spark, sf_dir, "embeddings")
+    # (1) seed centroids as pos-ordered double arrays — identical values
+    # to the oracle's (same exact integer sums, same IEEE division)
+    cent_arr = (
+        embedding_label_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pc", lambda s: s["c"]).alias("cent"),
+        )
+    )
+    # (2) nearest centroid: left-to-right double fold (bit-identical to
+    # list_reduce seeded with the first element: 0.0 + x == x), snapped;
+    # argmin via a partial-aggregable struct-min, ties to smaller label
+    sq = F.zip_with(
+        F.col("embedding"),
+        F.col("cent"),
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    d2 = snap6(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+    best = (
+        emb.crossJoin(cent_arr)  # k rows — AQE broadcasts, no hint needed
+        .select("vec_id", "c_label", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("c_label"))).alias("m"))
+        .select("vec_id", F.col("m.c_label").alias("new_label"))
+    )
+    assigned = best.join(
+        emb.select("vec_id", F.col("label").alias("old_label")), "vec_id"
+    )
+    stats = assigned.groupBy("new_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(
+            (F.col("new_label") != F.col("old_label")).cast("bigint")
+        ).alias("n_moved"),
+    )
+    # (3) exact centroid recompute over the new assignment
+    cells = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("v").cast("double") * _CENT_SCALE)
+        .cast("bigint")
+        .alias("sv"),
+    )
+    newsums = (
+        assigned.join(cells, "vec_id")
+        .groupBy("new_label", "pos")
+        .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return newsums.join(stats, "new_label").select(
+        F.col("new_label").cast("int").alias("new_label"),
+        "n_vectors",
+        "n_moved",
+        F.col("pos").cast("int").alias("pos"),
+        (
+            F.col("s").cast("double")
+            / (F.col("n") * _CENT_SCALE).cast("double")
+        ).alias("c"),
+    )

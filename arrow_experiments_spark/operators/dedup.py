@@ -748,16 +748,9 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_embedding_topk",
-    "dedup",
-    doc="bounded-output embedding near-dup: per vector, its top-4 LSH-"
-    "candidate neighbors at cosine ≥ 0.3 (row_number over cos desc, "
-    "neighbor id asc).  The scale answer to the unbounded pair list: "
-    "SCALE.md measures the full pair emission out-spilling local disk on "
-    "a 100-clone-dense corpus, while per-vector top-k caps output (and "
-    "the window state behind it) at k·N regardless of dup density.",
-    oracle=f"""
+# Shared oracle for both physical forms of the per-vector top-k near-dup
+# (windowed pair list vs bucket-local numpy) — identical declared result.
+_EMB_TOPK_ORACLE = f"""
         WITH nz AS (SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0),
         half AS ({_emb_band_union_sql()}),
         cand AS (
@@ -778,7 +771,23 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT vec_id, nbr_id, cos_sim, CAST(rnk AS INT) AS rnk
         FROM ranked WHERE rnk <= 4
-    """,
+    """
+
+
+@register(
+    "dedup_embedding_topk",
+    "dedup",
+    doc="bounded-output embedding near-dup: per vector, its top-4 LSH-"
+    "candidate neighbors at cosine ≥ 0.3 (row_number over cos desc, "
+    "neighbor id asc).  The scale answer to the unbounded pair list: "
+    "SCALE.md measures the full pair emission out-spilling local disk on "
+    "a 100-clone-dense corpus, while per-vector top-k caps output (and "
+    "the window state behind it) at k·N regardless of dup density.  "
+    "Caveat measured at 100x clone density: the CANDIDATE pair shuffle "
+    "feeding the window is still O(sum bucket^2) rows and out-spills "
+    "before the top-k truncates — dedup_embedding_topk_grouped is the "
+    "form whose intermediate state is bounded too.",
+    oracle=_EMB_TOPK_ORACLE,
 )
 def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -904,4 +913,114 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size",
             (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
         )
+    )
+
+
+def _bucket_topk_pdf(pdf):
+    """Per-(band, bucket) exact top-k: score every in-bucket pair with a
+    blocked numpy matmul and keep each vector's 4 best neighbors at
+    cos >= 0.3.  State is O(block x bucket) floats — nothing the size of
+    the pair list ever exists, in memory or in a shuffle file.  Tie-break
+    (cos desc, nbr_id asc) is folded into one sort key: rounded cosines
+    are >= 1e-6 apart when distinct, and nbr_id * 1e-13 stays well under
+    that gap for any realistic id range, so argpartition on the composite
+    key is the exact lexicographic order."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "nbr_id": pd.Series([], dtype="int64"),
+             "cos_sim": pd.Series([], dtype="float64")}
+        )
+    ids = pdf["vec_id"].to_numpy()
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    n = np.sqrt((V * V).sum(axis=1))
+    nbr_key = ids.astype(np.float64) * 1e-13
+    k = min(4, m - 1)
+    out_v: list = []
+    out_n: list = []
+    out_c: list = []
+    B = 512
+    for s in range(0, m, B):
+        e = min(s + B, m)
+        cos = np.round((V[s:e] @ V.T) / np.outer(n[s:e], n), 6)
+        cos[cos < 0.3] = -np.inf
+        cos[np.arange(e - s), np.arange(s, e)] = -np.inf  # self-pairs
+        key = np.where(np.isfinite(cos), cos - nbr_key[None, :], -np.inf)
+        top = np.argpartition(-key, k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(s, e), k)
+        cols = top.ravel()
+        keep = np.isfinite(cos[rows - s, cols])
+        out_v.append(ids[rows[keep]])
+        out_n.append(ids[cols[keep]])
+        out_c.append(cos[rows[keep] - s, cols[keep]])
+    return pd.DataFrame(
+        {
+            "vec_id": np.concatenate(out_v).astype("int64"),
+            "nbr_id": np.concatenate(out_n).astype("int64"),
+            "cos_sim": np.concatenate(out_c),
+        }
+    )
+
+
+@register(
+    "dedup_embedding_topk_grouped",
+    "dedup",
+    doc="per-vector top-4 embedding near-dup with BOUNDED intermediate "
+    "state: group by LSH (band, bucket), score each bucket's pairs with "
+    "a blocked numpy matmul inside applyInPandas, emit only each "
+    "vector's bucket-local top-4, then one small global merge "
+    "(dropDuplicates across bands + window).  Bucket-local top-k "
+    "provably preserves global top-k: a neighbor outside the top-4 of "
+    "every shared bucket is dominated by >= 4 global candidates in that "
+    "bucket.  Where dedup_embedding_topk's candidate shuffle is "
+    "O(sum bucket^2) rows (out-spills disk at 100x clone density, "
+    "SCALE.md), this form's shuffle is O(k x N x bands): the per-bucket "
+    "quadratic happens in-core, blocked, and only survivors travel.  "
+    "This is the Pandas-UDF-when-built-ins-can't case (SURVEY §2.6 UDF "
+    "row): Spark has no bounded-state top-k aggregate, so the window "
+    "form must materialize the pair list; applyInPandas is what bounds "
+    "it.  Same declared result as dedup_embedding_topk (shared oracle).",
+    oracle=_EMB_TOPK_ORACLE,
+)
+def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from arrow_experiments_spark.operators.similarity import (
+        _nonzero_embeddings,
+        lsh_bucket_col,
+    )
+
+    emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_bucket_col(F.col("embedding"), band, _EMB_LSH_BITS).alias(
+                            "bucket"
+                        ),
+                    )
+                    for band in range(_EMB_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+    per_bucket = banded.groupBy("band", "bucket").applyInPandas(
+        _bucket_topk_pdf, schema="vec_id long, nbr_id long, cos_sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        # the same pair surfaces from every shared band with the same
+        # deterministic cos — collapse before the (small) global window
+        per_bucket.dropDuplicates(["vec_id", "nbr_id"])
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 4)
+        .select("vec_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
     )
