@@ -45,6 +45,10 @@ HEADLINE = [
     # exact forms stay registered as oracle cross-checks.
     "dedup_ngram_jaccard_lsh",
     "dedup_embedding_topk",
+    # bounded INTERMEDIATE state too: the bucket-grouped numpy form
+    # (SCALE.md: completes 100x clone density where the windowed
+    # form out-spills disk)
+    "dedup_embedding_topk_grouped",
     "knn_bruteforce_cosine",
     "ann_lsh_hyperplane",
     "text_quality_score",
