@@ -588,3 +588,171 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * _CENT_SCALE).cast("double")
         ).alias("c"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    "analytics",
+    doc="per-type hourly anomaly scores: exact decimal bucket sums, then "
+    "each bucket's z-score against its event_type's mean/std over all "
+    "buckets.  Both moment sums stay exact (DECIMAL sum of the bucket "
+    "decimals and of their squares — order-independent), so mean/var/z "
+    "reduce to a fixed chain of IEEE double ops mirrored verbatim in the "
+    "oracle, snapped to 6 decimals.  Stats side is one tiny row per "
+    "event_type (AQE-broadcast); z is NULL when the variance degenerates.",
+    oracle="""
+        WITH h AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT event_type,
+                   COUNT(*) AS nb,
+                   CAST(SUM(sv) AS DOUBLE) AS sx,
+                   CAST(SUM(sv * sv) AS DOUBLE) AS sxx
+            FROM h GROUP BY 1
+        )
+        SELECT h.event_type,
+               strftime(h.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               CAST(h.n_events AS BIGINT) AS n_events,
+               CAST(h.sv AS DOUBLE) AS sum_value,
+               CAST(CAST(
+                   CASE WHEN s.nb > 1
+                         AND (s.sxx - s.sx * s.sx / s.nb) / s.nb > 0
+                        THEN (CAST(h.sv AS DOUBLE) - s.sx / s.nb)
+                             / sqrt((s.sxx - s.sx * s.sx / s.nb) / s.nb)
+                   END AS DECIMAL(28,6)) AS DOUBLE) AS zscore
+        FROM h JOIN s USING (event_type)
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.numeric import snap6
+
+    ev = table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("event_type", F.col("w.start").alias("bucket"), "sv", "n_events")
+    )
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("sv").cast("double").alias("sx"),
+        F.sum(F.col("sv") * F.col("sv")).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("nb")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nb")) / F.col("nb")
+    z = snap6(
+        F.when(
+            (F.col("nb") > 1) & (var > 0),
+            (F.col("sv").cast("double") - mean) / F.sqrt(var),
+        )
+    )
+    return h.join(s, "event_type").select(
+        "event_type",
+        F.date_format(F.col("bucket").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sv").cast("double").alias("sum_value"),
+        z.alias("zscore"),
+    )
+
+
+# temperature-mixing parameters: alpha = 0.5 (sqrt smoothing), output
+# budget = half the corpus, 16-bit md5 gate space
+_MIX_SQRT_SCALE = 10**12
+_MIX_GATE_SPACE = 65536
+
+
+@register(
+    "pipeline_mixture_weights",
+    "text",
+    doc="temperature-smoothed source mixing (the LLM-corpus data-mixing "
+    "op): target share of source s proportional to sqrt(n_s) (alpha=0.5 "
+    "flattens head sources, boosts tail ones), output budget = half the "
+    "corpus, per-source keep probability least(1, budget*share_s/n_s) "
+    "quantized to an integer threshold in 16-bit md5-gate space so both "
+    "engines make bit-identical keep decisions; kept rows carry "
+    "weight = gate_space/thr for unbiased downstream aggregates.  "
+    "sqrt(n_s * 1e12) is floored to a BIGINT before the share sum, so "
+    "every aggregate on the stats side is exact integer arithmetic and "
+    "the only float chain is the fixed mirrored threshold expression.  "
+    "Row-local gating — zero data shuffle; the stats side is rows = "
+    "#sources.",
+    oracle=f"""
+        WITH c AS (
+            SELECT source, COUNT(*) AS n_s,
+                   CAST(floor(sqrt(CAST(COUNT(*) * {_MIX_SQRT_SCALE}
+                        AS DOUBLE))) AS BIGINT) AS w_s
+            FROM documents GROUP BY source
+        ), t AS (
+            SELECT SUM(n_s) AS n_total, SUM(w_s) AS w_sum FROM c
+        ), thr_t AS (
+            SELECT c.source, c.n_s, c.w_s,
+                   CAST(floor(LEAST(
+                       1.0,
+                       0.5 * CAST(t.n_total AS DOUBLE) * CAST(c.w_s AS DOUBLE)
+                         / (CAST(t.w_sum AS DOUBLE) * CAST(c.n_s AS DOUBLE)))
+                       * {_MIX_GATE_SPACE}) AS INT) AS thr
+            FROM c CROSS JOIN t
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST({_MIX_GATE_SPACE} AS DOUBLE) / thr_t.thr AS weight
+        FROM documents d JOIN thr_t USING (source)
+        WHERE ((strpos('0123456789abcdef', md5(CAST(d.doc_id AS VARCHAR))[1]) - 1) * 4096
+             + (strpos('0123456789abcdef', md5(CAST(d.doc_id AS VARCHAR))[2]) - 1) * 256
+             + (strpos('0123456789abcdef', md5(CAST(d.doc_id AS VARCHAR))[3]) - 1) * 16
+             + (strpos('0123456789abcdef', md5(CAST(d.doc_id AS VARCHAR))[4]) - 1))
+              < thr_t.thr
+    """,
+)
+def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.text import md5_str
+
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")).select(
+        "source",
+        "n_s",
+        F.floor(
+            F.sqrt((F.col("n_s") * F.lit(_MIX_SQRT_SCALE)).cast("double"))
+        )
+        .cast("bigint")
+        .alias("w_s"),
+    )
+    t = c.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_sum")
+    )
+    thr = c.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.5)
+                * F.col("n_total").cast("double")
+                * F.col("w_s").cast("double")
+                / (F.col("w_sum").cast("double") * F.col("n_s").cast("double")),
+            )
+            * _MIX_GATE_SPACE
+        )
+        .cast("int")
+        .alias("thr"),
+    )
+    gate = F.conv(
+        F.substring(md5_str(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        # thr is rows = #sources; the gate is row-local — the corpus never
+        # shuffles (the join broadcasts by AQE size estimate)
+        docs.join(thr, "source")
+        .where(gate < F.col("thr"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (F.lit(float(_MIX_GATE_SPACE)) / F.col("thr")).alias("weight"),
+        )
+    )

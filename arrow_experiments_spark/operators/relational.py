@@ -882,3 +882,77 @@ def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    "window_percent_rank_cume_dist",
+    "window",
+    doc="relative-position window functions per nation: percent_rank "
+    "(= (rank-1)/(n-1)) and cume_dist over (c_acctbal, c_custkey).  The "
+    "order key is unique, so ranks are total and both ratios are exact "
+    "rationals evaluated by one IEEE division — engine-identical without "
+    "snapping.  One shuffle on the partition key.",
+    oracle="""
+        SELECT c_custkey,
+               CAST(c_nationkey AS INT) AS nation,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cum_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+# Composite argmin/argmax key: account balance in exact cents scaled past
+# the key range, custkey as tiebreak.  10^10 > any custkey at the tested
+# SFs (and the collision bound is documented, not silent: 2.1e8 customers
+# = SF 1400 before the tiebreak field saturates).
+_ARG_KEY_SCALE = 10_000_000_000
+
+
+@register(
+    "agg_min_by_max_by",
+    "agg",
+    doc="argmin/argmax aggregation per nation: the customers holding the "
+    "smallest and largest account balance (ties to the smaller custkey).  "
+    "Both engines evaluate min_by/max_by over ONE exact integer composite "
+    "key (balance cents * 1e10 +/- custkey) because tie order inside "
+    "native multi-key argmax is engine-defined; the composite makes the "
+    "selection total.  Fully partial-aggregable — map-side combine keeps "
+    "the shuffle at one row per (nation, partition) at any scale.",
+    oracle=f"""
+        SELECT CAST(c_nationkey AS INT) AS nation,
+               min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+                              * {_ARG_KEY_SCALE} + c_custkey) AS poorest,
+               max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+                              * {_ARG_KEY_SCALE} - c_custkey) AS richest,
+               CAST(MIN(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS min_acctbal,
+               CAST(MAX(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100 AS max_acctbal
+        FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    key_min = cents * _ARG_KEY_SCALE + F.col("c_custkey")
+    key_max = cents * _ARG_KEY_SCALE - F.col("c_custkey")
+    return cust.groupBy(
+        F.col("c_nationkey").cast("int").alias("nation")
+    ).agg(
+        F.min_by("c_name", key_min).alias("poorest"),
+        F.max_by("c_name", key_max).alias("richest"),
+        (F.min(cents).cast("double") / 100).alias("min_acctbal"),
+        (F.max(cents).cast("double") / 100).alias("max_acctbal"),
+    )
