@@ -558,3 +558,42 @@ def register_parquet_chunked(
         lambda: chunked_parquet_reader(path, chunk_bytes),
         schema=pq.ParquetFile(path).schema_arrow,
     )
+
+
+def prefetch_reader(
+    reader: pa.RecordBatchReader, depth: int = 4
+) -> pa.RecordBatchReader:
+    """Read-ahead wrapper: a worker thread pulls up to ``depth`` batches
+    ahead into a bounded queue, so upstream work (spill-file reads,
+    dictionary encoding) overlaps downstream work (compression, socket
+    writes) instead of serializing on one thread.  Order is preserved,
+    memory stays O(depth x batch), and upstream errors re-raise at the
+    consumer's ``read_next_batch``.  The streaming analog of the
+    reference's pre-materialize-then-replay serving model (get_simple
+    server.py:144) — replay overlap without the full materialization."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def pump() -> None:
+        try:
+            for batch in reader:
+                q.put(batch)
+            q.put(_END)
+        except BaseException as exc:  # noqa: BLE001 — re-raised consumer-side
+            q.put(exc)
+
+    threading.Thread(target=pump, daemon=True).start()
+
+    def gen() -> Iterator[pa.RecordBatch]:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    return pa.RecordBatchReader.from_batches(reader.schema, gen())

@@ -123,6 +123,11 @@ def _bench_replay_100m(spark) -> float:
     rows = 100_000_000
     d, files, schema = spill_dataframe(gen_flight_bench(spark, rows=rows))
     registry = DatasetRegistry()
+    # NO prefetch here, measured: the uncompressed replay's per-batch work
+    # is a memcpy + send, so a reader-side thread handoff per 4096-row
+    # batch (~24k queue hops under the GIL) costs 5.9 -> 9.0 s.  Prefetch
+    # pays only where per-batch work is heavy (the dict-encode + zstd
+    # serve below: 8.0 -> 4.6 s).
     registry.register(
         "flight100m", lambda: spilled_files_reader(files, schema, batch_rows=4096)
     )
@@ -164,6 +169,7 @@ def _bench_serve_42m(spark) -> float:
 
     from arrow_experiments_spark.sources.arrow_ipc import (
         dictionary_encode_reader,
+        prefetch_reader,
         spill_dataframe,
         spilled_files_reader,
     )
@@ -176,8 +182,12 @@ def _bench_serve_42m(spark) -> float:
     registry = DatasetRegistry()
     registry.register(
         "trading42m",
-        lambda: dictionary_encode_reader(
-            spilled_files_reader(files, schema, batch_rows=6144), ["ticker"]
+        # prefetch: spill-file read + dictionary encode overlap the zstd
+        # compression + socket writes downstream (ordered, O(depth) memory)
+        lambda: prefetch_reader(
+            dictionary_encode_reader(
+                spilled_files_reader(files, schema, batch_rows=6144), ["ticker"]
+            )
         ),
     )
     httpd = serve(registry)

@@ -261,3 +261,37 @@ def test_dict_encode_reader_empty_stream(spark, tmp_path):
         got = pa.ipc.open_stream(f).read_all()
     assert got.num_rows == 0
     assert pa.types.is_dictionary(got.schema.field("who").type)
+
+
+def test_prefetch_reader_preserves_order_and_content():
+    import pyarrow as pa
+
+    from arrow_experiments_spark.sources.arrow_ipc import prefetch_reader
+
+    t = pa.table({"x": pa.array(range(100_000), pa.int64())})
+    src = pa.RecordBatchReader.from_batches(
+        t.schema, t.to_batches(max_chunksize=1024)
+    )
+    got = prefetch_reader(src, depth=3).read_all()
+    assert got.equals(t)
+
+
+def test_prefetch_reader_propagates_upstream_error():
+    import pyarrow as pa
+    import pytest
+
+    from arrow_experiments_spark.sources.arrow_ipc import prefetch_reader
+
+    schema = pa.schema([("x", pa.int64())])
+
+    def gen():
+        yield pa.record_batch([pa.array([1, 2])], schema=schema)
+        raise RuntimeError("upstream boom")
+
+    reader = prefetch_reader(
+        pa.RecordBatchReader.from_batches(schema, gen()), depth=2
+    )
+    assert reader.read_next_batch().num_rows == 2
+    with pytest.raises(RuntimeError, match="upstream boom"):
+        while True:
+            reader.read_next_batch()
