@@ -54,6 +54,74 @@ def _ipc_options(strategy: str) -> pa.ipc.IpcWriteOptions | None:
     return None
 
 
+def _ipc_segments(
+    schema: pa.Schema, batches: Iterable[pa.RecordBatch], seg_bytes: int
+) -> Iterator[bytes]:
+    """Uncompressed IPC stream bytes in >= ``seg_bytes`` segments; the
+    first segment is the first batch alone (time-to-first-byte)."""
+    sink = _KeepOpenBuffer()
+    try:
+        writer = pa.ipc.new_stream(sink, schema)
+        first = True
+        for batch in batches:
+            writer.write_batch(batch)
+            if first or sink.tell() >= seg_bytes:
+                data = sink.drain()
+                if data:
+                    yield data
+                    first = False
+        writer.close()  # EOS marker
+        tail = sink.drain()
+        if tail:
+            yield tail
+    finally:
+        sink.really_close()
+
+
+# zstd frames are self-delimiting and a body of concatenated frames is a
+# valid zstd stream (RFC 8878 §3), so segments can compress INDEPENDENTLY
+# — across threads — and ship in order.  gzip is multi-member-legal too
+# but common HTTP clients stop at the first member, and brotli has no
+# concatenation rule at all, so only zstd takes this path.
+_PARALLEL_CODINGS = {"zstd"}
+_COMPRESS_WORKERS = 4
+_SEG_BYTES = 1 << 20
+
+
+def _encode_parallel_frames(
+    schema: pa.Schema,
+    batches: Iterable[pa.RecordBatch],
+    strategy: str,
+    workers: int = _COMPRESS_WORKERS,
+    seg_bytes: int = _SEG_BYTES,
+) -> Iterator[bytes]:
+    """Compress ~1 MiB IPC segments as independent frames on a thread
+    pool (pyarrow codecs release the GIL), yielding in order with a
+    bounded in-flight window — O(workers x segment) memory.  Measured
+    against the single-threaded CompressedOutputStream path on the 42M-row
+    trading serve; the decode side is unchanged (stream decoders consume
+    concatenated frames natively)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    codec = pa.Codec(strategy)
+    with ThreadPoolExecutor(workers) as pool:
+        pending: deque = deque()
+        first = True
+        for seg in _ipc_segments(schema, batches, seg_bytes):
+            pending.append(pool.submit(codec.compress, seg, asbytes=True))
+            if first:
+                # eager first chunk for time-to-first-byte, the reference's
+                # force-flush semantic (get_compressed server.py:384-430)
+                yield pending.popleft().result()
+                first = False
+                continue
+            while len(pending) > 2 * workers:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+
+
 def encode_ipc_chunks(
     schema: pa.Schema,
     batches: Iterable[pa.RecordBatch],
@@ -61,6 +129,9 @@ def encode_ipc_chunks(
     min_chunk: int = MIN_CHUNK_BYTES,
 ) -> Iterator[bytes]:
     """Yield HTTP-body chunks of an Arrow IPC stream under ``strategy``."""
+    if strategy in _PARALLEL_CODINGS:
+        yield from _encode_parallel_frames(schema, batches, strategy)
+        return
     sink = _KeepOpenBuffer()
     try:
         if strategy.startswith("identity"):

@@ -551,3 +551,30 @@ def test_taxi_dissociated_serving_scenario(spark, tmp_path):
         assert got.equals(want)
     finally:
         httpd.shutdown()
+
+
+def test_parallel_zstd_frames_decode_as_one_stream():
+    """The zstd strategy emits independently-compressed frames; a stock
+    streaming decoder must consume the concatenation as one body
+    (RFC 8878 §3), and the first chunk must arrive eagerly (one frame,
+    before the in-flight window fills)."""
+    import pyarrow as pa
+
+    from arrow_experiments_spark.transport.ipc_stream import (
+        decode_body,
+        encode_ipc_chunks,
+    )
+
+    t = pa.table(
+        {
+            "x": pa.array(range(3_000_000), pa.int64()),
+            "s": pa.array([f"tick{i % 60}" for i in range(3_000_000)]),
+        }
+    )
+    batches = t.to_batches(max_chunksize=6144)
+    chunks = encode_ipc_chunks(t.schema, iter(batches), "zstd")
+    first = next(chunks)
+    assert first  # eager first frame
+    body = first + b"".join(chunks)
+    got = decode_body(body, "zstd").read_all()
+    assert got.equals(t)
