@@ -138,11 +138,17 @@ def rebatch_reader(reader: pa.RecordBatchReader, n: int) -> pa.RecordBatchReader
 class DatasetRegistry:
     """name → RecordBatchReader factory (+ optional metadata dict)."""
 
+    # pre-materialized tables up to this size also cache their serialized
+    # identity IPC body (see identity_body) — beyond it, stream per request
+    IDENTITY_CACHE_MAX_BYTES = 1 << 30
+
     def __init__(self) -> None:
         self._factories: dict[str, ReaderFactory] = {}
         self._meta: dict[str, dict] = {}
         self._schemas: dict[str, pa.Schema] = {}
         self._files: dict[str, bytes] = {}
+        self._tables: dict[str, pa.Table] = {}
+        self._bodies: dict[str, pa.Buffer] = {}
         self._lock = threading.Lock()
 
     def register(
@@ -166,6 +172,33 @@ class DatasetRegistry:
             return pa.RecordBatchReader.from_batches(table.schema, table.to_batches())
 
         self.register(name, factory, meta, schema=table.schema)
+        with self._lock:
+            self._tables[name] = table
+
+    def identity_body(self, name: str) -> memoryview | None:
+        """Serialized identity IPC stream for a pre-materialized table,
+        built once and shared by every request — the reference's
+        serve-many replay model (get_simple server.py:144) taken to its
+        conclusion for the uncompressed case: concurrent handler threads
+        write zero-copy slices of one immutable buffer (sendall releases
+        the GIL), instead of each re-running the Python writer loop.
+        None for factory datasets, oversized tables, or any request that
+        projects/rebatches/compresses — those stream per request."""
+        with self._lock:
+            body = self._bodies.get(name)
+            if body is not None:
+                return memoryview(body)
+            table = self._tables.get(name)
+        if table is None or table.nbytes > self.IDENTITY_CACHE_MAX_BYTES:
+            return None
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, table.schema) as writer:
+            for batch in table.to_batches():
+                writer.write_batch(batch)
+        body = sink.getvalue()
+        with self._lock:
+            self._bodies.setdefault(name, body)
+        return memoryview(body)
 
     def register_file(self, name: str, data: bytes) -> None:
         """Static .arrows artifact served with range support."""
@@ -397,6 +430,32 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
         if strategy is None:
             self._send_406("no available coding is acceptable")
             return
+
+        plain = not any(
+            k in params for k in ("columns", "limit", "batch_rows", "multipart")
+        )
+        if strategy == "identity" and plain:
+            body = self.registry.identity_body(name)
+            if body is not None:
+                self.send_response(200)
+                self._cors()
+                self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
+                self.send_header(
+                    "Content-Disposition", 'attachment; filename="output.arrows"'
+                )
+                step = 1 << 20
+                slices = (
+                    body[i : i + step] for i in range(0, len(body), step)
+                )
+                if http10:
+                    self.end_headers()
+                    for sl in slices:
+                        self.wfile.write(sl)
+                else:
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    write_chunked(self.wfile, slices)
+                return
 
         self.send_response(200)
         self._cors()

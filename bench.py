@@ -97,6 +97,63 @@ def _bench_replay(spark) -> float:
         httpd.shutdown()
 
 
+def _bench_replay_10m_x4(spark) -> float:
+    """The reference's Flight-comparison shape: its get_simple workload is
+    benchmarked against flight_benchmark.cc, which uses 4 CONCURRENT
+    streams (http/get_simple/README.md:30; SURVEY.md §4 parallel
+    multi-stream fetch).  Serve the 10M-row table once, fetch it from 4
+    concurrent clients, report the wall-clock for all 4 to finish — the
+    threaded server + per-request replay model must scale across
+    connections, not just per-stream."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from arrow_experiments_spark.sources.generators import gen_flight_bench
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    rows = 10_000_000
+    base = gen_flight_bench(spark, rows=rows).toArrow()
+    registry = DatasetRegistry()
+    registry.register_table("flight", base)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    url = f"http://{host}:{port}/datasets/flight"
+
+    # clients are SUBPROCESSES (own interpreters), as the reference's
+    # clients are separate processes — in-process client threads would
+    # measure the harness's GIL, not the server's concurrency
+    import subprocess
+    import sys as _sys
+
+    client_code = (
+        "import sys, pyarrow as pa, urllib.request\n"
+        "resp = urllib.request.urlopen(sys.argv[1])\n"
+        "n = sum(b.num_rows for b in pa.ipc.open_stream(resp))\n"
+        "print(n)\n"
+    )
+
+    def one() -> int:
+        out = subprocess.run(
+            [_sys.executable, "-c", client_code, url],
+            capture_output=True, text=True, timeout=300,
+        )
+        return int(out.stdout)
+
+    try:
+        one()  # warm interpreter/page caches once
+        best = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            with ThreadPoolExecutor(4) as pool:
+                got = list(pool.map(lambda _i: one(), range(4)))
+            best = min(best, _time.perf_counter() - t0)
+            assert got == [rows] * 4
+        return round(best, 3)
+    finally:
+        httpd.shutdown()
+
+
 def _bench_replay_100m(spark) -> float:
     """BASELINE.md S1 at REFERENCE scale: 100,000,000 rows × 4 int64
     (~3 GiB + framing) in 4096-row batches (≈24,415 batches — the
@@ -303,6 +360,8 @@ def main() -> None:
     def measure(name: str) -> float:
         if name == "s1_replay_10m":
             return _bench_replay(spark)
+        if name == "s1_replay_10m_x4":
+            return _bench_replay_10m_x4(spark)
         if name in _S2_STRATEGIES:
             return _bench_transport(spark, name)
         t0 = time.perf_counter()
@@ -325,7 +384,7 @@ def main() -> None:
     def sentinel() -> None:
         sentinel_samples.append(_bench_transport(spark, "s2_serve_1m_identity"))
 
-    items = ["s1_replay_10m", *_S2_STRATEGIES, *names]
+    items = ["s1_replay_10m", "s1_replay_10m_x4", *_S2_STRATEGIES, *names]
     passes: list[dict[str, float]] = []
     sentinel()
     for i in range(3):

@@ -578,3 +578,27 @@ def test_parallel_zstd_frames_decode_as_one_stream():
     body = first + b"".join(chunks)
     got = decode_body(body, "zstd").read_all()
     assert got.equals(t)
+
+
+def test_identity_body_cache_matches_streamed_body(server, table):
+    """The cached identity body a register_table dataset serves must be
+    byte-decodable to the same table as the per-request streamed path,
+    and projection/limit params must bypass the cache."""
+    import urllib.request
+
+    with urllib.request.urlopen(
+        urllib.request.Request(
+            f"{server}/datasets/bench",
+            headers={"Accept-Encoding": "identity"},
+        )
+    ) as resp:
+        got = pa.ipc.open_stream(resp.read()).read_all()
+    assert got.equals(table)
+    with urllib.request.urlopen(
+        urllib.request.Request(
+            f"{server}/datasets/bench?limit=10",
+            headers={"Accept-Encoding": "identity"},
+        )
+    ) as resp:
+        sliced = pa.ipc.open_stream(resp.read()).read_all()
+    assert sliced.num_rows == 10
