@@ -956,3 +956,68 @@ def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(cents).cast("double") / 100).alias("min_acctbal"),
         (F.max(cents).cast("double") / 100).alias("max_acctbal"),
     )
+
+
+@register(
+    "window_first_last_nth",
+    "window",
+    doc="value-positional window functions per nation over a unique order "
+    "key: first_value / last_value / nth_value(3) with an explicit "
+    "unbounded frame (last_value under the default frame is the running "
+    "row — a classic cross-engine trap; pinning the frame makes both "
+    "engines see the whole partition).",
+    oracle="""
+        SELECT c_custkey,
+               CAST(c_nationkey AS INT) AS nation,
+               first_value(c_name) OVER w AS first_name,
+               last_value(c_name) OVER w AS last_name,
+               nth_value(c_name, 3) OVER w AS third_name
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal, c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal", "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.first("c_name").over(w).alias("first_name"),
+        F.last("c_name").over(w).alias("last_name"),
+        F.nth_value("c_name", 3).over(w).alias("third_name"),
+    )
+
+
+@register(
+    "agg_bool_count_if",
+    "agg",
+    doc="predicate aggregates per order-priority: bool_and / bool_or / "
+    "count_if over exact integer/boolean predicates — partial-aggregable "
+    "one-shuffle group-by.",
+    oracle="""
+        SELECT o_orderpriority,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_orderstatus = 'F') AS any_finished,
+               CAST(count_if(o_orderdate >= DATE '1995-01-01') AS BIGINT)
+                   AS n_recent,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")).alias(
+            "n_recent"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -246,3 +246,35 @@ def scalar_to_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("as_json"),
         F.array_join(vals, ",").alias("values_joined"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    "scalar",
+    doc="bitwise surface over integer keys: AND / OR / XOR / shifts / "
+    "popcount — exact integer ops, engine-identical by definition.  "
+    "Row-local projection; pushes the key-range filter to the scan.",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS k_and,
+               o_orderkey | 4096 AS k_or,
+               xor(o_orderkey, 1365) AS k_xor,
+               o_orderkey << 2 AS k_shl,
+               o_orderkey >> 3 AS k_shr,
+               bit_count(o_orderkey) AS k_pop
+        FROM orders
+        WHERE o_orderkey < 4096
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4096)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+        F.bit_count(k).cast("bigint").alias("k_pop"),
+    )

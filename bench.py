@@ -374,6 +374,9 @@ def main() -> None:
 
     # Machine-noise sentinel (round-4 verdict item 5): the same fixed
     # pure-serve workload timed at several points across the session.
+    # NOTE: the round-5 identity-body cache changed this workload's
+    # absolute level (~0.04 -> ~0.015 s); cross-round drift comparisons
+    # start from the r5 baseline.
     # Its code never changes round-over-round, so spread between its
     # samples IS the co-tenant noise floor — a uniform shift in the other
     # queries that matches the sentinel's shift is machine drift, not a
