@@ -208,3 +208,71 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "events_sessionize_gaps",
+    "events",
+    doc="gaps-and-islands sessionization without session_window: a new "
+    "session starts where the per-user gap exceeds 30 minutes (lag over "
+    "a unique (ts, event_id) order), session ids are the running sum of "
+    "the start flags, then one regroup yields per-session stats.  All "
+    "arithmetic is on microsecond integers — exact in both engines.  Two "
+    "windows + one aggregation, all keyed on user_id: the shuffle story "
+    "is one partitioning reused across every stage.",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                             > 1800000000
+                          OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, event_id, us,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS session_seq
+            FROM o
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(us) AS start_us,
+               MAX(us) AS end_us,
+               MAX(us) - MIN(us) AS duration_us
+        FROM s GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("us").over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.col("us") - prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = ev.withColumn("new_s", new_s).withColumn(
+        "session_seq", F.sum("new_s").over(w2)
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    ).select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_us",
+    )
