@@ -47,6 +47,11 @@ AUDIT = [
     "join_salted_skew",
     "dedup_clusters",
     "dedup_keep_canonical",
+    "dedup_embedding_topk_grouped",
+    "embedding_kmeans_step",
+    "events_sessionize_gaps",
+    "events_anomaly_zscore",
+    "pipeline_mixture_weights",
     "decontaminate_ngram_overlap",
     "pipeline_training_select",
     "multimodal_resize",
@@ -80,6 +85,8 @@ CARTESIAN_OK = {
     "knn_bruteforce_cosine",
     "text_unigram_popularity",
     "text_tfidf_top_terms",  # 1-row broadcast corpus-total, same as unigram
+    "embedding_kmeans_step",  # vectors x k centroid arrays (k = #labels)
+    "pipeline_mixture_weights",  # sources x 1-row (n_total, w_sum) frame
 }
 
 # Broadcast-hint policy: tables whose cardinality is fixed by the schema
