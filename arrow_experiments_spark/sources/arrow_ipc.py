@@ -576,11 +576,23 @@ def prefetch_reader(
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
+    abandoned = threading.Event()
 
     def pump() -> None:
         try:
             for batch in reader:
-                q.put(batch)
+                # bounded put that notices an abandoned consumer: a client
+                # disconnect drops the generator, and a plain q.put would
+                # park this thread (and the upstream reader's file handles)
+                # forever on the full queue
+                while not abandoned.is_set():
+                    try:
+                        q.put(batch, timeout=1.0)
+                        break
+                    except queue.Full:
+                        continue
+                if abandoned.is_set():
+                    return
             q.put(_END)
         except BaseException as exc:  # noqa: BLE001 — re-raised consumer-side
             q.put(exc)
@@ -588,12 +600,16 @@ def prefetch_reader(
     threading.Thread(target=pump, daemon=True).start()
 
     def gen() -> Iterator[pa.RecordBatch]:
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # reached on normal exhaustion AND on generator close/GC
+            abandoned.set()
 
     return pa.RecordBatchReader.from_batches(reader.schema, gen())

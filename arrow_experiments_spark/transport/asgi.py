@@ -223,16 +223,11 @@ def make_asgi_app(registry: DatasetRegistry, cors: bool = False):
             k in params for k in ("columns", "limit", "batch_rows", "multipart")
         )
         if strategy == "identity" and plain:
-            # zero-copy replay parity with the threaded form: serve 1 MiB
-            # slices of the once-serialized body for cached tables
-            body = registry.identity_body(name)
-            if body is not None:
-                step = 1 << 20
-                return (
-                    200,
-                    resp_headers,
-                    (body[i : i + step] for i in range(0, len(body), step)),
-                )
+            # cached-replay parity with the threaded form; ASGI bodies must
+            # be real bytes per spec, so each slice pays one copy here
+            slices = registry.identity_slices(name)
+            if slices is not None:
+                return 200, resp_headers, (bytes(sl) for sl in slices)
         return 200, resp_headers, encode_ipc_chunks(reader.schema, reader, strategy)
 
     def _not_acceptable(why: str, headers: _Headers):

@@ -166,6 +166,12 @@ class DatasetRegistry:
             self._meta[name] = meta or {}
             if schema is not None:
                 self._schemas[name] = schema
+            else:
+                self._schemas.pop(name, None)
+            # re-registration (e.g. POST /ingest over an existing name)
+            # must not keep serving the previous table's cached bytes
+            self._tables.pop(name, None)
+            self._bodies.pop(name, None)
 
     def register_table(self, name: str, table: pa.Table, meta: dict | None = None) -> None:
         def factory() -> pa.RecordBatchReader:
@@ -199,6 +205,17 @@ class DatasetRegistry:
         with self._lock:
             self._bodies.setdefault(name, body)
         return memoryview(body)
+
+    IDENTITY_SLICE_BYTES = 1 << 20
+
+    def identity_slices(self, name: str):
+        """1 MiB zero-copy slices of the cached identity body, or None —
+        the ONE implementation both server forms stream from."""
+        body = self.identity_body(name)
+        if body is None:
+            return None
+        step = self.IDENTITY_SLICE_BYTES
+        return (body[i : i + step] for i in range(0, len(body), step))
 
     def register_file(self, name: str, data: bytes) -> None:
         """Static .arrows artifact served with range support."""
@@ -435,17 +452,13 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
             k in params for k in ("columns", "limit", "batch_rows", "multipart")
         )
         if strategy == "identity" and plain:
-            body = self.registry.identity_body(name)
-            if body is not None:
+            slices = self.registry.identity_slices(name)
+            if slices is not None:
                 self.send_response(200)
                 self._cors()
                 self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
                 self.send_header(
                     "Content-Disposition", 'attachment; filename="output.arrows"'
-                )
-                step = 1 << 20
-                slices = (
-                    body[i : i + step] for i in range(0, len(body), step)
                 )
                 if http10:
                     self.end_headers()

@@ -124,7 +124,17 @@ class SocketConn:
         with self._send_lock:
             # scatter-gather compose, the SendAMIov/SendTagIov analog
             # (ucx_conn.cc:273-310): no concatenation of payload buffers.
-            self._sock.sendmsg([header, *buffers])
+            # One sendmsg writes at most the free send-buffer space, so
+            # loop over the remainder — a frame larger than SO_SNDBUF
+            # against a slow reader would otherwise silently truncate.
+            iov = [memoryview(header), *(memoryview(b) for b in buffers)]
+            while iov:
+                sent = self._sock.sendmsg(iov)
+                while iov and sent >= len(iov[0]):
+                    sent -= len(iov[0])
+                    iov.pop(0)
+                if iov and sent:
+                    iov[0] = iov[0][sent:]
 
     def send_am(self, am_id: int, *buffers: bytes) -> None:
         """Active-message send (Connection::SendAM / SendAMIov)."""
@@ -553,7 +563,9 @@ def fetch_dissociated_sockets(
             batches.append(batch)
         return pa.Table.from_batches(batches, schema)
     finally:
-        for t in threads:
-            t.join(timeout=10)
+        # close FIRST: a loop thread blocked on a healthy connection after
+        # the other stream errored would otherwise stall the join timeout
         meta_conn.close()
         data_conn.close()
+        for t in threads:
+            t.join(timeout=10)

@@ -138,6 +138,8 @@ def _bench_replay_10m_x4(spark) -> float:
             [_sys.executable, "-c", client_code, url],
             capture_output=True, text=True, timeout=300,
         )
+        if out.returncode != 0:
+            raise RuntimeError(f"bench client failed: {out.stderr.strip()}")
         return int(out.stdout)
 
     try:

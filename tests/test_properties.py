@@ -201,15 +201,19 @@ def test_socket_tag_matching_any_interleaving(frames, rnd):
     a, b = socket_mod.socketpair()
     left, right = SocketConn(a), SocketConn(b)
     try:
-        # make tags unique so exact-match claims are unambiguous
-        uniq = {tag + i: payload for i, (tag, payload) in enumerate(frames)}
+        # make WIRE tags unique (mod 2**64 before dedup — offsetting first
+        # could alias two keys onto one wire tag at the u64 boundary)
+        uniq = {
+            (tag + i) % (2**64): payload
+            for i, (tag, payload) in enumerate(frames)
+        }
         for tag, payload in uniq.items():
-            left.send_tag(tag % (2**64), payload)
+            left.send_tag(tag, payload)
         order = list(uniq.items())
         rnd.shuffle(order)
         for tag, payload in order:
             info, got = right.probe_tag_sync(
-                tag % (2**64), 0xFFFFFFFFFFFFFFFF, remove=True
+                tag, 0xFFFFFFFFFFFFFFFF, remove=True
             )
             assert got == payload
         assert not right._pending_tags

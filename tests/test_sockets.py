@@ -239,3 +239,29 @@ def test_graceful_shutdown_mid_session():
     conn.send_am(0, b"quit")
     server.shutdown()
     conn.close()
+
+
+def test_large_am_survives_slow_reader():
+    """A frame larger than the socket send buffer must arrive complete
+    even when the receiver starts reading late — the send loop must keep
+    writing past the first partial sendmsg."""
+    import socket as socket_mod
+    import threading
+
+    a, b = socket_mod.socketpair()
+    a.settimeout(30)  # timeout-mode socket: sendmsg returns partial writes
+    left, right = SocketConn(a), SocketConn(b)
+    payload = bytes(range(256)) * (1 << 16)  # 16 MiB
+    try:
+        sender = threading.Thread(target=left.send_am, args=(9, payload))
+        sender.start()
+        import time
+
+        time.sleep(0.2)  # let the send buffer fill before draining
+        am_id, got = right.recv_am()
+        sender.join(timeout=30)
+        assert (am_id, len(got)) == (9, len(payload))
+        assert got == payload
+    finally:
+        left.close()
+        right.close()

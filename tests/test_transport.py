@@ -602,3 +602,19 @@ def test_identity_body_cache_matches_streamed_body(server, table):
     ) as resp:
         sliced = pa.ipc.open_stream(resp.read()).read_all()
     assert sliced.num_rows == 10
+
+
+def test_identity_body_cache_invalidated_on_reregistration():
+    """Re-registering a name (the POST /ingest path) must drop the cached
+    identity body — the old table's bytes must not survive."""
+    from arrow_experiments_spark.transport.server import DatasetRegistry
+
+    reg = DatasetRegistry()
+    t1 = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    reg.register_table("d", t1)
+    body1 = reg.identity_body("d")
+    assert pa.ipc.open_stream(bytes(body1)).read_all().equals(t1)
+    t2 = pa.table({"x": pa.array([10, 20], pa.int64())})
+    reg.register_table("d", t2)
+    body2 = reg.identity_body("d")
+    assert pa.ipc.open_stream(bytes(body2)).read_all().equals(t2)
