@@ -156,17 +156,60 @@ def _cmd_commits(args: argparse.Namespace) -> int:
 def _cmd_serve_sockets(args: argparse.Namespace) -> int:
     """Dissociated protocol over the raw-socket transport (the UCX-analog
     data plane, transport/sockets.py) — the closest CPU shape to the
-    reference's cudf-flight server."""
-    from arrow_experiments_spark.sources.arrow_ipc import register_parquet_chunked
+    reference's cudf-flight server.  Serves any mix of the taxi parquet
+    scenario, the testdata tables, and registered engine queries: every
+    dataset the HTTP form exposes is reachable over this data plane too."""
     from arrow_experiments_spark.transport.server import DatasetRegistry
     from arrow_experiments_spark.transport.sockets import DissociatedSocketServer
 
     registry = DatasetRegistry()
-    register_parquet_chunked(registry, "train.parquet", args.taxi)
+    served: list[str] = []
+    if args.taxi:
+        from arrow_experiments_spark.sources.arrow_ipc import (
+            register_parquet_chunked,
+        )
+
+        register_parquet_chunked(registry, "train.parquet", args.taxi)
+        served.append("train.parquet")
+    if args.tables or args.queries:
+        from arrow_experiments_spark.session import build_session
+        from arrow_experiments_spark.sources.arrow_ipc import (
+            df_to_reader,
+            register_dataframe,
+        )
+        from arrow_experiments_spark.tables import TABLE_NAMES, table
+
+        spark = build_session(app_name="arrow-experiments-serve-sockets")
+        spark.sparkContext.setLogLevel("ERROR")
+        if args.tables:
+            names = (
+                list(TABLE_NAMES)
+                if args.tables == "all"
+                else args.tables.split(",")
+            )
+            for name in names:
+                register_dataframe(
+                    registry, name, table(spark, args.sf_dir, name)
+                )
+                served.append(name)
+        if args.queries:
+            from arrow_experiments_spark.registry import all_queries
+
+            def q_factory(q, sf_dir=args.sf_dir):
+                return lambda: df_to_reader(q.build(spark, sf_dir))
+
+            for qname, q in all_queries().items():
+                registry.register(f"query.{qname}", q_factory(q))
+            served.append(f"{len(all_queries())} queries")
+    if not served:
+        print("nothing to serve: pass --taxi, --tables and/or --queries")
+        return 2
     server = DissociatedSocketServer(registry)
     host, port = server.init(host=args.host, port=args.port)
-    print(f"dissociated socket server at {host}:{port} (dataset train.parquet)",
-          flush=True)
+    print(
+        f"dissociated socket server at {host}:{port} ({', '.join(served)})",
+        flush=True,
+    )
     import time
 
     try:
@@ -280,7 +323,18 @@ def main(argv: list[str] | None = None) -> int:
     )
     ss.add_argument("--host", default="127.0.0.1")
     ss.add_argument("--port", type=int, default=0)
-    ss.add_argument("--taxi", required=True, metavar="PARQUET")
+    ss.add_argument("--taxi", default=None, metavar="PARQUET")
+    ss.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ss.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated testdata tables to serve (or 'all')",
+    )
+    ss.add_argument(
+        "--queries",
+        action="store_true",
+        help="serve every registered engine query as dataset query.NAME",
+    )
     ss.set_defaults(fn=_cmd_serve_sockets)
 
     fs = sub.add_parser(

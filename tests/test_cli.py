@@ -152,3 +152,57 @@ def test_cli_serve_and_fetch_sockets(tmp_path_factory):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_cli_serve_sockets_spark_tables():
+    """serve-sockets --tables serves real Spark tables over the
+    dissociated socket transport; fetch-sockets retrieves one by ident."""
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "arrow_experiments_spark",
+            "serve-sockets",
+            "--port",
+            "0",
+            "--tables",
+            "nation",
+            "--sf-dir",
+            SF_DIR,
+        ],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd="/root/repo",
+    )
+    try:
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "dissociated socket server at" in line:
+                port = int(line.split("at ", 1)[1].split()[0].rsplit(":", 1)[1])
+                break
+        assert port, "socket server did not announce itself"
+        out = subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "arrow_experiments_spark",
+                "fetch-sockets",
+                "--port",
+                str(port),
+                "--ident",
+                "nation",
+            ],
+            capture_output=True,
+            text=True,
+            cwd="/root/repo",
+            timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        assert "record batches received" in out.stdout
+        assert "n_nationkey" in out.stdout or "nation" in out.stdout
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
