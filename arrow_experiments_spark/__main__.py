@@ -69,6 +69,15 @@ def _cmd_serve(args: argparse.Namespace) -> int:
                 f"query.{qname}", q_factory(q), meta={"category": q.category}
             )
             n_queries += 1
+    sql_runner = None
+    if args.sql:
+        from arrow_experiments_spark.sources.arrow_ipc import df_to_reader
+
+        # ad-hoc SQL entry point: testdata tables become temp views and
+        # GET /query?sql=... plans through Catalyst (SURVEY.md §7 Phase 1)
+        for name in names:
+            table(spark, args.sf_dir, name).createOrReplaceTempView(name)
+        sql_runner = lambda sql: df_to_reader(spark.sql(sql))  # noqa: E731
     if args.asgi:
         # FastAPI/uvicorn posture (reference fastapi_uvicorn/server.py):
         # same registry, same negotiation, ASGI transport.  Blocks.
@@ -76,10 +85,12 @@ def _cmd_serve(args: argparse.Namespace) -> int:
 
         print(f"serving {len(names)} datasets (ASGI) at "
               f"http://{args.host}:{args.port}", flush=True)
-        serve_asgi(registry, host=args.host, port=args.port, cors=args.cors)
+        serve_asgi(registry, host=args.host, port=args.port, cors=args.cors,
+                   sql_runner=sql_runner)
         spark.stop()
         return 0
-    httpd = serve(registry, host=args.host, port=args.port, cors=args.cors)
+    httpd = serve(registry, host=args.host, port=args.port, cors=args.cors,
+                  sql_runner=sql_runner)
     host, port = httpd.server_address
     print(
         f"serving {len(names)} datasets + {n_queries} queries "
@@ -273,6 +284,11 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--tables", default=None, help="comma-separated subset")
     s.add_argument("--batch-rows", type=int, default=4096)
     s.add_argument("--cors", action="store_true")
+    s.add_argument(
+        "--sql",
+        action="store_true",
+        help="enable GET /query?sql=... (tables become temp views)",
+    )
     s.add_argument(
         "--asgi",
         action="store_true",

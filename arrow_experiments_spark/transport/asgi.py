@@ -94,9 +94,11 @@ def _json(obj, status: int = 200):
     return status, [("content-type", "application/json")], [body]
 
 
-def make_asgi_app(registry: DatasetRegistry, cors: bool = False):
+def make_asgi_app(registry: DatasetRegistry, cors: bool = False, sql_runner=None):
     """Build the ASGI 3 application fronting ``registry`` — the uvicorn/
-    FastAPI-deployable twin of ``serve()``'s threaded handler."""
+    FastAPI-deployable twin of ``serve()``'s threaded handler.  With
+    ``sql_runner`` (str -> RecordBatchReader) it also answers
+    ``GET /query?sql=...``."""
 
     def cors_headers() -> list[tuple[str, str]]:
         if not cors:
@@ -106,6 +108,41 @@ def make_asgi_app(registry: DatasetRegistry, cors: bool = False):
             ("access-control-allow-methods", "GET, POST"),
             ("access-control-allow-headers", "Content-Type"),
         ]
+
+    def get_query(params: dict[str, str], headers: _Headers):
+        """Ad-hoc SQL entry point, parity with the threaded form's
+        GET /query?sql=... (404 without a runner, 400 on planner error)."""
+        if sql_runner is None:
+            return 404, [("content-length", "0")], []
+        from urllib.parse import unquote_plus
+
+        sql = unquote_plus(params.get("sql", "")).strip()
+        if not sql:
+            return _json({"error": "missing sql parameter"}, status=400)
+        try:
+            reader = sql_runner(sql)
+        except Exception as e:  # noqa: BLE001 — planner errors -> 400
+            return _json({"error": str(e).split("\n")[0][:500]}, status=400)
+        try:
+            strategy = choose_strategy(
+                headers, AVAILABLE_IPC_CODECS, AVAILABLE_CODINGS, "gzip"
+            )
+        except NotAcceptable as e:
+            return _not_acceptable(str(e), headers)
+        if strategy is None:
+            return _not_acceptable("no available coding is acceptable", headers)
+        resp_headers = [
+            (
+                "content-type",
+                f"{ARROW_STREAM_CONTENT_TYPE}; codecs={strategy[9:]}"
+                if strategy.startswith("identity+")
+                else ARROW_STREAM_CONTENT_TYPE,
+            ),
+            ("content-disposition", 'attachment; filename="output.arrows"'),
+        ]
+        if not strategy.startswith("identity"):
+            resp_headers.append(("content-encoding", strategy))
+        return 200, resp_headers, encode_ipc_chunks(reader.schema, reader, strategy)
 
     def get_catalog(host: str):
         listing = {
@@ -319,7 +356,9 @@ def make_asgi_app(registry: DatasetRegistry, cors: bool = False):
         headers = _Headers(scope.get("headers", []))
         host = headers.get("Host", "localhost")
 
-        if method == "GET" and path == "/catalog":
+        if method == "GET" and path == "/query":
+            status, headers_out, chunks = get_query(params, headers)
+        elif method == "GET" and path == "/catalog":
             resp = get_catalog(host)
         elif method == "GET" and path.startswith("/datasets/") and path.endswith(
             "/describe"
@@ -358,6 +397,7 @@ def serve_asgi(
     host: str = "127.0.0.1",
     port: int = 8008,
     cors: bool = False,
+    sql_runner=None,
 ) -> None:
     """Run the ASGI app under uvicorn (the reference's fastapi_uvicorn
     posture).  uvicorn is not part of the engine's pinned environment —
@@ -369,4 +409,8 @@ def serve_asgi(
             "serve_asgi requires uvicorn (pip install uvicorn); the "
             "threaded form `serve()` has identical protocol behavior"
         ) from e
-    uvicorn.run(make_asgi_app(registry, cors=cors), host=host, port=port)
+    uvicorn.run(
+        make_asgi_app(registry, cors=cors, sql_runner=sql_runner),
+        host=host,
+        port=port,
+    )

@@ -28,6 +28,11 @@ Endpoints (the union of the reference's protocol patterns):
                                       (SURVEY.md §2.5; transport/dissociated.py)
   GET  /datasets/{name}/body          dissociated body stream: tagged,
                                       8-byte-padded body buffers
+  GET  /query?sql=...                 ad-hoc SQL through the engine's
+                                      sql_runner (enabled by
+                                      serve(sql_runner=...); Catalyst-
+                                      planned when fronting Spark), same
+                                      negotiated Arrow egress
 
 The server is engine-agnostic: datasets are callables returning a
 ``pa.RecordBatchReader`` so it can front Spark DataFrames (see
@@ -274,6 +279,9 @@ def resolve_range(header: str, total: int) -> tuple[int, int] | None:
 class ArrowHttpHandler(BaseHTTPRequestHandler):
     registry: DatasetRegistry  # set by serve()
     enable_cors: bool = False
+    # optional ad-hoc SQL entry point: str -> RecordBatchReader (set by
+    # serve(sql_runner=...); None disables GET /query)
+    sql_runner = None
 
     # ---- helpers ----------------------------------------------------------
 
@@ -315,7 +323,9 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
         path, _, query = self.path.partition("?")
         params = dict(p.split("=", 1) if "=" in p else (p, "1") for p in query.split("&") if p)
-        if path == "/catalog":
+        if path == "/query":
+            self._get_query(params)
+        elif path == "/catalog":
             self._get_catalog()
         elif path.startswith("/datasets/") and path.endswith("/describe"):
             self._get_describe(path[len("/datasets/") : -len("/describe")])
@@ -404,6 +414,66 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
         self.end_headers()
         write_chunked(self.wfile, encode(reader))
 
+    def _get_query(self, params: dict[str, str]) -> None:
+        """Ad-hoc SQL entry point (SURVEY.md §7 Phase 1): ``GET
+        /query?sql=...`` plans the statement through the engine's
+        ``sql_runner`` (Catalyst, when the server fronts a SparkSession)
+        and streams the result with the same negotiated Arrow egress as
+        any dataset.  404 when the server was started without a runner;
+        400 with the planner's message on bad SQL."""
+        if self.sql_runner is None:
+            self._send_404()
+            return
+        from urllib.parse import unquote_plus
+
+        sql = unquote_plus(params.get("sql", "")).strip()
+        if not sql:
+            self._send_json({"error": "missing sql parameter"}, status=400)
+            return
+        try:
+            reader = self.sql_runner(sql)
+        except Exception as e:  # noqa: BLE001 — planner errors → 400
+            self._send_json({"error": str(e).split("\n")[0][:500]}, status=400)
+            return
+        self._stream_negotiated(reader)
+
+    def _stream_negotiated(self, reader: pa.RecordBatchReader) -> None:
+        """Negotiate a strategy and stream ``reader`` — the shared tail of
+        the dataset and ad-hoc query paths."""
+        http10 = self.request_version == "HTTP/1.0"
+        self.protocol_version = "HTTP/1.0" if http10 else "HTTP/1.1"
+        default = "identity" if http10 else "gzip"
+        try:
+            strategy = choose_strategy(
+                self.headers, AVAILABLE_IPC_CODECS, AVAILABLE_CODINGS, default
+            )
+        except NotAcceptable as e:
+            self._send_406(str(e))
+            return
+        if strategy is None:
+            self._send_406("no available coding is acceptable")
+            return
+        self.send_response(200)
+        self._cors()
+        if strategy.startswith("identity+"):
+            self.send_header(
+                "Content-Type", f"{ARROW_STREAM_CONTENT_TYPE}; codecs={strategy[9:]}"
+            )
+        else:
+            self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
+        self.send_header("Content-Disposition", 'attachment; filename="output.arrows"')
+        if not strategy.startswith("identity"):
+            self.send_header("Content-Encoding", strategy)
+        chunks = encode_ipc_chunks(reader.schema, reader, strategy)
+        if http10:
+            self.end_headers()
+            for chunk in chunks:
+                self.wfile.write(chunk)
+        else:
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            write_chunked(self.wfile, chunks)
+
     def _get_dataset(self, name: str, params: dict[str, str]) -> None:
         reader = self.registry.reader(name)
         if reader is None:
@@ -470,27 +540,7 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
                     write_chunked(self.wfile, slices)
                 return
 
-        self.send_response(200)
-        self._cors()
-        if strategy.startswith("identity+"):
-            self.send_header(
-                "Content-Type", f"{ARROW_STREAM_CONTENT_TYPE}; codecs={strategy[9:]}"
-            )
-        else:
-            self.send_header("Content-Type", ARROW_STREAM_CONTENT_TYPE)
-        self.send_header("Content-Disposition", 'attachment; filename="output.arrows"')
-        if not strategy.startswith("identity"):
-            self.send_header("Content-Encoding", strategy)
-
-        chunks = encode_ipc_chunks(reader.schema, reader, strategy)
-        if http10:
-            self.end_headers()
-            for chunk in chunks:
-                self.wfile.write(chunk)
-        else:
-            self.send_header("Transfer-Encoding", "chunked")
-            self.end_headers()
-            write_chunked(self.wfile, chunks)
+        self._stream_negotiated(reader)
 
     def _send_multipart(self, name: str, reader: pa.RecordBatchReader) -> None:
         boundary = make_boundary()
@@ -602,14 +652,20 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
 
 
 def serve(
-    registry: DatasetRegistry, host: str = "127.0.0.1", port: int = 0, cors: bool = False
+    registry: DatasetRegistry,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    cors: bool = False,
+    sql_runner=None,
 ) -> ThreadingHTTPServer:
     """Start the server on a background thread; returns the server object
-    (``server_address`` carries the bound port when port=0)."""
+    (``server_address`` carries the bound port when port=0).  With
+    ``sql_runner`` (str -> RecordBatchReader) the server also answers
+    ``GET /query?sql=...``."""
     handler = type(
         "BoundArrowHttpHandler",
         (ArrowHttpHandler,),
-        {"registry": registry, "enable_cors": cors},
+        {"registry": registry, "enable_cors": cors, "sql_runner": staticmethod(sql_runner) if sql_runner else None},
     )
     httpd = ThreadingHTTPServer((host, port), handler)
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)

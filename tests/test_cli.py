@@ -31,6 +31,7 @@ def cli_server():
             "--tables",
             "region,nation",
             "--queries",
+            "--sql",
         ],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
@@ -206,3 +207,32 @@ def test_cli_serve_sockets_spark_tables():
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_cli_adhoc_sql_query(cli_server):
+    """GET /query?sql=... plans ad-hoc SQL through the served Spark
+    session and streams the Arrow result."""
+    from urllib.parse import quote_plus
+
+    sql = "SELECT n_name FROM nation ORDER BY n_name LIMIT 3"
+    table, _ = fetch_arrow(
+        f"{cli_server}/query?sql={quote_plus(sql)}", accept_encoding="identity"
+    )
+    assert table.num_rows == 3
+    assert table.column_names == ["n_name"]
+    names = table.column("n_name").to_pylist()
+    assert names == sorted(names)
+
+
+def test_cli_adhoc_sql_bad_statement(cli_server):
+    import urllib.error
+    import urllib.request
+    from urllib.parse import quote_plus
+
+    import pytest as _pytest
+
+    with _pytest.raises(urllib.error.HTTPError) as exc_info:
+        urllib.request.urlopen(
+            f"{cli_server}/query?sql={quote_plus('SELECT nope FROM nowhere')}"
+        )
+    assert exc_info.value.code == 400

@@ -618,3 +618,56 @@ def test_identity_body_cache_invalidated_on_reregistration():
     reg.register_table("d", t2)
     body2 = reg.identity_body("d")
     assert pa.ipc.open_stream(bytes(body2)).read_all().equals(t2)
+
+
+def test_adhoc_sql_endpoint_with_pluggable_runner(table):
+    """The /query endpoint is engine-agnostic: any str -> reader runner
+    plugs in (DuckDB here, Catalyst in the CLI); bad SQL maps to 400 and
+    a missing runner to 404."""
+    import urllib.error
+    import urllib.request
+    from urllib.parse import quote_plus
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("bench", table.to_pandas())
+
+    def runner(sql: str) -> pa.RecordBatchReader:
+        tbl = con.execute(sql).arrow()
+        if isinstance(tbl, pa.RecordBatchReader):
+            return tbl
+        return pa.RecordBatchReader.from_batches(tbl.schema, tbl.to_batches())
+
+    registry = DatasetRegistry()
+    httpd = serve(registry, sql_runner=runner)
+    host, port = httpd.server_address
+    try:
+        sql = quote_plus("SELECT a, b FROM bench WHERE a < 5 ORDER BY a")
+        req = urllib.request.Request(
+            f"http://{host}:{port}/query?sql={sql}",
+            headers={"Accept-Encoding": "identity"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Type"].startswith(
+                "application/vnd.apache.arrow.stream"
+            )
+            got = pa.ipc.open_stream(resp.read()).read_all()
+        assert got.num_rows == 5
+        assert got.column_names == ["a", "b"]
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(
+                f"http://{host}:{port}/query?sql={quote_plus('SELECT nope')}"
+            )
+        assert exc_info.value.code == 400
+    finally:
+        httpd.shutdown()
+    # no runner → 404
+    httpd2 = serve(DatasetRegistry())
+    host2, port2 = httpd2.server_address
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            urllib.request.urlopen(f"http://{host2}:{port2}/query?sql=SELECT%201")
+        assert exc_info.value.code == 404
+    finally:
+        httpd2.shutdown()
