@@ -127,3 +127,71 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )
+
+
+_ASOF_TOL_MICROS = 600_000_000  # 10 minutes
+
+
+@register(
+    "asof_join_tolerance",
+    "custom",
+    doc="as-of join with a match tolerance: like asof_join, but a "
+    "purchase older than 10 minutes is no match (both id and gap go "
+    "NULL).  Same single-shuffle union+window composition — tolerance is "
+    "a post-hoc NULL-out of the carried struct, not a different join, so "
+    "the 100 TB plan is unchanged.  Oracle: DuckDB native ASOF LEFT JOIN "
+    "with the same post-filter.",
+    oracle=f"""
+        WITH m AS (
+            SELECT e.event_id, e.user_id,
+                   p.event_id AS pid,
+                   CAST(date_diff('microsecond', CAST(p.ts AS TIMESTAMP),
+                                  CAST(e.ts AS TIMESTAMP)) AS BIGINT) AS gap
+            FROM (SELECT * FROM events WHERE event_type <> 'purchase') e
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+        )
+        SELECT event_id, user_id,
+               CASE WHEN gap <= {_ASOF_TOL_MICROS} THEN pid END
+                   AS last_purchase_id,
+               CASE WHEN gap <= {_ASOF_TOL_MICROS} THEN gap END
+                   AS micros_since_purchase
+        FROM m
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("struct<pid:bigint,pts:timestamp_ntz>").alias("p"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.struct(F.col("event_id").alias("pid"), F.col("ts").alias("pts")).alias("p"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last("p", ignorenulls=True).over(w).alias("lp"),
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, lp.pts, ts)").cast("bigint")
+    in_tol = gap <= _ASOF_TOL_MICROS
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("lp.pid")).alias("last_purchase_id"),
+        F.when(in_tol, gap).alias("micros_since_purchase"),
+    )

@@ -11,8 +11,10 @@ from pyspark.sql import functions as F
 
 from arrow_experiments_spark.functions.text import (
     FINGERPRINT_SQL,
+    SHINGLES3_SQL,
     TOKENS_SQL,
     fingerprint,
+    shingles3,
     tokens,
 )
 from arrow_experiments_spark.registry import register
@@ -542,4 +544,140 @@ def pipeline_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "shard_id",
         F.row_number().over(w2).cast("bigint").alias("shard_pos"),
+    )
+
+
+# ---- cross-document passage overlap ---------------------------------------
+
+_SH_DISTINCT_SQL = f"list_distinct({SHINGLES3_SQL.format(t=_TOKS_SQL)})"
+
+
+@register(
+    "text_shared_ngram_fraction",
+    "text",
+    doc="C4-style passage-overlap signal: for each document, the fraction "
+    "of its DISTINCT 3-word shingles that also occur in at least one "
+    "other document.  Two shuffles, both bounded: a groupBy on shingle "
+    "(document-frequency table — vocabulary-cubed in principle, Heaps-law "
+    "sublinear in practice, same posture as text_tfidf_top_terms' term "
+    "table) and a regroup on doc_id.  No pair emission at all — this is "
+    "the per-document overlap SCORE, the cheap filter that runs before "
+    "any pairwise near-dup join at 100 TB.  All counts are exact "
+    "integers; the only double op is the final division (NULL for "
+    "shingle-less docs under 3 tokens, both engines).",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, unnest({_SH_DISTINCT_SQL}) AS sh FROM documents
+        ), df AS (
+            SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s GROUP BY sh
+        ), per AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shared
+            FROM s JOIN df USING (sh) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(per.n_shingles, 0) AS n_shingles,
+               COALESCE(per.n_shared, 0) AS n_shared,
+               CAST(per.n_shared AS DOUBLE) / NULLIF(per.n_shingles, 0)
+                   AS shared_fraction
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def text_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles3(tokens(F.col("text"))))
+        ).alias("sh"),
+    )
+    df_tab = sh.groupBy("sh").agg(F.count("*").cast("bigint").alias("n_docs"))
+    per = (
+        sh.join(df_tab, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    # Left join back so shingle-less documents (<3 tokens) keep a row —
+    # they are exactly the ones a quality filter must still see.
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shingles"), F.lit(0).cast("bigint")).alias(
+            "n_shingles"
+        ),
+        F.coalesce(F.col("n_shared"), F.lit(0).cast("bigint")).alias("n_shared"),
+        F.try_divide(
+            F.col("n_shared").cast("double"), F.col("n_shingles")
+        ).alias("shared_fraction"),
+    )
+
+
+# ---- training-chunk windowing ---------------------------------------------
+
+_CHUNK_W = 32  # window size (tokens)
+_CHUNK_S = 24  # stride (tokens) — W > S gives 8-token overlap
+
+
+@register(
+    "text_chunk_windows",
+    "text",
+    doc="context-window chunking for training: each document splits into "
+    f"overlapping token windows (size {_CHUNK_W}, stride {_CHUNK_S}) — "
+    "the standard pre-tokenization step before sequence packing "
+    "(pipeline_pack_shards is the complementary op).  Entirely row-local: "
+    "sequence + explode + slice, zero shuffle at any corpus scale; chunk "
+    "count per doc is ceil(n_tokens/stride), so output is a constant "
+    "factor of input tokens, never quadratic.  chunk_hash (md5 over the "
+    "space-joined window) gives downstream exact-dedup a ready key.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_S}.0) AS BIGINT)))
+                       AS chunk_id
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(chunk_id * {_CHUNK_S} AS INT) AS start_tok,
+               CAST(least({_CHUNK_W}, len(toks) - chunk_id * {_CHUNK_S}) AS INT)
+                   AS n_chunk_tokens,
+               md5(array_to_string(
+                   toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}],
+                   ' ')) AS chunk_hash
+        FROM c
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    chunked = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.ceil(n / float(_CHUNK_S)).cast("int") - 1
+            )
+        ).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * _CHUNK_S
+    window_toks = F.slice(F.col("toks"), start + 1, _CHUNK_W)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("int").alias("start_tok"),
+        F.least(F.lit(_CHUNK_W), F.size("toks") - start)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", window_toks).cast("binary")).alias("chunk_hash"),
     )

@@ -304,3 +304,116 @@ def test_cosine_ops_exclude_zero_vectors(spark, tmp_path):
     dd = dedup_embedding_cosine(spark, sf).collect()
     ids = {r["vec_id_a"] for r in dd} | {r["vec_id_b"] for r in dd}
     assert 2 not in ids
+
+
+def test_shared_ngram_fraction_semantics(spark, tmp_path):
+    """Doc 1 and 2 share their single shingle; doc 3 is unique; doc 4 is
+    too short for any shingle but must keep a row (the filter still has
+    to see it)."""
+    from arrow_experiments_spark.operators.text import text_shared_ngram_fraction
+
+    sf = _write_documents(
+        tmp_path,
+        [
+            (1, "alpha beta gamma", "en", "s", 16),
+            (2, "alpha beta gamma", "en", "s", 16),
+            (3, "delta epsilon zeta", "en", "s", 18),
+            (4, "tiny doc", "en", "s", 8),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["shared_fraction"])
+        for r in text_shared_ngram_fraction(spark, sf).collect()
+    }
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, None)
+
+
+def test_chunk_windows_cover_and_overlap(spark, tmp_path):
+    """Chunks tile every token with stride-sized steps: 80 tokens at
+    W=32/S=24 -> 4 chunks starting 0/24/48/72, last one 8 tokens; chunk
+    hashes of identical windows in different docs agree (ready exact-dedup
+    key)."""
+    from arrow_experiments_spark.operators.text import (
+        _CHUNK_S,
+        _CHUNK_W,
+        text_chunk_windows,
+    )
+
+    words = " ".join(f"w{i}" for i in range(80))
+    sf = _write_documents(
+        tmp_path,
+        [(1, words, "en", "s", len(words)), (2, words, "en", "s", len(words))],
+    )
+    rows = text_chunk_windows(spark, sf).collect()
+    d1 = sorted(
+        (r["chunk_id"], r["start_tok"], r["n_chunk_tokens"], r["chunk_hash"])
+        for r in rows
+        if r["doc_id"] == 1
+    )
+    assert [(c, s, n) for c, s, n, _ in d1] == [
+        (0, 0, 32),
+        (1, 24, 32),
+        (2, 48, 32),
+        (3, 72, 8),
+    ]
+    # full coverage: every token index < 80 falls in some [start, start+n)
+    covered = set()
+    for _, s, n, _ in d1:
+        covered.update(range(s, s + n))
+    assert covered == set(range(80))
+    # cross-doc identical windows hash identically
+    d2 = sorted(
+        (r["chunk_id"], r["start_tok"], r["n_chunk_tokens"], r["chunk_hash"])
+        for r in rows
+        if r["doc_id"] == 2
+    )
+    assert d1 == d2
+    assert _CHUNK_W > _CHUNK_S  # overlap invariant the doc promises
+
+
+def test_ann_recall_eval_bounds(spark):
+    """Recall is in [0,1], n_exact==3 for every probe on the real table,
+    and a probe whose LSH bucket holds its true neighbors scores 1.0
+    overall mean recall must be positive (buckets are not adversarial)."""
+    from arrow_experiments_spark.operators.similarity import ann_recall_eval
+
+    from conftest import SF_DIR
+
+    rows = ann_recall_eval(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["n_exact"] == 3
+        assert 0 <= r["n_hits"] <= 3
+        assert 0.0 <= r["recall"] <= 1.0
+    assert sum(r["recall"] for r in rows) > 0
+
+
+def test_asof_tolerance_nulls_stale_purchase(spark, tmp_path):
+    """A purchase 11 minutes before the event is found by plain as-of but
+    NULLed by the tolerance variant; a 5-minute-old one survives both."""
+    from arrow_experiments_spark.operators.asof import (
+        asof_join,
+        asof_join_tolerance,
+    )
+
+    minute = 60 * 1_000_000 * 1_000  # ns
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 0 * minute, 1, "purchase"),
+            (2, 11 * minute, 1, "view"),      # 11 min after purchase 1
+            (3, 20 * minute, 2, "purchase"),
+            (4, 25 * minute, 2, "view"),      # 5 min after purchase 3
+        ],
+    )
+    plain = {r["event_id"]: r for r in asof_join(spark, sf).collect()}
+    tol = {r["event_id"]: r for r in asof_join_tolerance(spark, sf).collect()}
+    assert plain[2]["last_purchase_id"] == 1
+    assert tol[2]["last_purchase_id"] is None
+    assert tol[2]["micros_since_purchase"] is None
+    assert plain[4]["last_purchase_id"] == 3
+    assert tol[4]["last_purchase_id"] == 3
+    assert tol[4]["micros_since_purchase"] == 5 * 60 * 1_000_000

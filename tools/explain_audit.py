@@ -70,6 +70,10 @@ AUDIT = [
     "text_tfidf_top_terms",
     "pipeline_importance_sample",
     "events_transition_matrix",
+    "text_shared_ngram_fraction",
+    "text_chunk_windows",
+    "ann_recall_eval",
+    "asof_join_tolerance",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
@@ -83,6 +87,8 @@ AUDIT = [
 # streams once, which is the intended shape.
 CARTESIAN_OK = {
     "knn_bruteforce_cosine",
+    "ann_recall_eval",  # exact side = knn's 10-probe broadcast scoring
+
     "text_unigram_popularity",
     "text_tfidf_top_terms",  # 1-row broadcast corpus-total, same as unigram
     "embedding_kmeans_step",  # vectors x k centroid arrays (k = #labels)
@@ -106,6 +112,7 @@ BOUNDED_BROADCAST_OK = {
     "dedup_embedding_cosine": {"embeddings"},
     "dedup_embedding_topk": {"embeddings"},
     "decontaminate_ngram_overlap": {"documents"},
+    "ann_recall_eval": {"embeddings"},  # vec_id < 10 probe set, twice
 }
 
 
