@@ -276,3 +276,43 @@ def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_us",
         "duration_us",
     )
+
+
+@register(
+    "events_hourly_unique_users",
+    "events",
+    doc="hourly audience dashboard: exact distinct users, event count, "
+    "and events-per-user per hour bucket.  Exact distinct per bucket is "
+    "a two-phase shuffle (dedup on (bucket, user), then regroup on "
+    "bucket) — Spark plans exactly that expansion; at 100 TB the same "
+    "query swaps approx_count_distinct in (agg_approx shows the "
+    "tolerance-gated pattern) and the shuffle drops to one pass of "
+    "HLL partials.",
+    oracle=f"""
+        SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                        '{_FMT_DUCK}') AS bucket_start,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               COUNT(*) AS n_events,
+               CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT user_id)
+                   AS events_per_user
+        FROM events
+        GROUP BY 1
+    """,
+)
+def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("bucket_start"),
+            "n_users",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n_users")).alias(
+                "events_per_user"
+            ),
+        )
+    )

@@ -1021,3 +1021,39 @@ def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "join_null_safe",
+    "join",
+    doc="null-safe equality join (Spark `<=>` / SQL IS NOT DISTINCT "
+    "FROM): two per-bucket aggregates over events joined on a bucket key "
+    "that is NULL for one group (user_id % 7 = 0 → NULL) — plain "
+    "equality would silently drop the NULL bucket on both sides; the "
+    "null-safe operator matches it.  Plans as an ordinary hash join "
+    "(coalesce-style key normalization), so the scale posture is "
+    "identical to any equi-join.",
+    oracle="""
+        WITH a AS (
+            SELECT NULLIF(user_id % 7, 0) AS bucket, COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        ), b AS (
+            SELECT NULLIF(user_id % 7, 0) AS bucket,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        )
+        SELECT a.bucket, a.n_events, b.n_users
+        FROM a JOIN b ON a.bucket IS NOT DISTINCT FROM b.bucket
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bucket = F.nullif(F.col("user_id") % 7, F.lit(0)).alias("bucket")
+    a = ev.groupBy(bucket).agg(F.count(F.lit(1)).alias("n_events"))
+    b = ev.groupBy(bucket).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return a.join(
+        b.withColumnRenamed("bucket", "b_bucket"),
+        a["bucket"].eqNullSafe(F.col("b_bucket")),
+    ).select("bucket", "n_events", "n_users")

@@ -587,12 +587,23 @@ _SH_DISTINCT_SQL = f"list_distinct({SHINGLES3_SQL.format(t=_TOKS_SQL)})"
 )
 def text_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles3(tokens(F.col("text"))))
-        ).alias("sh"),
+    # Two persist barriers (the dedup_minhash_lsh pattern): first after
+    # tokenization — otherwise each element_at inside the shingle lambda
+    # re-inlines the whole split/filter tokenizer (no CSE across HOF
+    # lambdas; measured 14.4 s → ~2 s on the shingle stage alone at 1×) —
+    # then after the explode, which feeds BOTH the document-frequency
+    # aggregate and the scoring join.  repartition first: one input split
+    # at test SF would serialize the chain; at 100 TB it's a no-op.
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(par)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .persist()
     )
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles3(F.col("toks")))).alias("sh"),
+    ).persist()
     df_tab = sh.groupBy("sh").agg(F.count("*").cast("bigint").alias("n_docs"))
     per = (
         sh.join(df_tab, "sh")
@@ -680,4 +691,110 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", window_toks).cast("binary")).alias("chunk_hash"),
+    )
+
+
+# ---- incremental corpus refresh -------------------------------------------
+
+
+@register(
+    "pipeline_snapshot_upsert",
+    "text",
+    doc="CDC-style incremental corpus refresh: a delta feed (every 10th "
+    "document revised — version 2, re-counted chars) merges into the "
+    "base snapshot, latest version per doc_id winning.  The merge is "
+    "union + one row_number window keyed on doc_id — a single shuffle "
+    "proportional to base+delta; at 100 TB the snapshot is partitioned "
+    "(hash(doc_id) or ingest-date) so the delta join touches only "
+    "matching partitions (merge-on-read posture).  The delta is derived "
+    "deterministically from the same table so both engines see an "
+    "identical feed.",
+    oracle="""
+        WITH base AS (
+            SELECT doc_id, CAST(1 AS INT) AS version, n_chars FROM documents
+        ), delta AS (
+            SELECT doc_id, CAST(2 AS INT) AS version,
+                   n_chars + 7 AS n_chars
+            FROM documents WHERE doc_id % 10 = 0
+        ), merged AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY version DESC) AS rn
+            FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        )
+        SELECT doc_id, version, n_chars,
+               version = 2 AS is_updated
+        FROM merged WHERE rn = 1
+    """,
+)
+def pipeline_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.lit(1).cast("int").alias("version"), "n_chars"
+    )
+    delta = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.lit(2).cast("int").alias("version"),
+        (F.col("n_chars") + 7).alias("n_chars"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(delta)
+        .select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "version",
+            "n_chars",
+            (F.col("version") == 2).alias("is_updated"),
+        )
+    )
+
+
+# ---- adaptive quality gate ------------------------------------------------
+
+
+@register(
+    "pipeline_quality_gate_quantile",
+    "text",
+    doc="adaptive quality gate: keep documents at or above the corpus "
+    "25th percentile of whitespace-token count — the threshold is "
+    "DERIVED from the corpus (one exact-percentile aggregate, snapped to "
+    "6 decimals for interpolation-ulp parity), broadcast as a 1-row "
+    "frame, and applied map-side.  Contrast with pipeline_training_"
+    "select's fixed thresholds: this is the shape used when the quality "
+    "bar must track a drifting corpus.  At 100 TB the exact percentile "
+    "becomes approx_percentile (same plan, sketch partials) and nothing "
+    "else changes.",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), thr AS (
+            SELECT CAST(CAST(quantile_cont(n_tokens, 0.25) AS DECIMAL(28,6))
+                        AS DOUBLE) AS p25
+            FROM t
+        )
+        SELECT doc_id, n_tokens, p25
+        FROM t CROSS JOIN thr
+        WHERE n_tokens >= p25
+    """,
+)
+def pipeline_quality_gate_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    thr = toked.agg(
+        F.expr("percentile(n_tokens, 0.25)")
+        .cast("decimal(28,6)")
+        .cast("double")
+        .alias("p25")
+    )
+    return toked.crossJoin(F.broadcast(thr)).filter(
+        F.col("n_tokens") >= F.col("p25")
     )

@@ -55,6 +55,11 @@ HEADLINE = [
     "multimodal_image_features",
     "text_tfidf_top_terms",
     "events_retention_cohort",
+    # round-5 additions: the bounded passage-overlap scorer (the cheap
+    # pre-filter that runs before any pairwise near-dup join) and the
+    # LSH-vs-exact recall evaluation (sample-tune-then-commit step)
+    "text_shared_ngram_fraction",
+    "ann_recall_eval",
 ]
 
 

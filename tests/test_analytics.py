@@ -417,3 +417,82 @@ def test_asof_tolerance_nulls_stale_purchase(spark, tmp_path):
     assert plain[4]["last_purchase_id"] == 3
     assert tol[4]["last_purchase_id"] == 3
     assert tol[4]["micros_since_purchase"] == 5 * 60 * 1_000_000
+
+
+def test_snapshot_upsert_latest_version_wins(spark, tmp_path):
+    from arrow_experiments_spark.operators.text import pipeline_snapshot_upsert
+
+    sf = _write_documents(
+        tmp_path,
+        [
+            (10, "a b c", "en", "s", 5),   # delta-revised (doc_id % 10 == 0)
+            (11, "d e f", "en", "s", 5),   # base only
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["version"], r["n_chars"], r["is_updated"])
+        for r in pipeline_snapshot_upsert(spark, sf).collect()
+    }
+    assert got[10] == (2, 12, True)   # revised row wins, chars re-counted
+    assert got[11] == (1, 5, False)
+    assert len(got) == 2              # one row per doc — no version dupes
+
+
+def test_quality_gate_threshold_tracks_corpus(spark, tmp_path):
+    """The gate keeps docs >= the corpus p25 of token count — with token
+    counts 1..4 the p25 is 1.75, so only the 1-token doc falls."""
+    from arrow_experiments_spark.operators.text import (
+        pipeline_quality_gate_quantile,
+    )
+
+    sf = _write_documents(
+        tmp_path,
+        [
+            (1, "w", "en", "s", 1),
+            (2, "w w", "en", "s", 3),
+            (3, "w w w", "en", "s", 5),
+            (4, "w w w w", "en", "s", 7),
+        ],
+    )
+    rows = pipeline_quality_gate_quantile(spark, sf).collect()
+    assert sorted(r["doc_id"] for r in rows) == [2, 3, 4]
+    assert all(abs(r["p25"] - 1.75) < 1e-9 for r in rows)
+
+
+def test_hourly_unique_users_counts_distinct(spark, tmp_path):
+    from arrow_experiments_spark.operators.events import (
+        events_hourly_unique_users,
+    )
+
+    us = 1_000
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 10 * us, 1, "view"),
+            (2, 20 * us, 1, "view"),   # same user, same hour
+            (3, 30 * us, 2, "click"),
+        ],
+    )
+    rows = events_hourly_unique_users(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_users"] == 2 and r["n_events"] == 3
+    assert abs(r["events_per_user"] - 1.5) < 1e-12
+
+
+def test_null_safe_join_keeps_null_bucket(spark, tmp_path):
+    """user_id 7 hashes to the NULL bucket (7 % 7 = 0 → NULL); a plain
+    equality join would drop it, the null-safe join must keep it."""
+    from arrow_experiments_spark.operators.relational import join_null_safe
+
+    us = 1_000
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 10 * us, 7, "view"),    # NULL bucket
+            (2, 20 * us, 1, "view"),    # bucket 1
+        ],
+    )
+    rows = {r["bucket"]: r for r in join_null_safe(spark, sf).collect()}
+    assert set(rows) == {None, 1}
+    assert rows[None]["n_events"] == 1 and rows[None]["n_users"] == 1

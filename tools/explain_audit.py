@@ -74,6 +74,10 @@ AUDIT = [
     "text_chunk_windows",
     "ann_recall_eval",
     "asof_join_tolerance",
+    "events_hourly_unique_users",
+    "pipeline_snapshot_upsert",
+    "pipeline_quality_gate_quantile",
+    "join_null_safe",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
@@ -93,6 +97,7 @@ CARTESIAN_OK = {
     "text_tfidf_top_terms",  # 1-row broadcast corpus-total, same as unigram
     "embedding_kmeans_step",  # vectors x k centroid arrays (k = #labels)
     "pipeline_mixture_weights",  # sources x 1-row (n_total, w_sum) frame
+    "pipeline_quality_gate_quantile",  # docs x 1-row percentile threshold
 }
 
 # Broadcast-hint policy: tables whose cardinality is fixed by the schema
