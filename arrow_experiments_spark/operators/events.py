@@ -316,3 +316,49 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_HIST_LO = 0.0
+_HIST_W = 5.0
+_HIST_BINS = 10
+
+
+@register(
+    "events_value_histogram",
+    "events",
+    doc="fixed-bin value histogram per event_type — the data-profiling "
+    f"op: {_HIST_BINS} bins of width {_HIST_W} from {_HIST_LO}, "
+    "overflow clamped into the last bin so the bin count is bounded by "
+    "construction (a groupBy key that can't explode).  One shuffle on "
+    "(event_type, bin); bin assignment is integer floor arithmetic — "
+    "exact in both engines.  At 100 TB this is the map-side-combine "
+    "dream case: partial aggregation reduces each partition to at most "
+    f"types x {_HIST_BINS} rows before the shuffle.",
+    oracle=f"""
+        SELECT event_type,
+               CAST(least(greatest(floor((value - {_HIST_LO}) / {_HIST_W}), 0),
+                          {_HIST_BINS - 1}) AS INT) AS bin,
+               COUNT(*) AS n,
+               CAST(MIN(value) AS DOUBLE) AS min_value,
+               CAST(MAX(value) AS DOUBLE) AS max_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bin_col = (
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - _HIST_LO) / _HIST_W), F.lit(0)
+            ),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    return ev.groupBy("event_type", bin_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )

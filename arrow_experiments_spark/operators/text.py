@@ -798,3 +798,57 @@ def pipeline_quality_gate_quantile(spark: SparkSession, sf_dir: str) -> DataFram
     return toked.crossJoin(F.broadcast(thr)).filter(
         F.col("n_tokens") >= F.col("p25")
     )
+
+
+@register(
+    "text_lang_confusion",
+    "text",
+    doc="classifier-evaluation confusion matrix: the text_language_id "
+    "heuristic's prediction crossed with the labeled lang column — "
+    "counts plus the share of each label's rows per prediction.  The "
+    "matrix is (labels x predictions) rows, bounded by construction; "
+    "one shuffle.  This is the eval op a curation pipeline runs on a "
+    "labeled sample before trusting a cheap classifier at 100 TB (the "
+    "text analog of ann_recall_eval).",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+        pred AS (
+            SELECT lang,
+                   CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                             / NULLIF(len(toks), 0) >= 0.05
+                        THEN 'en_like' ELSE 'other' END AS predicted
+            FROM t
+        ), m AS (
+            SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+        ), tot AS (
+            SELECT lang, SUM(n) AS label_total FROM m GROUP BY 1
+        )
+        SELECT m.lang, m.predicted, m.n,
+               CAST(m.n AS DOUBLE) / tot.label_total AS label_share
+        FROM m JOIN tot USING (lang)
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    toks = tokens(F.col("text"))
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    ratio = F.try_divide(hits.cast("double"), F.size(toks))
+    pred = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.when(ratio >= 0.05, "en_like").otherwise("other").alias(
+                "predicted"
+            ),
+        )
+    )
+    m = pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return m.select(
+        "lang",
+        "predicted",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("label_share"),
+    )

@@ -78,6 +78,8 @@ AUDIT = [
     "pipeline_snapshot_upsert",
     "pipeline_quality_gate_quantile",
     "join_null_safe",
+    "events_value_histogram",
+    "text_lang_confusion",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
