@@ -362,3 +362,71 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").cast("double").alias("min_value"),
         F.max("value").cast("double").alias("max_value"),
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    "events",
+    doc="time-weighted average (hypertable family, LOCF semantics): each "
+    "value holds until the next observation, so the mean is "
+    "sum(value_i * gap_i) / total_span per event_type.  All weights are "
+    "exact integers (value in cents via DECIMAL(18,2), gaps in "
+    "microseconds; products summed as DECIMAL(38,0) — no float-sum "
+    "order sensitivity), one division at the end.  Ties on ts are "
+    "ordered by event_id in BOTH engines so the value-gap pairing is "
+    "deterministic.  One window + one regroup, both keyed on "
+    "event_type; at 100 TB the key becomes (entity, day) exactly as in "
+    "events_rollup_gapfill.",
+    oracle="""
+        WITH o AS (
+            SELECT event_type,
+                   CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS value_cents,
+                   CAST(ts AS TIMESTAMP) AS t,
+                   LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS t_next
+            FROM events
+        ), w AS (
+            SELECT event_type,
+                   SUM(CAST(value_cents AS DECIMAL(38,0))
+                       * date_diff('microsecond', t, t_next)) AS weighted,
+                   CAST(date_diff('microsecond', MIN(t), MAX(t)) AS BIGINT)
+                       AS span_micros,
+                   COUNT(*) AS n_events
+            FROM o GROUP BY event_type
+        )
+        SELECT event_type, n_events, span_micros,
+               CAST(weighted AS DOUBLE) / (100.0 * span_micros) AS twa
+        FROM w
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+        "ts",
+        F.lead("ts").over(w).alias("t_next"),
+    )
+    agg = o.groupBy("event_type").agg(
+        F.sum(
+            F.col("value_cents").cast("decimal(38,0)")
+            * F.expr("timestampdiff(MICROSECOND, ts, t_next)")
+        ).alias("weighted"),
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+        .cast("bigint")
+        .alias("span_micros"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "span_micros",
+        (
+            F.col("weighted").cast("double") / (100.0 * F.col("span_micros"))
+        ).alias("twa"),
+    )

@@ -28,16 +28,17 @@ from arrow_experiments_spark.operators.analytics import (
 _DAY_NS = 86_400_000_000_000
 
 
-def _write_events(tmp_path, rows):
+def _write_events(tmp_path, rows, values=None):
     """rows: (event_id, ts_ns, user_id, event_type) — matches the testdata
-    schema including the TIMESTAMP(NANOS) quirk tables.table() handles."""
+    schema including the TIMESTAMP(NANOS) quirk tables.table() handles.
+    ``values`` overrides the per-row value column (default all 1.0)."""
     tbl = pa.table(
         {
             "event_id": pa.array([r[0] for r in rows], pa.int64()),
             "ts": pa.array([r[1] for r in rows], pa.timestamp("ns")),
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
             "event_type": pa.array([r[3] for r in rows], pa.string()),
-            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "value": pa.array(values or [1.0] * len(rows), pa.float64()),
             "props": pa.array(["{}"] * len(rows), pa.string()),
         }
     )
@@ -539,3 +540,28 @@ def test_lang_confusion_shares_sum_to_one(spark, tmp_path):
     assert got[("en", "en_like")] == 1
     assert got[("en", "other")] == 1
     assert got[("fr", "other")] == 1
+
+
+def test_time_weighted_avg_locf_semantics(spark, tmp_path):
+    """Value 10 holds for 3 minutes, value 40 for 1 minute → TWA
+    (10*3 + 40*1) / 4 = 17.5; the final observation carries no weight."""
+    from arrow_experiments_spark.operators.events import (
+        events_time_weighted_avg,
+    )
+
+    minute = 60 * 1_000_000 * 1_000  # ns
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 0 * minute, 1, "view"),
+            (2, 3 * minute, 1, "view"),
+            (3, 4 * minute, 1, "view"),
+        ],
+        values=[10.0, 40.0, 999.0],
+    )
+    rows = events_time_weighted_avg(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_events"] == 3
+    assert r["span_micros"] == 4 * 60 * 1_000_000
+    assert abs(r["twa"] - 17.5) < 1e-12

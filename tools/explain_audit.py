@@ -80,6 +80,7 @@ AUDIT = [
     "join_null_safe",
     "events_value_histogram",
     "text_lang_confusion",
+    "events_time_weighted_avg",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
