@@ -1057,3 +1057,40 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.withColumnRenamed("bucket", "b_bucket"),
         a["bucket"].eqNullSafe(F.col("b_bucket")),
     ).select("bucket", "n_events", "n_users")
+
+
+@register(
+    "sort_nulls_ordering",
+    "sort",
+    doc="explicit NULL placement in ordering (§2.6 sort row: 'nulls "
+    "first/last'): a nullable bucket key sorted ASC NULLS FIRST with a "
+    "deterministic (value DESC, event_id) tiebreak and a limit that "
+    "straddles the null/non-null boundary — the null rows' presence in "
+    "the limited result IS the semantics under test (Spark ASC defaults "
+    "nulls-first, DESC nulls-last; the query pins it explicitly so the "
+    "plan survives an engine-default change).  TopK(limit, order) plans "
+    "as a per-partition partial top-k + single-reduce merge — no global "
+    "sort shuffle at any scale.",
+    oracle="""
+        SELECT event_id, NULLIF(user_id % 7, 0) AS bucket,
+               CAST(value AS DOUBLE) AS value
+        FROM events
+        ORDER BY NULLIF(user_id % 7, 0) ASC NULLS FIRST, value DESC, event_id
+        LIMIT 10000
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.nullif(F.col("user_id") % 7, F.lit(0)).alias("bucket"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(
+            F.col("bucket").asc_nulls_first(),
+            F.col("value").desc(),
+            F.col("event_id"),
+        )
+        .limit(10000)
+    )

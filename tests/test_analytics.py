@@ -565,3 +565,19 @@ def test_time_weighted_avg_locf_semantics(spark, tmp_path):
     assert r["n_events"] == 3
     assert r["span_micros"] == 4 * 60 * 1_000_000
     assert abs(r["twa"] - 17.5) < 1e-12
+
+
+def test_sort_nulls_first_selects_null_rows(spark, tmp_path):
+    """ASC NULLS FIRST + limit must pick the NULL-bucket rows before any
+    non-null bucket (the limit straddles the boundary)."""
+    from arrow_experiments_spark.operators.relational import sort_nulls_ordering
+
+    us = 1_000
+    sf = _write_events(
+        tmp_path,
+        [(i, i * 10 * us, 7 if i < 3 else 1, "view") for i in range(6)],
+    )
+    rows = sort_nulls_ordering(spark, sf).collect()
+    # users 7 → bucket NULL (3 rows); they must lead the ordering
+    assert [r["bucket"] for r in rows[:3]] == [None, None, None]
+    assert all(r["bucket"] == 1 for r in rows[3:])
