@@ -278,3 +278,42 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("k_shr"),
         F.bit_count(k).cast("bigint").alias("k_pop"),
     )
+
+
+@register(
+    "scalar_timezone",
+    "scalar",
+    doc="timezone conversion (§2.6 date row: to_utc_timestamp): the naive "
+    "event ts interpreted as New-York wall time → UTC, and as UTC → "
+    "New-York wall time.  Both engines resolve through IANA tzdata "
+    "(DuckDB: timezone(tz, ...) pairs; the inner call pins the instant, "
+    "the outer picks the rendering zone — never the session default, "
+    "which would make the oracle depend on container TZ).  The testdata "
+    "spans January (no US DST transition), so wall times are unambiguous.  "
+    "Row-local, zero shuffle.",
+    oracle="""
+        SELECT event_id,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_raw,
+               strftime(timezone('UTC', timezone('America/New_York',
+                        CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S.%f')
+                   AS utc_from_ny,
+               strftime(timezone('America/New_York', timezone('UTC',
+                        CAST(ts AS TIMESTAMP))), '%Y-%m-%d %H:%M:%S.%f')
+                   AS ny_from_utc
+        FROM events
+        WHERE event_id < 2000
+    """,
+)
+def scalar_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("ts_raw"),
+        F.date_format(
+            F.to_utc_timestamp("ts", "America/New_York"), fmt
+        ).alias("utc_from_ny"),
+        F.date_format(
+            F.from_utc_timestamp("ts", "America/New_York"), fmt
+        ).alias("ny_from_utc"),
+    )

@@ -81,6 +81,8 @@ AUDIT = [
     "events_value_histogram",
     "text_lang_confusion",
     "events_time_weighted_avg",
+    "sort_nulls_ordering",
+    "scalar_timezone",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator

@@ -14,9 +14,14 @@ k-way exact duplicates:
 * embeddings: ``vec_id += k * max_id``; every element gets hash-seeded
   noise (±1e-2 scale) so directions spread the way a larger real corpus
   would, rather than stacking identical vectors into one LSH bucket.
+* events: ``event_id += k * max_id`` and ``user_id += k * max_users`` —
+  replica users are NEW users in the same time range, so per-user event
+  density (the partition-size invariant every events-family window keys
+  on) stays constant while row count scales; ts/value/type are kept so
+  window boundaries and value distributions are corpus-like.
 
-Other tables are symlinked unchanged — this family only reads documents
-and embeddings.
+The TPC-H tables are symlinked unchanged — the swept families read
+documents, embeddings and events only.
 
 Usage: python tools/scale_sweep.py [base_sf_dir] [out_md]
 Writes SCALE.md (committed) and prints one JSON line for tooling.
@@ -63,12 +68,15 @@ def build_corpus(spark, base: str, factor: int, dest: str) -> None:
     import pyspark.sql.functions as F
 
     os.makedirs(dest, exist_ok=True)
-    for name in (
-        "region nation customer supplier part orders lineitem events".split()
-    ):
+    for name in "region nation customer supplier part orders lineitem".split():
         link = os.path.join(dest, f"{name}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.join(base, f"{name}.parquet"), link)
+    # a stale events symlink from a pre-events-scaling corpus build must
+    # not swallow the scaled write
+    ev_path = os.path.join(dest, "events.parquet")
+    if os.path.islink(ev_path):
+        os.unlink(ev_path)
 
     docs = spark.read.parquet(f"{base}/documents.parquet")
     max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
@@ -117,6 +125,23 @@ def build_corpus(spark, base: str, factor: int, dest: str) -> None:
     )
     scaled_emb.repartition(max(1, factor // 4)).write.mode("overwrite").parquet(
         f"{dest}/embeddings.parquet"
+    )
+
+    from arrow_experiments_spark.tables import table as _table
+
+    ev = _table(spark, base, "events")
+    max_eid = ev.agg(F.max("event_id")).first()[0] + 1
+    max_uid = ev.agg(F.max("user_id")).first()[0] + 1
+    scaled_ev = ev.select("*", reps).select(
+        (F.col("event_id") + F.col("rep") * max_eid).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * max_uid).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    scaled_ev.repartition(max(1, factor // 4)).write.mode("overwrite").parquet(
+        f"{dest}/events.parquet"
     )
 
 
