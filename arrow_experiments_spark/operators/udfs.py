@@ -110,3 +110,45 @@ def udf_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(_normalize, "event_id bigint, user_id bigint, value_norm double")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    "udf",
+    doc="mapInArrow (§2.6 UDF row): a zero-copy Arrow-batch transform — "
+    "the lowest-overhead Python hook Spark has (no pandas conversion at "
+    "all; pyarrow.compute kernels on the exchanged RecordBatch).  "
+    "Row-local arithmetic only (floor-cents — bit-identical to the "
+    "oracle on the same IEEE doubles — and utf8_upper), so output is "
+    "independent of batch geometry and the oracle comparison stays "
+    "exact.  At 100 TB this is one Arrow batch per task, zero shuffle.",
+    oracle="""
+        SELECT event_id,
+               CAST(floor(value * 100) AS BIGINT) AS value_cents,
+               upper(event_type) AS event_type_uc
+        FROM events
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def batches(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for b in it:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("event_id"),
+                    pc.cast(
+                        pc.floor(pc.multiply(b.column("value"), 100.0)),
+                        pa.int64(),
+                    ),
+                    pc.utf8_upper(b.column("event_type")),
+                ],
+                names=["event_id", "value_cents", "event_type_uc"],
+            )
+
+    return ev.mapInArrow(
+        batches, "event_id bigint, value_cents bigint, event_type_uc string"
+    )

@@ -83,6 +83,7 @@ AUDIT = [
     "events_time_weighted_avg",
     "sort_nulls_ordering",
     "scalar_timezone",
+    "udf_map_in_arrow",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
