@@ -693,8 +693,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measures the all-pair inverted-index scorer at exponent ~1.36 on a "
     "dup-dense corpus, while the LSH candidate stage stays ~0.68 — "
     "verification cost then tracks true near-dups, not corpus size. "
-    "Result = dedup_ngram_jaccard restricted to LSH candidates "
-    "(LSH bounds recall; the verify threshold is exact).",
+    "Result = dedup_ngram_jaccard restricted to LSH candidates — "
+    "literally: the verify stage applies the same language block as the "
+    "exact scorer (tests/test_analytics.py asserts the subset relation "
+    "pair-for-pair, score-for-score), so LSH bounds recall and the "
+    "verify threshold is exact.",
     oracle=_minhash_bands_sql()
     + """
         , cand AS (
@@ -710,7 +713,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand c
         JOIN sh_t x ON x.doc_id = c.ida
         JOIN sh_t y ON y.doc_id = c.idb
-        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+        JOIN documents dx ON dx.doc_id = c.ida
+        JOIN documents dy ON dy.doc_id = c.idb
+        WHERE dx.lang = dy.lang
+          AND CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / NULLIF(len(x.sh) + len(y.sh)
                           - len(list_intersect(x.sh, y.sh)), 0) >= 0.02
     """,
@@ -724,13 +730,25 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
         .persist()
-        .select("doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(shingles3(F.col("toks"))).alias("sh"),
+        )
         .persist()
     )
-    a = sh.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha"))
-    b = sh.select(F.col("doc_id").alias("idb"), F.col("sh").alias("shb"))
+    a = sh.select(
+        F.col("doc_id").alias("ida"),
+        F.col("lang").alias("lang_a"),
+        F.col("sh").alias("sha"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("idb"),
+        F.col("lang").alias("lang_b"),
+        F.col("sh").alias("shb"),
+    )
     inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
     jac = F.try_divide(
         inter.cast("double"),
@@ -739,6 +757,7 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a, "ida")
         .join(b, "idb")
+        .filter(F.col("lang_a") == F.col("lang_b"))
         .select(
             F.col("ida").alias("doc_id_a"),
             F.col("idb").alias("doc_id_b"),

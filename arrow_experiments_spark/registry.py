@@ -83,7 +83,11 @@ def _load_operators() -> None:
 _DRIVER_VERIFIED = frozenset({
     # r4 additions
     "agg_pivot", "asof_join", "dedup_embedding_cosine", "dedup_embedding_topk",
-    "dedup_ngram_jaccard_lsh", "events_funnel", "events_interval_join",
+    # dedup_ngram_jaccard_lsh: REMOVED from the verified set in round 5 —
+    # its verify stage gained the exact scorer's language block (making
+    # the documented subset relation literal), so the driver must re-earn
+    # its row before re-checking anything already green.
+    "events_funnel", "events_interval_join",
     "events_retention_cohort", "events_rollup_gapfill",
     "events_transition_matrix", "map_functions", "pipeline_importance_sample",
     "stateful_user_stats", "udf_grouped_map_normalize",

@@ -581,3 +581,29 @@ def test_sort_nulls_first_selects_null_rows(spark, tmp_path):
     # users 7 → bucket NULL (3 rows); they must lead the ordering
     assert [r["bucket"] for r in rows[:3]] == [None, None, None]
     assert all(r["bucket"] == 1 for r in rows[3:])
+
+
+def test_lsh_candidates_are_subset_of_exact_pairs(spark):
+    """Cross-operator consistency on the real corpus: the two-stage
+    LSH-verified pair set must be exactly a subset of the all-pair
+    inverted-index scorer's output (LSH can only MISS pairs — any extra
+    pair would mean the verify stage applies a different Jaccard), and
+    every surviving pair must carry the identical score."""
+    from arrow_experiments_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_lsh,
+    )
+
+    from conftest import SF_DIR
+
+    def pair_key(r):
+        ids = tuple(sorted((r["doc_id_a"], r["doc_id_b"])))
+        return ids, round(r["jaccard"], 9)
+
+    exact = dict(map(pair_key, dedup_ngram_jaccard(spark, SF_DIR).collect()))
+    lsh = dict(map(pair_key, dedup_ngram_jaccard_lsh(spark, SF_DIR).collect()))
+    assert lsh, "LSH stage found no pairs — corpus regression?"
+    missing = set(lsh) - set(exact)
+    assert not missing, f"LSH emitted pairs the exact scorer lacks: {missing}"
+    for ids in lsh:
+        assert lsh[ids] == exact[ids], f"score mismatch on {ids}"
