@@ -105,7 +105,9 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands_sql() -> str:
+def _minhash_bands_sql(extra_cols: str = "") -> str:
+    """CTE chain sh_t → sigs → bands.  ``extra_cols`` (e.g. ", lang")
+    widens sh_t for oracles that also need document attributes."""
     sigs = ",\n               ".join(
         f"{minhash_sig_sql('sh', i)} AS s{i}" for i in range(_N_SIGS)
     )
@@ -115,7 +117,8 @@ def _minhash_bands_sql() -> str:
     )
     return f"""
         WITH sh_t AS (
-            SELECT doc_id, list_distinct({_SH_SQL}) AS sh FROM documents
+            SELECT doc_id{extra_cols}, list_distinct({_SH_SQL}) AS sh
+            FROM documents
         ), sigs AS (
             SELECT doc_id,
                {sigs}
@@ -1042,4 +1045,75 @@ def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 4)
         .select("vec_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@register(
+    "dedup_jaccard_recall_eval",
+    "dedup",
+    doc="LSH-candidate recall evaluation for the text near-dup path (the "
+    "text analog of ann_recall_eval): per language block, what fraction "
+    "of the exact inverted-index scorer's >= 0.02 Jaccard pairs the "
+    "MinHash-band candidate stage proposes.  This is the tune-bands-"
+    "on-a-sample step a 100 TB Jaccard dedup runs before committing: "
+    "the exact side is affordable on the sample, the candidate side is "
+    "the production band join, and the comparison is an equi-join on "
+    "the pair key + one regroup — bounded by the exact pair count.",
+    oracle=_minhash_bands_sql(", lang")
+    + f"""
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ), exact AS (
+            SELECT a.doc_id AS ida, b.doc_id AS idb, a.lang
+            FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                  >= 0.02
+        )
+        SELECT e.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+               CAST(SUM(CASE WHEN c.ida IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_candidate_covered,
+               CAST(SUM(CASE WHEN c.ida IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS recall
+        FROM exact e
+        LEFT JOIN cand c ON e.ida = c.ida AND e.idb = c.idb
+        GROUP BY e.lang
+    """,
+)
+def dedup_jaccard_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_id_a").alias("ida"), F.col("doc_id_b").alias("idb")
+    )
+    lang = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("ida"), "lang"
+    )
+    cand = (
+        _candidate_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("c_ida"),
+            F.col("dst").alias("c_idb"),
+            F.lit(1).alias("covered"),
+        )
+    )
+    joined = (
+        exact.join(lang, "ida")
+        .join(
+            cand,
+            (F.col("ida") == F.col("c_ida")) & (F.col("idb") == F.col("c_idb")),
+            "left",
+        )
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_exact_pairs"),
+        F.coalesce(F.sum("covered"), F.lit(0))
+        .cast("bigint")
+        .alias("n_candidate_covered"),
+        (
+            F.coalesce(F.sum("covered"), F.lit(0)).cast("double") / F.count("*")
+        ).alias("recall"),
     )

@@ -84,6 +84,7 @@ AUDIT = [
     "sort_nulls_ordering",
     "scalar_timezone",
     "udf_map_in_arrow",
+    "dedup_jaccard_recall_eval",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
