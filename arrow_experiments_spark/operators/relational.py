@@ -1094,3 +1094,55 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10000)
     )
+
+
+@register(
+    "set_except_all",
+    "setop",
+    doc="EXCEPT ALL (bag semantics): each o_custkey occurrence in orders "
+    "minus one occurrence per 1995 order — multiplicities subtract "
+    "instead of collapsing, so a customer with 5 orders of which 2 in "
+    "1995 keeps 3 rows.  Spark plans exceptAll as a counted anti-"
+    "semantics aggregate + generate, the same one-shuffle shape as "
+    "EXCEPT.",
+    oracle="""
+        SELECT o_custkey AS k FROM orders
+        EXCEPT ALL
+        SELECT o_custkey AS k FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    all_keys = o.select(F.col("o_custkey").alias("k"))
+    y1995 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select(F.col("o_custkey").alias("k"))
+    return all_keys.exceptAll(y1995)
+
+
+@register(
+    "set_intersect_all",
+    "setop",
+    doc="INTERSECT ALL (bag semantics): per customer key, "
+    "min(multiplicity in orders, multiplicity in 1995 orders) rows "
+    "survive — the counted intersection.  Same plan family as "
+    "INTERSECT; one shuffle on the key.",
+    oracle="""
+        SELECT o_custkey AS k FROM orders
+        INTERSECT ALL
+        SELECT o_custkey AS k FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    all_keys = o.select(F.col("o_custkey").alias("k"))
+    y1995 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    ).select(F.col("o_custkey").alias("k"))
+    return all_keys.intersectAll(y1995)
