@@ -1117,3 +1117,43 @@ def dedup_jaccard_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("covered"), F.lit(0)).cast("double") / F.count("*")
         ).alias("recall"),
     )
+
+
+@register(
+    "decontaminate_flags",
+    "dedup",
+    doc="bounded-output decontamination: the per-training-document verdict "
+    "(how many eval docs it overlaps >= 3 shingles with, and the worst "
+    "overlap) instead of the full (train, eval) pair list.  This is what "
+    "the pipeline actually consumes — a drop/keep flag per training doc — "
+    "so output is bounded by corpus size no matter how clone-dense the "
+    "eval set is (SCALE.md measures the pair form at exp 1.25 on the "
+    "100x-clone corpus; the pair mass is obligated there, but nothing "
+    "downstream needs it materialized).  Same broadcast eval-index "
+    "map-side join; the extra regroup is keyed on train_id and "
+    "partial-aggregates before the shuffle.",
+    oracle=f"""
+        WITH sh_t AS (
+            SELECT doc_id, source, list_distinct({_SH_SQL}) AS sh FROM documents
+        ), ev AS (
+            SELECT doc_id AS eval_id, unnest(sh) AS s FROM sh_t WHERE source = 'src0'
+        ), tr AS (
+            SELECT doc_id AS train_id, unnest(sh) AS s FROM sh_t WHERE source <> 'src0'
+        ), pairs AS (
+            SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM tr JOIN ev USING (s)
+            GROUP BY train_id, eval_id
+            HAVING COUNT(*) >= 3
+        )
+        SELECT train_id,
+               CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+               CAST(MAX(n_shared) AS BIGINT) AS max_shared
+        FROM pairs GROUP BY train_id
+    """,
+)
+def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = decontaminate_ngram_overlap(spark, sf_dir)
+    return pairs.groupBy("train_id").agg(
+        F.count("*").cast("bigint").alias("n_eval_docs"),
+        F.max("n_shared").cast("bigint").alias("max_shared"),
+    )

@@ -85,6 +85,7 @@ AUDIT = [
     "scalar_timezone",
     "udf_map_in_arrow",
     "dedup_jaccard_recall_eval",
+    "decontaminate_flags",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
@@ -124,6 +125,7 @@ BOUNDED_BROADCAST_OK = {
     "dedup_embedding_cosine": {"embeddings"},
     "dedup_embedding_topk": {"embeddings"},
     "decontaminate_ngram_overlap": {"documents"},
+    "decontaminate_flags": {"documents"},  # same eval-side broadcast
     "ann_recall_eval": {"embeddings"},  # vec_id < 10 probe set, twice
 }
 
