@@ -496,3 +496,111 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("recall"),
     )
+
+
+@register(
+    "ann_recall_eval_ivf",
+    "similarity",
+    doc="recall@3 of the codebook-IVF retriever against exact brute-force "
+    "top-3 — the companion evaluation to ann_recall_eval (which grades "
+    "the hyperplane-LSH retriever).  Together they are the tune-the-"
+    "retriever-on-a-sample step: k (cell count) trades recall against "
+    "cell population exactly as LSH bits do, and this query is how that "
+    "trade is measured before committing the full-corpus cell join.",
+    oracle=f"""
+        WITH nz AS ({_NZ_SQL}), cells AS (
+            SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
+            FROM nz
+        ), exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+                FROM nz q JOIN nz c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rnk <= 3
+        ), approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+                FROM cells q
+                JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rnk <= 3
+        )
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """,
+)
+def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _nonzero_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        ivf_cell_col(F.col("embedding")).alias("cell"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell").alias("q_cell"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+    )
+    cos = snap6(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_cell") == F.col("c_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+            / F.count("*")
+        ).alias("recall"),
+    )

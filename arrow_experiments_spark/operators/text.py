@@ -852,3 +852,44 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w)).alias("label_share"),
     )
+
+
+@register(
+    "text_dedup_chunk_exact",
+    "text",
+    doc="passage-level exact dedup, composed from the chunker: "
+    "text_chunk_windows' chunk hashes grouped to (canonical chunk, copy "
+    "count, distinct docs) — the C4-style duplicate-passage removal step "
+    "that document-level exact dedup misses (shared boilerplate inside "
+    "otherwise-distinct documents).  Chunking is row-local; the dedup is "
+    "one shuffle on chunk_hash, identical in shape to dedup_exact, so "
+    "the 100 TB posture is the same.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_S}.0) AS BIGINT)))
+                       AS chunk_id
+            FROM t WHERE len(toks) > 0
+        ), h AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       toks[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}],
+                       ' ')) AS chunk_hash
+            FROM c
+        )
+        SELECT chunk_hash,
+               MIN(doc_id) AS canonical_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM h GROUP BY chunk_hash
+    """,
+)
+def text_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = text_chunk_windows(spark, sf_dir)
+    return chunks.groupBy("chunk_hash").agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )

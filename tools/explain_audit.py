@@ -86,6 +86,8 @@ AUDIT = [
     "udf_map_in_arrow",
     "dedup_jaccard_recall_eval",
     "decontaminate_flags",
+    "ann_recall_eval_ivf",
+    "text_dedup_chunk_exact",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
@@ -100,6 +102,7 @@ AUDIT = [
 CARTESIAN_OK = {
     "knn_bruteforce_cosine",
     "ann_recall_eval",  # exact side = knn's 10-probe broadcast scoring
+    "ann_recall_eval_ivf",  # same exact-side shape
 
     "text_unigram_popularity",
     "text_tfidf_top_terms",  # 1-row broadcast corpus-total, same as unigram
@@ -127,6 +130,7 @@ BOUNDED_BROADCAST_OK = {
     "decontaminate_ngram_overlap": {"documents"},
     "decontaminate_flags": {"documents"},  # same eval-side broadcast
     "ann_recall_eval": {"embeddings"},  # vec_id < 10 probe set, twice
+    "ann_recall_eval_ivf": {"embeddings"},  # same probe-set pattern
 }
 
 
