@@ -24,6 +24,49 @@ from arrow_experiments_spark.registry import register
 from arrow_experiments_spark.tables import table
 
 
+def _asof_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-tag + single shuffle on user_id + running last(purchase):
+    the shared core of both as-of variants.  Returns the non-purchase
+    rows with the carried (pid, pts) struct and the inclusive->= gap."""
+    ev = table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("struct<pid:bigint,pts:timestamp_ntz>").alias("p"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.struct(F.col("event_id").alias("pid"), F.col("ts").alias("pts")).alias("p"),
+    )
+    # at equal ts the purchase (side=0) sorts first => inclusive >= semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "side",
+        F.last("p", ignorenulls=True).over(w).alias("lp"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        F.col("lp.pid").alias("pid"),
+        F.expr("timestampdiff(MICROSECOND, lp.pts, ts)")
+        .cast("bigint")
+        .alias("gap"),
+    )
+
+
+
 @register(
     "asof_join",
     "custom",
@@ -41,41 +84,11 @@ from arrow_experiments_spark.tables import table
     """,
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    left = ev.filter(F.col("event_type") != "purchase").select(
+    return _asof_merged(spark, sf_dir).select(
         "event_id",
         "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("struct<pid:bigint,pts:timestamp_ntz>").alias("p"),
-    )
-    right = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-        F.struct(F.col("event_id").alias("pid"), F.col("ts").alias("pts")).alias("p"),
-    )
-    # at equal ts the purchase (side=0) sorts first ⇒ inclusive >= semantics
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = left.unionByName(right).select(
-        "event_id",
-        "user_id",
-        "ts",
-        "side",
-        F.last("p", ignorenulls=True).over(w).alias("lp"),
-    )
-    return merged.filter(F.col("side") == 1).select(
-        "event_id",
-        "user_id",
-        F.col("lp.pid").alias("last_purchase_id"),
-        F.expr("timestampdiff(MICROSECOND, lp.pts, ts)")
-        .cast("bigint")
-        .alias("micros_since_purchase"),
+        F.col("pid").alias("last_purchase_id"),
+        F.col("gap").alias("micros_since_purchase"),
     )
 
 
@@ -160,38 +173,10 @@ _ASOF_TOL_MICROS = 600_000_000  # 10 minutes
     """,
 )
 def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    left = ev.filter(F.col("event_type") != "purchase").select(
+    in_tol = F.col("gap") <= _ASOF_TOL_MICROS
+    return _asof_merged(spark, sf_dir).select(
         "event_id",
         "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("struct<pid:bigint,pts:timestamp_ntz>").alias("p"),
-    )
-    right = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-        F.struct(F.col("event_id").alias("pid"), F.col("ts").alias("pts")).alias("p"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = left.unionByName(right).select(
-        "event_id",
-        "user_id",
-        "ts",
-        "side",
-        F.last("p", ignorenulls=True).over(w).alias("lp"),
-    )
-    gap = F.expr("timestampdiff(MICROSECOND, lp.pts, ts)").cast("bigint")
-    in_tol = gap <= _ASOF_TOL_MICROS
-    return merged.filter(F.col("side") == 1).select(
-        "event_id",
-        "user_id",
-        F.when(in_tol, F.col("lp.pid")).alias("last_purchase_id"),
-        F.when(in_tol, gap).alias("micros_since_purchase"),
+        F.when(in_tol, F.col("pid")).alias("last_purchase_id"),
+        F.when(in_tol, F.col("gap")).alias("micros_since_purchase"),
     )

@@ -387,27 +387,19 @@ def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_recall_eval",
-    "similarity",
-    doc="ANN quality evaluation: recall@3 of the hyperplane-LSH retriever "
-    "against exact brute-force top-3, per probe.  This is the operator a "
-    "100 TB similarity pipeline runs on a SAMPLE to tune bits/bands "
-    "before committing the full-corpus bucket join: the exact side is "
-    "brute-force over the (small) probe set only, the LSH side is the "
-    "production bucket-join shape, and the comparison is an equi-join on "
-    "(query_id, neighbor_id) + one regroup — all bounded by probes x k.  "
-    "Ranks use the same snapped cosine and (cos DESC, vec_id) tie-break "
-    "in both engines, so the retrieved sets are bit-identical.",
-    oracle=f"""
-        WITH nz AS ({_NZ_SQL}), bucketed AS (
-            SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+# ---- retriever recall evaluation -------------------------------------------
+
+# Shared oracle template for the retriever recall evals: {cells} is the
+# bucketed/celled CTE body, {cell} the cell column name.
+_RECALL_ORACLE = """
+        WITH nz AS ({nz}), cells AS (
+            SELECT vec_id, embedding, {cell_expr} AS cell
             FROM nz
         ), exact AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                          ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+                                          ORDER BY {cos} DESC, c.vec_id) AS rnk
                 FROM nz q JOIN nz c ON q.vec_id <> c.vec_id
                 WHERE q.vec_id < 10
             ) WHERE rnk <= 3
@@ -415,115 +407,7 @@ def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT query_id, neighbor_id FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                          ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
-                FROM bucketed q
-                JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-                WHERE q.vec_id < 10
-            ) WHERE rnk <= 3
-        )
-        SELECT e.query_id,
-               CAST(COUNT(*) AS BIGINT) AS n_exact,
-               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_hits,
-               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-                    AS DOUBLE) / COUNT(*) AS recall
-        FROM exact e
-        LEFT JOIN approx a
-          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-        GROUP BY e.query_id
-    """,
-)
-def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _nonzero_embeddings(spark, sf_dir).select(
-        "vec_id",
-        "embedding",
-        _bucket_col(F.col("embedding")).alias("bucket"),
-        norm(F.col("embedding")).alias("nrm"),
-    )
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("bucket").alias("q_bucket"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_norm"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("bucket").alias("c_bucket"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_norm"),
-    )
-    cos = snap6(
-        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    exact = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .select("*", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= 3)
-        .select("query_id", "neighbor_id")
-    )
-    approx = (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("q_bucket") == F.col("c_bucket"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .select("*", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= 3)
-        .select(
-            F.col("query_id").alias("a_query_id"),
-            F.col("neighbor_id").alias("a_neighbor_id"),
-            F.lit(1).alias("hit"),
-        )
-    )
-    joined = exact.join(
-        approx,
-        (F.col("query_id") == F.col("a_query_id"))
-        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-        "left",
-    )
-    return joined.groupBy("query_id").agg(
-        F.count("*").cast("bigint").alias("n_exact"),
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
-        (
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
-            / F.count("*")
-        ).alias("recall"),
-    )
-
-
-@register(
-    "ann_recall_eval_ivf",
-    "similarity",
-    doc="recall@3 of the codebook-IVF retriever against exact brute-force "
-    "top-3 — the companion evaluation to ann_recall_eval (which grades "
-    "the hyperplane-LSH retriever).  Together they are the tune-the-"
-    "retriever-on-a-sample step: k (cell count) trades recall against "
-    "cell population exactly as LSH bits do, and this query is how that "
-    "trade is measured before committing the full-corpus cell join.",
-    oracle=f"""
-        WITH nz AS ({_NZ_SQL}), cells AS (
-            SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
-            FROM nz
-        ), exact AS (
-            SELECT query_id, neighbor_id FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                          ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
-                FROM nz q JOIN nz c ON q.vec_id <> c.vec_id
-                WHERE q.vec_id < 10
-            ) WHERE rnk <= 3
-        ), approx AS (
-            SELECT query_id, neighbor_id FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                          ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+                                          ORDER BY {cos} DESC, c.vec_id) AS rnk
                 FROM cells q
                 JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
                 WHERE q.vec_id < 10
@@ -539,13 +423,19 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN approx a
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
-    """,
-)
-def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _recall_eval(spark: SparkSession, sf_dir: str, cell_col) -> DataFrame:
+    """recall@3 of a cell-restricted retriever vs exact brute-force top-3
+    over the 10-probe set; ``cell_col`` maps an embedding column to its
+    cell id (LSH bucket, IVF cell, ...).  Both sides use the snapped
+    cosine and (cos DESC, vec_id) tie-break, so retrieved sets are
+    bit-identical to the oracle's."""
     emb = _nonzero_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
-        ivf_cell_col(F.col("embedding")).alias("cell"),
+        cell_col(F.col("embedding")).alias("cell"),
         norm(F.col("embedding")).alias("nrm"),
     )
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -604,3 +494,40 @@ def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("recall"),
     )
+
+
+@register(
+    "ann_recall_eval",
+    "similarity",
+    doc="ANN quality evaluation: recall@3 of the hyperplane-LSH retriever "
+    "against exact brute-force top-3, per probe.  This is the operator a "
+    "100 TB similarity pipeline runs on a SAMPLE to tune bits/bands "
+    "before committing the full-corpus bucket join: the exact side is "
+    "brute-force over the (small) probe set only, the LSH side is the "
+    "production bucket-join shape, and the comparison is an equi-join on "
+    "(query_id, neighbor_id) + one regroup — all bounded by probes x k.  "
+    "Ranks use the same snapped cosine and (cos DESC, vec_id) tie-break "
+    "in both engines, so the retrieved sets are bit-identical.",
+    oracle=_RECALL_ORACLE.format(
+        nz=_NZ_SQL, cell_expr=_bucket_sql("embedding"), cos=_COS_SNAP_SQL
+    ),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_eval(spark, sf_dir, _bucket_col)
+
+
+@register(
+    "ann_recall_eval_ivf",
+    "similarity",
+    doc="recall@3 of the codebook-IVF retriever against exact brute-force "
+    "top-3 — the companion evaluation to ann_recall_eval (which grades "
+    "the hyperplane-LSH retriever).  Together they are the tune-the-"
+    "retriever-on-a-sample step: k (cell count) trades recall against "
+    "cell population exactly as LSH bits do, and this query is how that "
+    "trade is measured before committing the full-corpus cell join.",
+    oracle=_RECALL_ORACLE.format(
+        nz=_NZ_SQL, cell_expr=ivf_cell_sql("embedding"), cos=_COS_SNAP_SQL
+    ),
+)
+def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_eval(spark, sf_dir, ivf_cell_col)
