@@ -372,7 +372,9 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sum(value_i * gap_i) / total_span per event_type.  All weights are "
     "exact integers (value in cents via DECIMAL(18,2), gaps in "
     "microseconds; products summed as DECIMAL(38,0) — no float-sum "
-    "order sensitivity), one division at the end.  Ties on ts are "
+    "order sensitivity), one division at the end (NULL for a zero span "
+    "— a single-observation key, inevitable at corpus scale, must not "
+    "abort the job under ANSI mode).  Ties on ts are "
     "ordered by event_id in BOTH engines so the value-gap pairing is "
     "deterministic.  One window + one regroup, both keyed on "
     "event_type; at 100 TB the key becomes (entity, day) exactly as in "
@@ -397,7 +399,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM o GROUP BY event_type
         )
         SELECT event_type, n_events, span_micros,
-               CAST(weighted AS DOUBLE) / (100.0 * span_micros) AS twa
+               CAST(weighted AS DOUBLE) / (100.0 * NULLIF(span_micros, 0)) AS twa
         FROM w
     """,
 )
@@ -427,6 +429,9 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "span_micros",
         (
-            F.col("weighted").cast("double") / (100.0 * F.col("span_micros"))
+            F.try_divide(
+                F.col("weighted").cast("double"),
+                100.0 * F.col("span_micros"),
+            )
         ).alias("twa"),
     )

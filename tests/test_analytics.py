@@ -607,3 +607,18 @@ def test_lsh_candidates_are_subset_of_exact_pairs(spark):
     assert not missing, f"LSH emitted pairs the exact scorer lacks: {missing}"
     for ids in lsh:
         assert lsh[ids] == exact[ids], f"score mismatch on {ids}"
+
+
+def test_time_weighted_avg_single_event_yields_null(spark, tmp_path):
+    """A key with one observation has zero span; under ANSI mode a bare
+    division would abort the whole job — it must yield NULL instead."""
+    from arrow_experiments_spark.operators.events import (
+        events_time_weighted_avg,
+    )
+
+    us = 1_000
+    sf = _write_events(tmp_path, [(1, 10 * us, 1, "view")])
+    rows = events_time_weighted_avg(spark, sf).collect()
+    assert len(rows) == 1
+    assert rows[0]["span_micros"] == 0
+    assert rows[0]["twa"] is None
