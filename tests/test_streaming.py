@@ -186,3 +186,36 @@ def test_streaming_interval_join_equals_batch(spark, events_stream):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_histogram_equals_batch(spark, events_stream):
+    """The fixed-bin value histogram is a pure keyed aggregation, so its
+    streaming (complete-mode) result must match the registered batch
+    query exactly — bin for bin, count for count."""
+    from arrow_experiments_spark.operators.events import (
+        _HIST_BINS,
+        _HIST_LO,
+        _HIST_W,
+        events_value_histogram,
+    )
+
+    bin_col = (
+        F.least(
+            F.greatest(F.floor((F.col("value") - _HIST_LO) / _HIST_W), F.lit(0)),
+            F.lit(_HIST_BINS - 1),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+    stream_agg = events_stream.groupBy("event_type", bin_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
+    )
+    got = _run(stream_agg, spark, "t_histogram", "complete")
+    want = events_value_histogram(spark, SF_DIR)
+    g = {(r["event_type"], r["bin"]): (r["n"], r["min_value"], r["max_value"])
+         for r in got.collect()}
+    w = {(r["event_type"], r["bin"]): (r["n"], r["min_value"], r["max_value"])
+         for r in want.collect()}
+    assert g == w
