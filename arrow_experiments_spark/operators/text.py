@@ -893,3 +893,40 @@ def text_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
     )
+
+
+@register(
+    "pipeline_dedup_incremental",
+    "text",
+    doc="incremental-ingest dedup: a delta feed (every 10th document, the "
+    "same deterministic derivation as pipeline_snapshot_upsert) admits "
+    "only documents whose content hash is UNSEEN in the base corpus — a "
+    "left-anti join on md5(text), the 'have we ingested this before' "
+    "gate every continuously-fed training corpus runs before paying "
+    "near-dup costs.  One shuffle keyed on the hash; at 100 TB the base "
+    "side is a bucketed-by-hash fingerprint table so the anti-join "
+    "co-locates without reshuffling the corpus.",
+    oracle="""
+        WITH delta AS (
+            SELECT doc_id, md5(text) AS content_hash, n_chars
+            FROM documents WHERE doc_id % 10 = 0
+        ), base AS (
+            SELECT DISTINCT md5(text) AS content_hash
+            FROM documents WHERE doc_id % 10 <> 0
+        )
+        SELECT d.doc_id, d.content_hash, d.n_chars
+        FROM delta d
+        WHERE d.content_hash NOT IN (SELECT content_hash FROM base)
+    """,
+)
+def pipeline_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.text import md5_str
+
+    docs = table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", md5_str(F.col("text")).alias("content_hash"), "n_chars"
+    )
+    base = docs.filter(F.col("doc_id") % 10 != 0).select(
+        md5_str(F.col("text")).alias("content_hash")
+    )
+    return delta.join(base, "content_hash", "left_anti")

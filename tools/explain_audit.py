@@ -88,6 +88,7 @@ AUDIT = [
     "decontaminate_flags",
     "ann_recall_eval_ivf",
     "text_dedup_chunk_exact",
+    "pipeline_dedup_incremental",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
