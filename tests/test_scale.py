@@ -265,3 +265,30 @@ def test_dedup_clusters_fallback_matches_converged(spark, monkeypatch):
         tuple(r) for r in dedup.dedup_clusters(spark, sf).collect()
     )
     assert got == want
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
+    """Dynamic partition pruning: a fact table partitioned on the join
+    key, joined to a filtered dimension, must plan a dynamicpruning
+    subquery on the partition column — at 100 TB this is what turns
+    "scan the whole fact table" into "scan the dimension's partitions
+    only".  Verified structurally (the plan carries dynamicpruning#) and
+    semantically (results match an unpartitioned join)."""
+    from arrow_experiments_spark.operators.scale import write_partitioned
+    from arrow_experiments_spark.tables import table
+
+    ev = table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, ["event_type"])
+    fact = spark.read.parquet(out)
+    # dimension: one row per type, filtered to 2 of the 5 types
+    dim = (
+        ev.groupBy("event_type").count()
+        .filter(F.col("event_type").isin("purchase", "signup"))
+        .select("event_type")
+    )
+    joined = fact.join(dim, "event_type")
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    want = ev.join(dim, "event_type").count()
+    assert joined.count() == want
