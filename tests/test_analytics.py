@@ -502,20 +502,21 @@ def test_null_safe_join_keeps_null_bucket(spark, tmp_path):
 def test_value_histogram_clamps_overflow(spark, tmp_path):
     """Values beyond the top bin edge land in the LAST bin (bounded bin
     vocabulary — the groupBy key can't explode on outliers); negatives
-    clamp into bin 0."""
+    clamp into bin 0; interior values bin by floor((v-lo)/w)."""
     from arrow_experiments_spark.operators.events import events_value_histogram
 
     us = 1_000
     sf = _write_events(
         tmp_path,
-        [
-            (1, 10 * us, 1, "view"),   # value column written by helper?
-        ],
+        [(i, (10 + i) * us, 1, "view") for i in range(4)],
+        values=[-3.0, 7.5, 49.99, 1000.0],
     )
-    # helper writes a fixed value; derive expectations from the output
-    rows = events_value_histogram(spark, sf).collect()
-    assert all(0 <= r["bin"] <= 9 for r in rows)
-    assert sum(r["n"] for r in rows) == 1
+    rows = {r["bin"]: r for r in events_value_histogram(spark, sf).collect()}
+    assert rows[0]["n"] == 1 and rows[0]["min_value"] == -3.0   # clamped low
+    assert rows[1]["n"] == 1                                    # 7.5 // 5 = 1
+    assert rows[9]["n"] == 2                                    # top + overflow
+    assert rows[9]["max_value"] == 1000.0                       # clamped high
+    assert set(rows) == {0, 1, 9}
 
 
 def test_lang_confusion_shares_sum_to_one(spark, tmp_path):
