@@ -1146,3 +1146,30 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
     ).select(F.col("o_custkey").alias("k"))
     return all_keys.intersectAll(y1995)
+
+
+@register(
+    "join_cross_small",
+    "join",
+    doc="explicit CROSS JOIN of the two fixed-cardinality dimensions "
+    "(nation 25 x region 5 = 125 rows) — the deliberate-Cartesian "
+    "operator, legitimate exactly when both sides are bounded by "
+    "construction (grids, calendars, parameter sweeps).  Spark plans a "
+    "BroadcastNestedLoopJoin; anything SF-scaled on either side would "
+    "fail this repo's plan audit instead.",
+    oracle="""
+        SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name,
+               n.n_regionkey = r.r_regionkey AS is_home_region
+        FROM nation n CROSS JOIN region r
+    """,
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return n.crossJoin(F.broadcast(r)).select(
+        "n_nationkey",
+        "n_name",
+        "r_regionkey",
+        "r_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home_region"),
+    )

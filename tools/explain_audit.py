@@ -89,6 +89,7 @@ AUDIT = [
     "ann_recall_eval_ivf",
     "text_dedup_chunk_exact",
     "pipeline_dedup_incremental",
+    "join_cross_small",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
@@ -110,6 +111,7 @@ CARTESIAN_OK = {
     "embedding_kmeans_step",  # vectors x k centroid arrays (k = #labels)
     "pipeline_mixture_weights",  # sources x 1-row (n_total, w_sum) frame
     "pipeline_quality_gate_quantile",  # docs x 1-row percentile threshold
+    "join_cross_small",  # deliberate 25 x 5 fixed-dim Cartesian
 }
 
 # Broadcast-hint policy: tables whose cardinality is fixed by the schema
