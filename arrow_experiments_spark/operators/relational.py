@@ -1173,3 +1173,44 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home_region"),
     )
+
+
+@register(
+    "agg_unpivot",
+    "aggregation",
+    doc="unpivot/melt (the pivot's inverse, §2.6 aggregation family): "
+    "three lineitem measures rotate into (measure, value) rows — the "
+    "wide-to-long reshape feeding generic per-measure aggregation "
+    "downstream.  Row-local (each input row becomes 3), zero shuffle "
+    "before the per-measure regroup; Spark plans unpivot as an Expand, "
+    "the same map-side operator rollup/cube use.",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, measure,
+               CAST(value AS DOUBLE) AS value
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_quantity AS DOUBLE) AS quantity,
+                   CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                   CAST(l_discount AS DOUBLE) AS discount
+            FROM lineitem WHERE l_orderkey < 100
+        ) UNPIVOT (value FOR measure IN (quantity, extendedprice, discount))
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "measure",
+        "value",
+    )
