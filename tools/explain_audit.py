@@ -90,6 +90,7 @@ AUDIT = [
     "text_dedup_chunk_exact",
     "pipeline_dedup_incremental",
     "join_cross_small",
+    "agg_unpivot",
     "embedding_label_centroids",
     "events_rollup_gapfill",
     # batch-equivalent plan of the applyInPandasWithState operator
