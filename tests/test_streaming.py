@@ -219,3 +219,71 @@ def test_streaming_histogram_equals_batch(spark, events_stream):
     w = {(r["event_type"], r["bin"]): (r["n"], r["min_value"], r["max_value"])
          for r in want.collect()}
     assert g == w
+
+
+def test_watermark_drops_late_event_across_restart(spark, tmp_path):
+    """The §2.6 'watermark + late-data drop' row, demonstrated for real:
+    batch 1 finalizes the 00:00 window (an event at 02:00 advances the
+    watermark far past it, append mode emits the window); a SECOND run on
+    the same checkpoint then delivers an event back at 00:05 — behind
+    the persisted watermark — and it must be dropped: the finalized
+    window's count never changes and no duplicate window row appears."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    minute = 60 * 1_000_000  # µs
+    write("a.parquet", [(1, 1 * minute), (2, 2 * minute), (3, 120 * minute)])
+
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("start"), "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import datetime
+
+    run_once()
+    first = {r["start"]: r["n"] for r in spark.read.parquet(out).collect()}
+    assert first.get(datetime.datetime(1970, 1, 1, 0, 0)) == 2
+
+    time.sleep(1.1)  # distinct mtime so the source sees a new file
+    write("b.parquet", [(4, 5 * minute)])  # LATE: behind the watermark
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    counts = [r["n"] for r in rows
+              if r["start"] == datetime.datetime(1970, 1, 1)]
+    # the late event neither re-emits the window nor changes its count
+    assert counts == [2], rows
