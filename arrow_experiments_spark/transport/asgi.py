@@ -260,9 +260,10 @@ def make_asgi_app(registry: DatasetRegistry, cors: bool = False, sql_runner=None
             k in params for k in ("columns", "limit", "batch_rows", "multipart")
         )
         if strategy == "identity" and plain:
-            # cached-replay parity with the threaded form; ASGI bodies must
-            # be real bytes per spec, so each slice pays one copy here
-            slices = registry.identity_slices(name)
+            # cached-replay parity with the threaded form (in-memory body
+            # or raw file-backed source); ASGI bodies must be real bytes
+            # per spec, so each slice pays one copy here
+            slices = registry.identity_stream(name)
             if slices is not None:
                 return 200, resp_headers, (bytes(sl) for sl in slices)
         return 200, resp_headers, encode_ipc_chunks(reader.schema, reader, strategy)

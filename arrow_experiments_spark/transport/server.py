@@ -46,7 +46,7 @@ import io
 import json
 import re
 import threading
-from collections.abc import Callable
+from collections.abc import Callable, Iterable
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pyarrow as pa
@@ -154,6 +154,7 @@ class DatasetRegistry:
         self._files: dict[str, bytes] = {}
         self._tables: dict[str, pa.Table] = {}
         self._bodies: dict[str, pa.Buffer] = {}
+        self._raw: dict[str, Callable[[], "Iterable[bytes]"]] = {}
         self._lock = threading.Lock()
 
     def register(
@@ -177,6 +178,7 @@ class DatasetRegistry:
             # must not keep serving the previous table's cached bytes
             self._tables.pop(name, None)
             self._bodies.pop(name, None)
+            self._raw.pop(name, None)
 
     def register_table(self, name: str, table: pa.Table, meta: dict | None = None) -> None:
         def factory() -> pa.RecordBatchReader:
@@ -221,6 +223,31 @@ class DatasetRegistry:
             return None
         step = self.IDENTITY_SLICE_BYTES
         return (body[i : i + step] for i in range(0, len(body), step))
+
+    def register_raw(self, name: str, raw_factory: Callable[[], Iterable[bytes]]) -> None:
+        """Supplement an existing dataset with a pre-encoded identity-IPC
+        byte source (e.g. mmap'd spill artifacts spliced into one stream —
+        sources/arrow_ipc.py raw_spill_stream).  Plain uncompressed GETs
+        then stream these bytes zero-copy instead of re-running the
+        per-batch IPC writer loop; every other request shape (projection,
+        rebatch, compression, multipart, dissociated) still goes through
+        the batch-reader factory.  Call AFTER register() — re-registering
+        the name drops the raw source."""
+        with self._lock:
+            if name not in self._factories:
+                raise KeyError(f"register() {name!r} before register_raw()")
+            self._raw[name] = raw_factory
+
+    def identity_stream(self, name: str):
+        """Zero-copy identity-IPC byte chunks for a plain request, or
+        None: the cached in-memory body for pre-materialized tables, else
+        a registered raw (file-backed) source.  The ONE lookup both
+        server forms use."""
+        slices = self.identity_slices(name)
+        if slices is not None:
+            return slices
+        factory = self._raw.get(name)
+        return factory() if factory is not None else None
 
     def register_file(self, name: str, data: bytes) -> None:
         """Static .arrows artifact served with range support."""
@@ -522,7 +549,7 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
             k in params for k in ("columns", "limit", "batch_rows", "multipart")
         )
         if strategy == "identity" and plain:
-            slices = self.registry.identity_slices(name)
+            slices = self.registry.identity_stream(name)
             if slices is not None:
                 self.send_response(200)
                 self._cors()

@@ -161,60 +161,99 @@ def _bench_replay_10m_x4(spark) -> float:
         httpd.shutdown()
 
 
-def _bench_replay_100m(spark) -> float:
+def _bench_replay_100m(spark) -> dict[str, object]:
     """BASELINE.md S1 at REFERENCE scale: 100,000,000 rows × 4 int64
     (~3 GiB + framing) in 4096-row batches (≈24,415 batches — the
     get_simple workload, http/get_simple/python/server/http.server/
     server.py:33-36), served uncompressed over chunked HTTP and
     stream-decoded.  Generation and spill are distributed (spark.range →
-    mapInArrow spill files); the driver/server side holds O(batch) while
-    serving, so this exercises the bounded-memory egress path at a
-    payload no driver-side toArrow() could safely hold.  Pre-materialize
-    once, then time the fetch — the reference's measurement protocol
-    (client elapsed seconds, get_simple/README.md:37).  Run once per
-    round (too heavy for the two-pass scheme)."""
+    mapInArrow spill files, rebatched to 4096 ON the executors); serving
+    replays the spill artifacts' bytes zero-copy via the spliced raw
+    stream (raw_spill_stream — the spill files already ARE encoded IPC,
+    so the per-request cost is mmap + sendall, no per-batch writer loop;
+    VERDICT r5 #1).  Pre-materialize once, then time the fetch — the
+    reference's measurement protocol (client elapsed seconds,
+    get_simple/README.md:37).
+
+    Returns the single-client attempts (attempt 1 reads the spill from a
+    colder page cache than attempt 2 — both are recorded so the warm/cold
+    distinction is visible, ADVICE r5) plus the 4-concurrent-client run
+    at the same full scale (the reference's Flight comparison uses 4
+    streams, get_simple/README.md:30)."""
     import shutil
+    import subprocess
+    import sys as _sys
     import time as _time
+    from concurrent.futures import ThreadPoolExecutor
 
     from arrow_experiments_spark.sources.arrow_ipc import (
+        register_spilled_files,
         spill_dataframe,
-        spilled_files_reader,
     )
     from arrow_experiments_spark.sources.generators import gen_flight_bench
     from arrow_experiments_spark.transport.client import fetch_arrow
     from arrow_experiments_spark.transport.server import DatasetRegistry, serve
 
     rows = 100_000_000
-    d, files, schema = spill_dataframe(gen_flight_bench(spark, rows=rows))
-    registry = DatasetRegistry()
-    # NO prefetch here, measured: the uncompressed replay's per-batch work
-    # is a memcpy + send, so a reader-side thread handoff per 4096-row
-    # batch (~24k queue hops under the GIL) costs 5.9 -> 9.0 s.  Prefetch
-    # pays only where per-batch work is heavy (the dict-encode + zstd
-    # serve below: 8.0 -> 4.6 s).
-    registry.register(
-        "flight100m", lambda: spilled_files_reader(files, schema, batch_rows=4096)
+    d, files, schema = spill_dataframe(
+        gen_flight_bench(spark, rows=rows), batch_rows=4096
     )
+    registry = DatasetRegistry()
+    raw_active = register_spilled_files(
+        registry, "flight100m", files, schema, batch_rows=4096
+    )
+    assert raw_active, "spill files not splice-eligible — raw serve path inactive"
     httpd = serve(registry)
     host, port = httpd.server_address
+    url = f"http://{host}:{port}/datasets/flight100m"
     try:
-        # best-of-2 fetches: the r5-vs-r4 comparison caught a single-shot
-        # fetch landing in a co-tenant noise window (30.1 s vs 7.0 s
-        # re-measured minutes later) — one repeat bounds that, and the
-        # spill (the expensive half) still happens once.
-        best = float("inf")
+        # two recorded fetches: the r5-vs-r4 comparison caught a
+        # single-shot fetch landing in a co-tenant noise window (30.1 s
+        # vs 7.0 s re-measured minutes later) — one repeat bounds that,
+        # and the spill (the expensive half) still happens once.
+        attempts = []
         for _ in range(2):
             t0 = _time.perf_counter()
             _, metrics = fetch_arrow(
-                f"http://{host}:{port}/datasets/flight100m",
-                accept_encoding="identity",
-                collect_table=False,
+                url, accept_encoding="identity", collect_table=False
             )
-            best = min(best, _time.perf_counter() - t0)
+            attempts.append(round(_time.perf_counter() - t0, 3))
             assert metrics.rows == rows
-            # 100M rows in 4096-row batches → ceil = 24,415 (reference shape)
-            assert metrics.batches == 24_415, metrics.batches
-        return round(best, 3)
+            # 100M rows in 4096-row batches: global ceil = 24,415; the
+            # splice replays per-file bytes verbatim, so each spill
+            # file's partial tail batch stays unmerged → up to one extra
+            # batch per file.
+            assert 24_415 <= metrics.batches <= 24_415 + len(files), metrics.batches
+
+        # ×4 concurrent clients at FULL reference scale (VERDICT r5 #5):
+        # subprocesses (own interpreters), so this measures the threaded
+        # server's GIL-released sendall path, not the harness's GIL.
+        client_code = (
+            "import sys, pyarrow as pa, urllib.request\n"
+            "resp = urllib.request.urlopen(sys.argv[1])\n"
+            "n = sum(b.num_rows for b in pa.ipc.open_stream(resp))\n"
+            "print(n)\n"
+        )
+
+        def one() -> int:
+            out = subprocess.run(
+                [_sys.executable, "-c", client_code, url],
+                capture_output=True, text=True, timeout=600,
+            )
+            if out.returncode != 0:
+                raise RuntimeError(f"bench client failed: {out.stderr.strip()}")
+            return int(out.stdout)
+
+        t0 = _time.perf_counter()
+        with ThreadPoolExecutor(4) as pool:
+            got = list(pool.map(lambda _i: one(), range(4)))
+        x4 = round(_time.perf_counter() - t0, 3)
+        assert got == [rows] * 4
+        return {
+            "s1_replay_100m": min(attempts),
+            "s1_replay_100m_attempts": attempts,
+            "s1_replay_100m_x4": x4,
+        }
     finally:
         httpd.shutdown()
         shutil.rmtree(d, ignore_errors=True)
@@ -239,7 +278,7 @@ def _bench_serve_42m(spark) -> float:
 
     from arrow_experiments_spark.sources.arrow_ipc import (
         dictionary_encode_reader,
-        prefetch_reader,
+        maybe_prefetch_reader,
         spill_dataframe,
         spilled_files_reader,
     )
@@ -250,14 +289,22 @@ def _bench_serve_42m(spark) -> float:
     rows = 42_000_000
     d, files, schema = spill_dataframe(gen_trading(spark, rows=rows))
     registry = DatasetRegistry()
+    # per-batch payload estimate: 6144 rows × (8 B price + 8 B volume +
+    # 8 B dict index) ≈ 144 KiB — above the prefetch gate's floor, and the
+    # serve codec is real (zstd), so read-ahead engages here (and ONLY on
+    # shapes like this: the gate keeps identity/small-batch serves
+    # single-threaded — VERDICT r5 #4).
+    batch_bytes = 6144 * 24
     registry.register(
         "trading42m",
         # prefetch: spill-file read + dictionary encode overlap the zstd
         # compression + socket writes downstream (ordered, O(depth) memory)
-        lambda: prefetch_reader(
+        lambda: maybe_prefetch_reader(
             dictionary_encode_reader(
                 spilled_files_reader(files, schema, batch_rows=6144), ["ticker"]
-            )
+            ),
+            per_batch_bytes=batch_bytes,
+            codec="zstd",
         ),
     )
     httpd = serve(registry)
@@ -415,9 +462,24 @@ def main() -> None:
     }
     # reference-scale S1 (single run, after the passes so its 3 GiB of
     # I/O doesn't perturb the small-query timings)
-    timings["s1_replay_100m"] = _bench_replay_100m(spark)
+    r100 = _bench_replay_100m(spark)
+    timings["s1_replay_100m"] = r100["s1_replay_100m"]
+    timings["s1_replay_100m_x4"] = r100["s1_replay_100m_x4"]
     timings["s2_serve_42m_zstd"] = _bench_serve_42m(spark)
     sentinel()
+    # per-query [min, max] across the 3 passes — separates a real
+    # regression (tight spread, higher level) from a noise-window hit
+    # (one wild pass); for the 100M replay the two recorded attempts are
+    # the spread (attempt 1 colder page cache than attempt 2, ADVICE r5)
+    spread = {
+        k: [
+            round(min(p[k] for p in passes), 3),
+            round(max(p[k] for p in passes), 3),
+        ]
+        for k in items
+    }
+    attempts = r100["s1_replay_100m_attempts"]
+    spread["s1_replay_100m"] = [min(attempts), max(attempts)]
     total = round(sum(timings.values()), 3)
     med = sorted(sentinel_samples)[len(sentinel_samples) // 2]
     print(
@@ -428,16 +490,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # per-query [min, max] across the 3 passes — separates a
-                # real regression (tight spread, higher level) from a
-                # noise-window hit (one wild pass)
-                "spread": {
-                    k: [
-                        round(min(p[k] for p in passes), 3),
-                        round(max(p[k] for p in passes), 3),
-                    ]
-                    for k in items
-                },
+                "spread": spread,
                 "sentinel": {
                     "name": "s2_serve_1m_identity",
                     "samples": [round(s, 3) for s in sentinel_samples],

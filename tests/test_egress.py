@@ -295,3 +295,135 @@ def test_prefetch_reader_propagates_upstream_error():
     with pytest.raises(RuntimeError, match="upstream boom"):
         while True:
             reader.read_next_batch()
+
+
+# ---- zero-copy splice serve (raw_spill_stream, VERDICT r5 #1) -------------
+
+
+def test_raw_spill_stream_decodes_to_same_table(spark):
+    """The spliced byte stream must be a VALID Arrow IPC stream decoding
+    to exactly what the reader-based replay produces — same rows, same
+    batch boundaries as written (4096 with per-file partial tails)."""
+    import io
+
+    from arrow_experiments_spark.sources.arrow_ipc import raw_spill_stream
+
+    df = gen_flight_bench(spark, rows=50_000).repartition(4)
+    d, files, schema = spill_dataframe(df, batch_rows=4096)
+    try:
+        assert len(files) == 4
+        raw = raw_spill_stream(files, schema)
+        assert raw is not None
+        body = b"".join(bytes(c) for c in raw())
+        got = pa.ipc.open_stream(io.BytesIO(body))
+        batches = list(got)
+        assert sum(b.num_rows for b in batches) == 50_000
+        # splice preserves per-file batch framing: all 4096 except ≤ one
+        # partial tail per file
+        partial = [b.num_rows for b in batches if b.num_rows != 4096]
+        assert len(partial) <= len(files)
+        expect = (
+            spilled_files_reader(files, schema, batch_rows=4096)
+            .read_all()
+            .combine_chunks()
+            .sort_by("a")
+        )
+        have = pa.Table.from_batches(batches).combine_chunks().sort_by("a")
+        assert have.equals(expect)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_raw_spill_stream_refuses_ineligible_inputs(tmp_path):
+    """Dictionary schemas, truncated files, and mismatched schemas must
+    all fall back (None), never produce a corrupt stream."""
+    from arrow_experiments_spark.sources.arrow_ipc import raw_spill_stream
+
+    t1 = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    t2 = pa.table({"b": pa.array([1.5, 2.5], pa.float64())})
+    p1, p2 = str(tmp_path / "x1.arrows"), str(tmp_path / "x2.arrows")
+    for p, t in ((p1, t1), (p2, t2)):
+        with open(p, "wb") as f, pa.ipc.new_stream(f, t.schema) as w:
+            w.write_table(t)
+    assert raw_spill_stream([], t1.schema) is None
+    dict_schema = pa.schema([pa.field("a", pa.dictionary(pa.int32(), pa.string()))])
+    assert raw_spill_stream([p1], dict_schema) is None
+    # mismatched serialized schemas across files
+    assert raw_spill_stream([p1, p2], t1.schema) is None
+    # truncated trailer (no EOS)
+    data = open(p1, "rb").read()
+    p3 = str(tmp_path / "x3.arrows")
+    open(p3, "wb").write(data[:-8])
+    assert raw_spill_stream([p3], t1.schema) is None
+    # the happy single-file case round-trips
+    raw = raw_spill_stream([p1], t1.schema)
+    assert raw is not None
+    import io
+
+    assert pa.ipc.open_stream(io.BytesIO(b"".join(bytes(c) for c in raw()))).read_all().equals(t1)
+
+
+def test_server_serves_raw_spill_zero_copy(spark):
+    """End-to-end: register_spilled_files activates the raw path and a
+    plain identity GET returns the full table; a projected request falls
+    back to the reader path on the same name."""
+    import shutil
+
+    from arrow_experiments_spark.sources.arrow_ipc import register_spilled_files
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    df = gen_flight_bench(spark, rows=30_000).repartition(3)
+    d, files, schema = spill_dataframe(df, batch_rows=4096)
+    registry = DatasetRegistry()
+    assert register_spilled_files(registry, "f", files, schema, batch_rows=4096)
+    assert registry.identity_stream("f") is not None
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        tbl, metrics = fetch_arrow(
+            f"http://{host}:{port}/datasets/f", accept_encoding="identity"
+        )
+        assert metrics.rows == 30_000
+        expect = df.toArrow().combine_chunks().sort_by("a")
+        assert tbl.combine_chunks().sort_by("a").equals(expect)
+        # projection goes through the batch reader, not the raw bytes
+        sub, m2 = fetch_arrow(
+            f"http://{host}:{port}/datasets/f?columns=a&limit=10",
+            accept_encoding="identity",
+        )
+        assert sub.num_rows == 10 and sub.column_names == ["a"]
+        # compressed negotiation also falls back to the reader path
+        ztbl, _ = fetch_arrow(
+            f"http://{host}:{port}/datasets/f", accept_encoding="zstd"
+        )
+        assert ztbl.num_rows == 30_000
+    finally:
+        httpd.shutdown()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_maybe_prefetch_reader_gate():
+    """Identity/small-batch serves must NOT grow a read-ahead thread
+    (per-batch handoff costs more than it saves — VERDICT r5 #4); heavy
+    compressed serves must."""
+    from arrow_experiments_spark.sources.arrow_ipc import maybe_prefetch_reader
+
+    def fresh():
+        t = pa.table({"a": list(range(100))})
+        return pa.RecordBatchReader.from_batches(t.schema, t.to_batches())
+
+    r = fresh()
+    assert maybe_prefetch_reader(r, per_batch_bytes=1 << 20, codec="identity") is r
+    r = fresh()
+    assert maybe_prefetch_reader(r, per_batch_bytes=1 << 20, codec=None) is r
+    r = fresh()
+    assert maybe_prefetch_reader(r, per_batch_bytes=1 << 20, codec="identity+zstd") is r
+    r = fresh()
+    assert maybe_prefetch_reader(r, per_batch_bytes=1024, codec="zstd") is r
+    r = fresh()
+    wrapped = maybe_prefetch_reader(r, per_batch_bytes=1 << 20, codec="zstd")
+    assert wrapped is not r
+    assert wrapped.read_all().column("a").to_pylist() == list(range(100))
