@@ -623,3 +623,69 @@ def test_time_weighted_avg_single_event_yields_null(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["span_micros"] == 0
     assert rows[0]["twa"] is None
+
+
+def test_exact_scorer_guard_fires_on_clone_corpus(spark, tmp_path):
+    """The sample-only guard (VERDICT r5 #2): the exact scorers must
+    REFUSE a dup-dense corpus whose estimated candidate-pair mass
+    exceeds the configured limit — with a pointer to the bounded
+    sibling — and keep working on the base corpus under the same
+    limit.  The clone corpus replicates each base document 30×
+    (scale_sweep's synthesis shape), which grows in-bucket pair mass
+    ~quadratically while the base stays put."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from arrow_experiments_spark.operators.dedup import (
+        _EXACT_PAIR_LIMIT_CONF,
+        PairMassExceeded,
+        dedup_embedding_cosine,
+        dedup_ngram_jaccard,
+    )
+    from conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
+    max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    reps = F.explode(F.sequence(F.lit(0), F.lit(29))).alias("rep")
+    clones = str(tmp_path / "clones")
+    docs.select("*", reps).select(
+        (F.col("doc_id") + F.col("rep") * max_doc).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" zq"), F.col("rep").cast("string")))
+        .alias("text"),
+        "lang", "source", "n_chars",
+    ).write.parquet(f"{clones}/documents.parquet")
+    emb.select("*", reps).select(
+        (F.col("vec_id") + F.col("rep") * max_vec).alias("vec_id"),
+        "embedding", "label",
+    ).write.parquet(f"{clones}/embeddings.parquet")
+
+    # limit sits between the base corpus's pair mass and the clone
+    # corpus's (~900× the base): base passes, clones refuse
+    base_docs_mass_limit = 60_000
+    spark.conf.set(_EXACT_PAIR_LIMIT_CONF, str(base_docs_mass_limit))
+    try:
+        assert dedup_ngram_jaccard(spark, SF_DIR).count() >= 0
+        assert dedup_embedding_cosine(spark, SF_DIR).count() >= 0
+        with pytest.raises(PairMassExceeded, match="dedup_ngram_jaccard_lsh"):
+            dedup_ngram_jaccard(spark, clones)
+        with pytest.raises(PairMassExceeded, match="dedup_embedding_topk_grouped"):
+            dedup_embedding_cosine(spark, clones)
+    finally:
+        spark.conf.unset(_EXACT_PAIR_LIMIT_CONF)
+
+
+def test_embedding_topk_delegates_to_grouped(spark):
+    """dedup_embedding_topk now IS the grouped physical form (shared
+    declared result; the windowed pair-materializing plan out-spilled at
+    clone density) — the plan must show the applyInPandas bucket scorer,
+    not a window over a materialized pair join."""
+    from arrow_experiments_spark.operators.dedup import dedup_embedding_topk
+    from conftest import SF_DIR
+
+    df = dedup_embedding_topk(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert df.columns == ["vec_id", "nbr_id", "cos_sim", "rnk"]

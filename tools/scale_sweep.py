@@ -163,10 +163,18 @@ def main() -> None:
         print(f"built x{k} corpus at {dest}", flush=True)
 
     def measure(name: str, sf_dir: str) -> float:
+        from arrow_experiments_spark.operators.dedup import PairMassExceeded
+
         t0 = time.perf_counter()
-        queries[name].build(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        try:
+            queries[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except PairMassExceeded:
+            # the exact scorers refuse dup-dense corpora by design (the
+            # sample-only guard) — record the refusal, not a crash
+            spark.catalog.clearCache()
+            return float("nan")
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
         return dt
@@ -193,7 +201,11 @@ def main() -> None:
             for name in order:
                 dt = measure(name, dirs[k])
                 cur = results[name].get(k)
-                results[name][k] = dt if cur is None else min(cur, dt)
+                # nan = guard refusal; min() must not swallow a real time
+                if cur is None or cur != cur:
+                    results[name][k] = dt
+                elif dt == dt:
+                    results[name][k] = min(cur, dt)
                 print(f"x{k} pass{i} {name} {dt:.2f}s", flush=True)
                 progress.write_text(json.dumps(
                     {n: {str(kk): vv for kk, vv in r.items()}
@@ -229,17 +241,22 @@ def main() -> None:
     ]
     js: dict[str, dict[str, float]] = {}
     worst = None
+
+    def fmt(v: float) -> str:
+        return "guarded" if v != v else f"{v:.2f}"
+
     for name in SWEEP:
         r = results[name]
         import math
 
-        exp = math.log(r[100] / r[1]) / math.log(100) if r[1] > 0 else 0.0
+        finite = r[1] == r[1] and r[100] == r[100] and r[1] > 0
+        exp = math.log(r[100] / r[1]) / math.log(100) if finite else float("nan")
         lines.append(
-            f"| {name} | {r[1]:.2f} | {r[10]:.2f} | {r[100]:.2f} | {exp:.2f} |"
+            f"| {name} | {fmt(r[1])} | {fmt(r[10])} | {fmt(r[100])} | {fmt(exp)} |"
         )
         js[name] = {"x1": round(r[1], 3), "x10": round(r[10], 3),
                     "x100": round(r[100], 3), "exp": round(exp, 2)}
-        if worst is None or exp > worst[1]:
+        if exp == exp and (worst is None or exp > worst[1]):
             worst = (name, exp)
     lines += [
         "",
