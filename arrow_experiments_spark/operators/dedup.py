@@ -218,10 +218,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+                 / NULLIF(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh)), 0) AS jaccard
         FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+                 / NULLIF(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh)), 0) >= 0.02
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,7 +1064,8 @@ def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT a.doc_id AS ida, b.doc_id AS idb, a.lang
             FROM sh_t a JOIN sh_t b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                     / NULLIF(len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh)), 0)
                   >= 0.02
         )
         SELECT e.lang,

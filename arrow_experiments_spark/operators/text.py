@@ -916,7 +916,8 @@ def text_dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.doc_id, d.content_hash, d.n_chars
         FROM delta d
-        WHERE d.content_hash NOT IN (SELECT content_hash FROM base)
+        WHERE NOT EXISTS (SELECT 1 FROM base b
+                          WHERE b.content_hash = d.content_hash)
     """,
 )
 def pipeline_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -689,3 +689,28 @@ def test_embedding_topk_delegates_to_grouped(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan, plan
     assert df.columns == ["vec_id", "nbr_id", "cos_sim", "rnk"]
+
+
+def test_twa_bucketed_matches_single_window(spark):
+    """The two-level (type, bucket)-keyed TWA must be value-identical to
+    the single-window form: LOCF weighting telescopes exactly across any
+    time cut, so bucketing is a pure performance re-key."""
+    from arrow_experiments_spark.operators.events import (
+        events_time_weighted_avg,
+        events_time_weighted_avg_bucketed,
+    )
+    from conftest import SF_DIR_T2
+
+    def key(rows):
+        return {
+            r["event_type"]: (
+                r["n_events"],
+                r["span_micros"],
+                None if r["twa"] is None else round(r["twa"], 9),
+            )
+            for r in rows
+        }
+
+    single = key(events_time_weighted_avg(spark, SF_DIR_T2).collect())
+    bucketed = key(events_time_weighted_avg_bucketed(spark, SF_DIR_T2).collect())
+    assert single == bucketed

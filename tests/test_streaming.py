@@ -271,7 +271,9 @@ def test_watermark_drops_late_event_across_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        # availableNow must terminate within the deadline; proceeding on
+        # a False return would read partial output and fail confusingly
+        assert q.awaitTermination(120), "availableNow query did not finish"
 
     import datetime
 
