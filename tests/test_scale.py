@@ -292,3 +292,82 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     want = ev.join(dim, "event_type").count()
     assert joined.count() == want
+
+
+# ---- plan-shape regressions (VERDICT r5 #6) -------------------------------
+# The scale sweep keeps catching Catalyst recompute traps AFTER commit
+# (HOF chains re-inlined across projections, shingle recompute, both-
+# orientation verify).  These assertions pin the fix shape: the persist
+# barriers each headline dedup/text plan depends on must appear in the
+# executed plan as InMemoryTableScan nodes — remove a barrier and the
+# count drops below the floor.
+
+# floors == the barrier-scan count of the audited plan; a legitimate
+# plan change that ADDS barriers still passes, removing one fails
+_PERSIST_FLOORS = {
+    "dedup_minhash_lsh": 6,
+    "dedup_ngram_jaccard_lsh": 11,
+    "dedup_embedding_cosine": 2,
+    "text_shared_ngram_fraction": 4,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PERSIST_FLOORS))
+def test_persist_barriers_present(spark, name):
+    from arrow_experiments_spark.registry import all_queries
+
+    df = all_queries()[name].build(spark, SF_DIR)
+    try:
+        plan = _plan(df)
+        n = plan.count("InMemoryTableScan")
+        floor = _PERSIST_FLOORS[name]
+        assert n >= floor, (
+            f"{name}: {n} InMemoryTableScan nodes < floor {floor} — a "
+            f"persist barrier was removed; Catalyst will re-inline the "
+            f"tokenize/shingle/hyperplane chain per reference (no CSE "
+            f"across HOF lambdas)\n{plan}"
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard_lsh",
+        "dedup_embedding_cosine",
+        "dedup_embedding_topk",
+        "dedup_keep_canonical",
+        "text_shared_ngram_fraction",
+        "ann_lsh_hyperplane",
+    ],
+)
+def test_no_unintended_cartesian(spark, name):
+    """Candidate generation must stay a bucket equi-join at every scale:
+    no plan in the dedup/ANN family may contain a cartesian product or a
+    nested-loop join.  (knn_bruteforce_cosine is deliberately absent: its
+    BroadcastNestedLoopJoin is the whitelisted probe-bounded broadcast —
+    10 fixed probes against the corpus, explain_audit.py.)"""
+    from arrow_experiments_spark.registry import all_queries
+
+    df = all_queries()[name].build(spark, SF_DIR)
+    try:
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_twa_bucketed_is_two_level(spark):
+    """The bucketed TWA's scale contract: the event-scale sort window is
+    keyed (event_type, bucket) — the plan must carry two Window nodes
+    (intra-bucket lead + bucket-bridge lead), not one global-sort
+    window."""
+    from arrow_experiments_spark.registry import all_queries
+
+    df = all_queries()["events_time_weighted_avg_bucketed"].build(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Window") >= 2, plan
+    assert "bkt" in plan, plan
