@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Stats-fed planning demo (VERDICT r5 #8): the one Catalyst capability
+the repo exercised nowhere — cost-based optimization driven by ANALYZE
+TABLE statistics.
+
+Protocol: register the sf0.01 TPC-H join tables as managed tables,
+plan a deliberately badly-written three-way join (fact table first, the
+selective dimension last) twice — once with CBO off / no stats, once
+after ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` with
+``spark.sql.cbo.enabled`` + ``joinReorder.enabled`` — and append the
+before/after join-order diff to PLANS.md.
+
+On a 100 TB warehouse this is nightly hygiene: collected stats are what
+let Catalyst put the selective dimension at the bottom of the join tree
+without the author hand-ordering every query.
+
+Usage: python tools/cbo_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from arrow_experiments_spark.session import build_session
+from arrow_experiments_spark.tables import table
+
+# Written BADLY on purpose: the fact table leads, the most selective
+# dimension (1-of-5 mktsegment filter on customer) trails.  Rule-based
+# planning follows the written order; CBO with stats should reorder so
+# the filtered customer side joins orders before the lineitem bulk.
+_QUERY = """
+    SELECT o.o_orderpriority, COUNT(*) AS n, SUM(l.l_extendedprice) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderpriority
+"""
+
+_TABLES = ["lineitem", "orders", "customer"]
+
+
+def join_order(plan: str) -> list[str]:
+    """Leaf-scan order as they appear in the optimized plan tree."""
+    return re.findall(r"Relation spark_catalog\.default\.(\w+)", plan)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(app_name="cbo_demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in _TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        table(spark, sf_dir, t).write.saveAsTable(t)
+
+    def optimized() -> str:
+        return (
+            spark.sql(_QUERY)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        before = optimized()
+
+        for t in _TABLES:
+            cols = {
+                "lineitem": "l_orderkey, l_extendedprice",
+                "orders": "o_orderkey, o_custkey, o_orderpriority",
+                "customer": "c_custkey, c_mktsegment",
+            }[t]
+            spark.sql(
+                f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        after = optimized()
+
+        ob, oa = join_order(before), join_order(after)
+        print("join order without stats:", ob)
+        print("join order with stats+CBO:", oa)
+        reordered = ob != oa
+        rowcounts = {
+            t: spark.sql(f"DESCRIBE TABLE EXTENDED {t}")
+            .filter("col_name = 'Statistics'")
+            .first()
+            for t in _TABLES
+        }
+        stats_lines = "\n".join(
+            f"  {t}: {r['data_type']}" for t, r in rowcounts.items() if r
+        )
+
+        section = f"""
+## Stats-fed planning (CBO) — ANALYZE TABLE before/after
+
+Demonstration (`tools/cbo_demo.py`, {sf_dir}): the three-way TPC-H join
+below is written WORST-FIRST — the lineitem fact table leads and the
+selective dimension (`c_mktsegment = 'BUILDING'`, 1-of-5 rows) trails.
+
+```sql
+{_QUERY.strip()}
+```
+
+Without statistics (`spark.sql.cbo.enabled=false`), the optimized plan
+joins in written order: `{' -> '.join(ob)}`.
+
+After `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` on the join
+and filter keys, with `spark.sql.cbo.enabled=true` and
+`joinReorder.enabled=true`, the optimizer reorders the tree from table
+and column statistics: `{' -> '.join(oa)}`.
+Join order changed: **{reordered}**.
+
+Collected statistics (DESCRIBE TABLE EXTENDED):
+{stats_lines}
+
+At warehouse scale this is the standing posture: nightly ANALYZE on
+fact/dim tables lets Catalyst size-order every multi-way join without
+per-query hand-tuning; AQE then corrects at runtime where estimates
+drift.
+"""
+        plans = Path(_REPO, "PLANS.md")
+        text = plans.read_text()
+        marker = "\n## Stats-fed planning (CBO) — ANALYZE TABLE before/after\n"
+        if marker in text:
+            text = text[: text.index(marker)]
+        plans.write_text(text + section)
+        print("PLANS.md updated; reordered:", reordered)
+    finally:
+        for t in _TABLES:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
