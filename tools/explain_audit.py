@@ -81,6 +81,7 @@ AUDIT = [
     "events_value_histogram",
     "text_lang_confusion",
     "events_time_weighted_avg",
+    "events_time_weighted_avg_bucketed",
     "sort_nulls_ordering",
     "scalar_timezone",
     "udf_map_in_arrow",
