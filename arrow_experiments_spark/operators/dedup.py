@@ -99,16 +99,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band_idx, band_val): 8 min-hash sigs → 4 bands of 2.
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s7): the per-document MinHash signature row.
 
     The shingle stage is persisted before fanning out to 8 signature
     expressions: Catalyst's projection collapse would otherwise inline the
     tokenize→shingle→distinct chain into every signature (no CSE across
     higher-order-function lambdas), an ~8× recompute that measured 180s
     even at sf0.01.  At cluster scale this materialization is the standard
-    LSH shape: compute signatures once, reuse across bands and the
-    candidate join.
+    LSH shape: compute signatures once, reuse across bands, the candidate
+    join, and the signature-agreement estimator.
     """
     docs = table(spark, sf_dir, "documents")
     # Two-stage materialization: the persist barrier after tokenization
@@ -133,6 +133,12 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[minhash_sig(F.col("sh"), i).alias(f"s{i}") for i in range(_N_SIGS)],
     ).persist()
+    return sigs
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_idx, band_val): 8 min-hash sigs → 4 bands of 2."""
+    sigs = _minhash_sigs(spark, sf_dir)
     bands = F.array(
         *[
             F.struct(
@@ -1151,4 +1157,71 @@ def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("train_id").agg(
         F.count("*").cast("bigint").alias("n_eval_docs"),
         F.max("n_shared").cast("bigint").alias("max_shared"),
+    )
+
+
+# SQL-side signature-agreement sum, shared by both oracle projections
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(_N_SIGS)
+)
+
+
+@register(
+    "dedup_minhash_estimate",
+    "dedup",
+    doc="signature-agreement Jaccard ESTIMATE for LSH candidate pairs: "
+    "per band-join candidate, the fraction of the 8 MinHash signatures "
+    "that agree — the standard estimator E[agree/k] = J(A,B).  This is "
+    "the verify stage a 100 TB pipeline runs when even candidate-bounded "
+    "exact verification (re-intersecting shingle sets, "
+    "dedup_ngram_jaccard_lsh) is too hot: signatures are k integers per "
+    "document computed once for banding anyway, so the estimate costs "
+    "one equi-join on doc_id per side and ZERO re-tokenization.  All "
+    "arithmetic is integer equality plus one division by 8 — exact in "
+    "both engines.  Pairs are canonical (ida < idb), agreement counts "
+    "every signature (including those inside the colliding band).",
+    oracle=_minhash_bands_sql()
+    + f"""
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.ida AS doc_id_a, c.idb AS doc_id_b,
+               CAST({_AGREE_SQL} AS BIGINT) AS n_agree,
+               CAST({_AGREE_SQL} AS DOUBLE) / {_N_SIGS} AS jaccard_est
+        FROM cand c
+        JOIN sigs x ON x.doc_id = c.ida
+        JOIN sigs y ON y.doc_id = c.idb
+    """,
+)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs(spark, sf_dir)
+    cand = (
+        _candidate_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("ida"),
+        *[F.col(f"s{i}").alias(f"xa{i}") for i in range(_N_SIGS)],
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("idb"),
+        *[F.col(f"s{i}").alias(f"yb{i}") for i in range(_N_SIGS)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(_N_SIGS)
+    )
+    return (
+        cand.join(x, "ida")
+        .join(y, "idb")
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            n_agree.cast("bigint").alias("n_agree"),
+            (n_agree.cast("double") / _N_SIGS).alias("jaccard_est"),
+        )
     )

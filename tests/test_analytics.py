@@ -714,3 +714,36 @@ def test_twa_bucketed_matches_single_window(spark):
     single = key(events_time_weighted_avg(spark, SF_DIR_T2).collect())
     bucketed = key(events_time_weighted_avg_bucketed(spark, SF_DIR_T2).collect())
     assert single == bucketed
+
+
+def test_minhash_estimate_consistent_with_lsh(spark):
+    """The signature-agreement estimator must score exactly the LSH
+    candidate pair set, with n_agree on [0, 8], jaccard_est = n_agree/8,
+    and every signature agreeing for pairs that collide in all 4 bands
+    (each band is 2 of the 8 signatures)."""
+    from arrow_experiments_spark.operators.dedup import (
+        dedup_minhash_estimate,
+        dedup_minhash_lsh,
+    )
+    from conftest import SF_DIR
+
+    est = {
+        (r["doc_id_a"], r["doc_id_b"]): (r["n_agree"], r["jaccard_est"])
+        for r in dedup_minhash_estimate(spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"]): r["n_shared_bands"]
+        for r in dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    assert est and set(est) == set(lsh)
+    for pair, (n_agree, jest) in est.items():
+        assert 0 <= n_agree <= 8
+        assert jest == n_agree / 8
+        # a shared band is 2 agreeing signatures (band_val concatenates
+        # two fixed-width 32-char md5 digests, so band equality implies
+        # both signatures equal) — agreement is bounded below by the
+        # band collisions
+        assert n_agree >= 2 * lsh[pair], (pair, n_agree, lsh[pair])
+    full = [p for p, b in lsh.items() if b == 4]
+    for p in full:
+        assert est[p][0] == 8, (p, est[p])
