@@ -308,7 +308,12 @@ def raw_spill_stream(files: list[str], schema: pa.Schema, chunk_bytes: int = 1 <
 
 
 def register_spilled_files(
-    registry, name: str, files: list[str], schema: pa.Schema, batch_rows: int = 4096
+    registry,
+    name: str,
+    files: list[str],
+    schema: pa.Schema,
+    batch_rows: int = 4096,
+    meta: dict | None = None,
 ) -> bool:
     """Register spilled files with the HTTP server under both serve
     forms: the batch-reader factory (projection/rebatch/compression
@@ -317,6 +322,7 @@ def register_spilled_files(
     registry.register(
         name,
         lambda: spilled_files_reader(files, schema, batch_rows),
+        meta,
         schema=schema,
     )
     raw = raw_spill_stream(files, schema)
@@ -324,6 +330,30 @@ def register_spilled_files(
         return False
     registry.register_raw(name, raw)
     return True
+
+
+def register_dataframe_materialized(
+    registry,
+    name: str,
+    df: DataFrame,
+    batch_rows: int = 4096,
+    spill_dir: str | None = None,
+    meta: dict | None = None,
+) -> str:
+    """Spill ONCE, serve many: run the plan now, keep the executor-side
+    IPC spill as the dataset's backing store, and serve every request
+    from those bytes — zero-copy spliced for plain identity GETs, via
+    the batch reader otherwise.  This is the reference's
+    pre-materialize-once model (get_simple server.py:144) for results
+    too large for the in-memory identity cache: no Spark job runs at
+    request time and the driver never holds more than one batch.  The
+    complement of :func:`register_dataframe`, which re-runs the (lazy)
+    plan per request for freshness.  Returns the spill directory — the
+    caller owns its lifetime (remove it to retire the dataset's bytes).
+    """
+    d, files, schema = spill_dataframe(df, spill_dir, batch_rows=batch_rows)
+    register_spilled_files(registry, name, files, schema, batch_rows, meta)
+    return d
 
 
 def _local_iter_reader(df: DataFrame, batch_rows: int) -> pa.RecordBatchReader:

@@ -292,3 +292,49 @@ def test_post_ingest_roundtrip(app, table):
     )
     assert status == 200
     assert decode_body(io.BytesIO(got), "identity").read_all().equals(table)
+
+
+def test_raw_spill_parity_with_threaded(tmp_path, table):
+    """The file-backed raw serve path (spliced spill bytes) must produce
+    byte-identical plain-identity payloads from BOTH server forms, and
+    param'd requests must fall back to the reader path in both."""
+    from arrow_experiments_spark.sources.arrow_ipc import register_spilled_files
+
+    files = []
+    for i, lo in enumerate(range(0, table.num_rows, 2500)):
+        part = table.slice(lo, 2500)
+        p = str(tmp_path / f"part-{i:08d}.arrows")
+        with open(p, "wb") as f, pa.ipc.new_stream(f, table.schema) as w:
+            for b in part.to_batches(max_chunksize=1000):
+                w.write_batch(b)
+        files.append(p)
+    reg = DatasetRegistry()
+    assert register_spilled_files(reg, "spilled", files, table.schema, batch_rows=1000)
+
+    app = make_asgi_app(reg)
+    httpd = serve(reg)
+    host, port = httpd.server_address
+    try:
+        status, headers, asgi_body = asgi_request(
+            app, "GET", "/datasets/spilled", {"Accept-Encoding": "identity"}
+        )
+        assert status == 200
+        threaded_body = http_get(
+            f"http://{host}:{port}/datasets/spilled",
+            {"Accept-Encoding": "identity"},
+        )[2]
+        assert asgi_body == threaded_body
+        got = pa.ipc.open_stream(io.BytesIO(asgi_body)).read_all()
+        assert got.combine_chunks().equals(table.combine_chunks())
+        # projection falls back to the batch reader on both forms
+        s2, _, sub = asgi_request(
+            app,
+            "GET",
+            "/datasets/spilled?columns=a&limit=7",
+            {"Accept-Encoding": "identity"},
+        )
+        assert s2 == 200
+        t2 = pa.ipc.open_stream(io.BytesIO(sub)).read_all()
+        assert t2.num_rows == 7 and t2.column_names == ["a"]
+    finally:
+        httpd.shutdown()

@@ -427,3 +427,38 @@ def test_maybe_prefetch_reader_gate():
     wrapped = maybe_prefetch_reader(r, per_batch_bytes=1 << 20, codec="zstd")
     assert wrapped is not r
     assert wrapped.read_all().column("a").to_pylist() == list(range(100))
+
+
+def test_register_dataframe_materialized_serves_without_rerun(spark):
+    """Spill-once registration: the plan runs at registration, requests
+    serve from the spill bytes (raw path active), and results match the
+    per-request-plan registration."""
+    import shutil
+
+    from arrow_experiments_spark.sources.arrow_ipc import (
+        register_dataframe_materialized,
+    )
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    df = gen_flight_bench(spark, rows=25_000).repartition(2)
+    registry = DatasetRegistry()
+    d = register_dataframe_materialized(registry, "mat", df, batch_rows=4096)
+    assert registry.identity_stream("mat") is not None  # raw path active
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        # no Spark job may run at request time: serving is pure file I/O
+        tracker = spark.sparkContext.statusTracker()
+        jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+        tbl, m = fetch_arrow(
+            f"http://{host}:{port}/datasets/mat", accept_encoding="identity"
+        )
+        jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+        assert m.rows == 25_000
+        assert jobs_after == jobs_before, "request-time fetch ran a Spark job"
+        expect = df.toArrow().combine_chunks().sort_by("a")
+        assert tbl.combine_chunks().sort_by("a").equals(expect)
+    finally:
+        httpd.shutdown()
+        shutil.rmtree(d, ignore_errors=True)
