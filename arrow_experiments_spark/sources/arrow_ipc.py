@@ -478,10 +478,25 @@ class _GrowingDictionary:
     def __init__(self) -> None:
         self._index: dict = {}
         self._values: list = []
+        self._dict_arr: pa.Array | None = None
 
     def encode(self, arr: pa.Array) -> pa.DictionaryArray:
         import numpy as np
         import pyarrow.compute as pc
+
+        # Fast path once the dictionary has stabilized (the common case
+        # after the first batches of a low-cardinality stream): one
+        # index_in kernel against the cached dictionary — no per-batch
+        # re-encode + Python remap.  Extra nulls in the result vs the
+        # input mean UNSEEN values → take the append path below.  Float
+        # types stay on the slow path (NaN identity under index_in
+        # differs from the sentinel handling here).
+        if self._dict_arr is not None and not pa.types.is_floating(arr.type):
+            idx = pc.index_in(arr, value_set=self._dict_arr)
+            if idx.null_count == arr.null_count:
+                return pa.DictionaryArray.from_arrays(
+                    idx.cast(pa.int64()), self._dict_arr
+                )
 
         local = pc.dictionary_encode(arr)
         lut = np.empty(len(local.dictionary), dtype=np.int64)
@@ -500,9 +515,8 @@ class _GrowingDictionary:
             out_idx = pa.array(lut[filled], pa.int64(), mask=mask)
         else:
             out_idx = pa.array(lut[idx.to_numpy()], pa.int64())
-        return pa.DictionaryArray.from_arrays(
-            out_idx, pa.array(self._values, type=arr.type)
-        )
+        self._dict_arr = pa.array(self._values, type=arr.type)
+        return pa.DictionaryArray.from_arrays(out_idx, self._dict_arr)
 
 
 def dictionary_encode_reader(
