@@ -60,6 +60,12 @@ HEADLINE = [
     # LSH-vs-exact recall evaluation (sample-tune-then-commit step)
     "text_shared_ngram_fraction",
     "ann_recall_eval",
+    # round-6 additions: the two-level time-bucketed TWA (the events
+    # family's scale re-key, exp 0.27 vs 0.68 — SCALE.md) and the
+    # signature-agreement Jaccard estimator (verify stage with zero
+    # re-tokenization)
+    "events_time_weighted_avg_bucketed",
+    "dedup_minhash_estimate",
 ]
 
 
