@@ -60,3 +60,82 @@ def stream_to_registry(
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def upsert_snapshot_sink(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key_cols: list[str],
+    order_col: str,
+    timeout_sec: int = 120,
+):
+    """foreachBatch incremental UPSERT into a keyed parquet snapshot —
+    the streaming twin of the batch ``pipeline_snapshot_upsert``
+    operator, and the plain-parquet seat of a Delta/Iceberg ``MERGE
+    INTO``: each micro-batch merges into the current snapshot with
+    latest-``order_col``-wins-per-key semantics (ties broken by
+    preferring the incoming row, exactly as a MERGE's WHEN MATCHED
+    clause would).
+
+    Without a table format, atomicity comes from versioned directories:
+    each merged snapshot writes to ``{snapshot_dir}/v{batch_id}`` and a
+    ``LATEST`` pointer file is swapped via atomic rename afterwards —
+    readers following the pointer never observe a partial write, and a
+    crashed batch leaves the previous version intact (foreachBatch may
+    then REPLAY the batch id; the merge is idempotent, so the rerun
+    converges to the same snapshot).  Returns the finished query; read
+    the result with :func:`read_snapshot`.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = stream_df.sparkSession
+    os.makedirs(snapshot_dir, exist_ok=True)
+    pointer = os.path.join(snapshot_dir, "LATEST")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        current = read_snapshot(spark, snapshot_dir)
+        incoming = batch_df.withColumn("_src", F.lit(1))
+        merged = (
+            incoming
+            if current is None
+            else incoming.unionByName(current.withColumn("_src", F.lit(0)))
+        )
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(order_col), F.desc("_src")
+        )
+        out = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        vdir = os.path.join(snapshot_dir, f"v{batch_id}")
+        out.write.mode("overwrite").parquet(vdir)
+        tmp = pointer + f".tmp{batch_id}"
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, pointer)  # atomic swap — the "commit"
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
+    """Current snapshot per the LATEST pointer, or None before the first
+    commit."""
+    import os
+
+    pointer = os.path.join(snapshot_dir, "LATEST")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(snapshot_dir, version))

@@ -59,3 +59,19 @@ def view_purchase_join(
             .alias("lag_us"),
         )
     )
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame, key: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live event stream.  The static side is re-read per micro-batch (so a
+    refreshed dimension table takes effect without restarting the query)
+    and carries no state — unlike the stream-stream join above, nothing
+    here needs a watermark.  At scale the static side is dimension-sized:
+    Spark plans a broadcast join per micro-batch, so the stream never
+    shuffles.  The SAME builder serves the batch oracle (one logical
+    plan, two execution modes — the §2.6 streaming contract)."""
+    prefixed = dim.select(
+        F.col(key),
+        *[F.col(c).alias(f"dim_{c}") for c in dim.columns if c != key],
+    )
+    return events.join(prefixed, key, "left")

@@ -289,3 +289,77 @@ def test_watermark_drops_late_event_across_restart(spark, tmp_path):
               if r["start"] == datetime.datetime(1970, 1, 1)]
     # the late event neither re-emits the window nor changes its count
     assert counts == [2], rows
+
+
+def test_stream_static_enrichment_equals_batch(spark, events_stream):
+    """Stream-static dimension join: the same builder over the stream and
+    over the batch table must agree row-for-row (no watermark, no state —
+    the static side re-reads per micro-batch)."""
+    from arrow_experiments_spark.streaming.joins import enrich_with_dim
+
+    dim = spark.createDataFrame(
+        [("view", "engagement", 1.0), ("click", "engagement", 2.0),
+         ("purchase", "revenue", 10.0), ("signup", "acquisition", 5.0),
+         ("logout", "session", 0.0)],
+        "event_type string, category string, weight double",
+    )
+    batch = table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = _run(
+        enrich_with_dim(events_stream, dim).select(
+            "event_id", "dim_category", "dim_weight"
+        ),
+        spark, "t_enrich", "append",
+    )
+    want = enrich_with_dim(batch, dim).select(
+        "event_id", "dim_category", "dim_weight"
+    )
+    assert got.count() == want.count() and got.count() > 0
+    assert got.exceptAll(want).count() == 0
+    # every event type in the dim gets its attribute (left join keeps all)
+    assert got.filter(F.col("dim_category").isNull()).count() == batch.join(
+        dim, "event_type", "left_anti"
+    ).count()
+
+
+def test_upsert_snapshot_sink_multi_microbatch(spark, tmp_path):
+    """foreachBatch incremental upsert: with one file per trigger, keys
+    reappearing across micro-batches must converge to latest-wins, and
+    the final snapshot equals the batch latest-event-per-user result.
+    The versioned-dir LATEST pointer must reflect the last batch."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "event_type", "value")
+    )
+    staged = str(tmp_path / "staged")
+    src.repartition(3).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    snap = str(tmp_path / "snapshot")
+    upsert_snapshot_sink(stream, snap, key_cols=["user_id"], order_col="event_id")
+
+    # multiple versions were committed (one per micro-batch)
+    versions = [d for d in os.listdir(snap) if d.startswith("v")]
+    assert len(versions) >= 2, versions
+    final = read_snapshot(spark, snap)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    want = (
+        src.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
