@@ -462,3 +462,39 @@ def test_register_dataframe_materialized_serves_without_rerun(spark):
     finally:
         httpd.shutdown()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_raw_spill_serve_survives_client_disconnect(spark):
+    """A client that aborts mid-stream must not wedge the raw splice
+    path: the handler's generator is dropped (mmap refs released with
+    it) and subsequent full fetches succeed."""
+    import http.client
+    import shutil
+
+    from arrow_experiments_spark.sources.arrow_ipc import register_spilled_files
+    from arrow_experiments_spark.transport.client import fetch_arrow
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    df = gen_flight_bench(spark, rows=200_000).repartition(4)  # ~6 MiB body
+    d, files, schema = spill_dataframe(df, batch_rows=4096)
+    registry = DatasetRegistry()
+    assert register_spilled_files(registry, "big", files, schema)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        for _ in range(3):  # several aborted readers in a row
+            conn = http.client.HTTPConnection(host, port)
+            conn.request("GET", "/datasets/big", headers={"Accept-Encoding": "identity"})
+            resp = conn.getresponse()
+            resp.read(4096)  # a few chunks only
+            conn.close()  # abort mid-body
+        tbl, m = fetch_arrow(
+            f"http://{host}:{port}/datasets/big", accept_encoding="identity"
+        )
+        assert m.rows == 200_000
+        assert tbl.combine_chunks().sort_by("a").equals(
+            df.toArrow().combine_chunks().sort_by("a")
+        )
+    finally:
+        httpd.shutdown()
+        shutil.rmtree(d, ignore_errors=True)
