@@ -90,6 +90,7 @@ AUDIT = [
     "ann_recall_eval_ivf",
     "text_dedup_chunk_exact",
     "pipeline_dedup_incremental",
+    "dedup_minhash_estimate",
     "join_cross_small",
     "agg_unpivot",
     "embedding_label_centroids",

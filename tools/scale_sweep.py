@@ -49,8 +49,12 @@ SWEEP = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # the exact scorers record "guarded" at clone-dense 100x (sample-only
+    # pair-mass guard); their bounded siblings are the registered defaults
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_topk_grouped",
     "decontaminate_ngram_overlap",
     "knn_bruteforce_cosine",
     "ann_lsh_hyperplane",
