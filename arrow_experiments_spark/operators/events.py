@@ -406,8 +406,8 @@ _TWA_ORACLE = """
     "ordered by event_id in BOTH engines so the value-gap pairing is "
     "deterministic.  One window + one regroup, both keyed on "
     "event_type — window partitions grow linearly with the corpus "
-    "(SCALE.md exp 0.68); events_time_weighted_avg_daily is the "
-    "(type, day)-keyed two-level form for full corpora.",
+    "(SCALE.md exp 0.68); events_time_weighted_avg_bucketed is the "
+    "(type, hour-bucket)-keyed two-level form for full corpora.",
     oracle=_TWA_ORACLE,
 )
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,29 +114,6 @@ def df_to_reader(
     return spilled_files_reader(files, schema, batch_rows, cleanup_dir=tmp)
 
 
-def _rebatch_iter(
-    batches: Iterator[pa.RecordBatch], n: int
-) -> Iterator[pa.RecordBatch]:
-    """Re-chunk an iterator of batches to fixed ``n``-row batches (the
-    per-iterator core of transport.server.rebatch_reader, usable inside
-    executor tasks).  Zero-copy fast path when the input already arrives
-    at ``n`` rows (Spark's arrow maxRecordsPerBatch == the egress batch
-    size, the configured default)."""
-    buf: pa.Table | None = None
-    for batch in batches:
-        if (buf is None or buf.num_rows == 0) and batch.num_rows == n:
-            yield batch
-            continue
-        t = pa.Table.from_batches([batch])
-        buf = t if buf is None else pa.concat_tables([buf, t])
-        while buf.num_rows >= n:
-            head = buf.slice(0, n).combine_chunks()
-            yield from head.to_batches(max_chunksize=n)
-            buf = buf.slice(n)
-    if buf is not None and buf.num_rows:
-        yield from buf.combine_chunks().to_batches(max_chunksize=n)
-
-
 def spill_dataframe(
     df: DataFrame, spill_dir: str | None = None, batch_rows: int | None = None
 ) -> tuple[str, list[str], pa.Schema]:
@@ -171,7 +148,9 @@ def spill_dataframe(
         # content) race harmlessly — last rename wins with complete bytes.
         tmp = f"{path}.attempt-{ctx.taskAttemptId()}"
         if batch_rows is not None:
-            batches = _rebatch_iter(batches, batch_rows)
+            from arrow_experiments_spark.transport.server import rebatch_iter
+
+            batches = rebatch_iter(batches, batch_rows)
         writer = None
         sink = None
         rows = 0
@@ -264,7 +243,18 @@ def raw_spill_stream(files: list[str], schema: pa.Schema, chunk_bytes: int = 1 <
     that each carry their own dictionary messages would splice dictionary
     replacements mid-stream).
     """
-    if not files or any(pa.types.is_dictionary(f.type) for f in schema):
+    def _contains_dictionary(t: pa.DataType) -> bool:
+        # recurse into nested types: a dictionary anywhere (list<dict>,
+        # struct<x: dict>, map values, …) means per-file dictionary
+        # messages, which the splice would turn into mid-stream
+        # replacements
+        if pa.types.is_dictionary(t):
+            return True
+        return any(
+            _contains_dictionary(t.field(i).type) for i in range(t.num_fields)
+        )
+
+    if not files or any(_contains_dictionary(f.type) for f in schema):
         return None
     with open(files[0], "rb") as f:
         head = f.read(8)
@@ -803,9 +793,12 @@ def maybe_prefetch_reader(
 ) -> pa.RecordBatchReader:
     """Gate :func:`prefetch_reader` on estimated per-batch encode cost:
     read-ahead only pays when downstream per-batch work (a real codec ×
-    a non-trivial payload) exceeds the thread-handoff cost.  Identity
-    serves and small batches return ``reader`` unchanged."""
-    if codec in (None, "", "identity") or codec.startswith("identity"):
+    a non-trivial payload) exceeds the thread-handoff cost.  Plain
+    identity serves and small batches return ``reader`` unchanged; the
+    transparent IPC-codec strategies (``identity+zstd`` etc.) DO
+    compress every batch's buffers inside ``write_batch``, so they gate
+    like any other codec."""
+    if codec in (None, "", "identity"):
         return reader
     if per_batch_bytes < PREFETCH_MIN_BATCH_BYTES:
         return reader

@@ -81,12 +81,17 @@ def upsert_snapshot_sink(
     each merged snapshot writes to ``{snapshot_dir}/v{batch_id}`` and a
     ``LATEST`` pointer file is swapped via atomic rename afterwards —
     readers following the pointer never observe a partial write, and a
-    crashed batch leaves the previous version intact (foreachBatch may
-    then REPLAY the batch id; the merge is idempotent, so the rerun
-    converges to the same snapshot).  Returns the finished query; read
-    the result with :func:`read_snapshot`.
+    crashed batch leaves the previous version intact.  When foreachBatch
+    REPLAYS a batch id after a crash-after-commit, the pointer already
+    names ``v{batch_id}`` and the merge is SKIPPED — re-merging would
+    lazily read the very directory the rewrite deletes out from under
+    the running job.  Superseded versions older than the previous one
+    are pruned after each commit (the previous version stays for
+    in-flight readers).  Returns the finished query; read the result
+    with :func:`read_snapshot`.
     """
     import os
+    import shutil
 
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -96,6 +101,12 @@ def upsert_snapshot_sink(
     pointer = os.path.join(snapshot_dir, "LATEST")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        version = f"v{batch_id}"
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                committed = f.read().strip()
+            if committed == version:
+                return  # replay of an already-committed batch — idempotent skip
         current = read_snapshot(spark, snapshot_dir)
         incoming = batch_df.withColumn("_src", F.lit(1))
         merged = (
@@ -111,12 +122,19 @@ def upsert_snapshot_sink(
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_src")
         )
-        vdir = os.path.join(snapshot_dir, f"v{batch_id}")
+        vdir = os.path.join(snapshot_dir, version)
         out.write.mode("overwrite").parquet(vdir)
         tmp = pointer + f".tmp{batch_id}"
         with open(tmp, "w") as f:
-            f.write(f"v{batch_id}")
+            f.write(version)
         os.replace(tmp, pointer)  # atomic swap — the "commit"
+        # prune versions older than the PREVIOUS one (kept for readers
+        # that resolved the pointer just before the swap)
+        prev = _prev_version(snapshot_dir, batch_id)
+        keep = {version} | ({f"v{prev}"} if prev is not None else set())
+        for d in os.listdir(snapshot_dir):
+            if d.startswith("v") and d not in keep:
+                shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(merge)
@@ -124,8 +142,26 @@ def upsert_snapshot_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"upsert stream did not finish within {timeout_sec}s — the "
+            f"snapshot at {snapshot_dir} reflects only the committed "
+            f"micro-batches"
+        )
     return q
+
+
+def _prev_version(snapshot_dir: str, batch_id: int) -> int | None:
+    """Largest committed version id strictly below ``batch_id``."""
+    import os
+
+    prior = [
+        int(d[1:])
+        for d in os.listdir(snapshot_dir)
+        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
+    ]
+    return max(prior) if prior else None
 
 
 def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:

@@ -110,34 +110,36 @@ def project_reader(
     return pa.RecordBatchReader.from_batches(schema, gen())
 
 
+def rebatch_iter(batches, n: int):
+    """Re-chunk an iterable of record batches to fixed ``n``-row batches
+    — the ONE rebatch implementation, shared by :func:`rebatch_reader`
+    (serve boundary) and the executor-side spill writer
+    (sources/arrow_ipc.py spill_dataframe).  Streams with O(n) memory:
+    buffered rows never exceed one incoming batch + n."""
+    buf: pa.Table | None = None
+    for batch in batches:
+        # fast path: stream already batched at n (the common case when
+        # the spill writer and the serve boundary agree) — zero-copy
+        if (buf is None or buf.num_rows == 0) and batch.num_rows == n:
+            yield batch
+            continue
+        t = pa.Table.from_batches([batch])
+        buf = t if buf is None else pa.concat_tables([buf, t])
+        while buf.num_rows >= n:
+            head = buf.slice(0, n).combine_chunks()
+            yield from head.to_batches(max_chunksize=n)
+            buf = buf.slice(n)
+    if buf is not None and buf.num_rows:
+        yield from buf.combine_chunks().to_batches(max_chunksize=n)
+
+
 def rebatch_reader(reader: pa.RecordBatchReader, n: int) -> pa.RecordBatchReader:
     """Re-chunk a stream to fixed ``n``-row batches (the reference's
     rebatch op: arrow-commits.R:48-55 re-batches to 1024 rows before
-    writing; servers pick 4096/6144).  Streams with O(n) memory: buffered
-    rows never exceed one incoming batch + n.  Raises ValueError if
-    ``n <= 0``."""
+    writing; servers pick 4096/6144).  Raises ValueError if ``n <= 0``."""
     if n <= 0:
         raise ValueError("batch_rows must be >= 1")
-    schema = reader.schema
-
-    def gen():
-        buf: pa.Table | None = None
-        for batch in reader:
-            # fast path: stream already batched at n (the common case when
-            # the spill writer and the serve boundary agree) — zero-copy
-            if (buf is None or buf.num_rows == 0) and batch.num_rows == n:
-                yield batch
-                continue
-            t = pa.Table.from_batches([batch])
-            buf = t if buf is None else pa.concat_tables([buf, t])
-            while buf.num_rows >= n:
-                head = buf.slice(0, n).combine_chunks()
-                yield from head.to_batches(max_chunksize=n)
-                buf = buf.slice(n)
-        if buf is not None and buf.num_rows:
-            yield from buf.combine_chunks().to_batches(max_chunksize=n)
-
-    return pa.RecordBatchReader.from_batches(schema, gen())
+    return pa.RecordBatchReader.from_batches(reader.schema, rebatch_iter(reader, n))
 
 
 class DatasetRegistry:

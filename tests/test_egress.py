@@ -420,7 +420,9 @@ def test_maybe_prefetch_reader_gate():
     r = fresh()
     assert maybe_prefetch_reader(r, per_batch_bytes=1 << 20, codec=None) is r
     r = fresh()
-    assert maybe_prefetch_reader(r, per_batch_bytes=1 << 20, codec="identity+zstd") is r
+    # transparent IPC codecs compress per batch inside write_batch — they
+    # gate like any real codec
+    assert maybe_prefetch_reader(r, per_batch_bytes=1 << 20, codec="identity+zstd") is not r
     r = fresh()
     assert maybe_prefetch_reader(r, per_batch_bytes=1024, codec="zstd") is r
     r = fresh()
@@ -498,3 +500,23 @@ def test_raw_spill_serve_survives_client_disconnect(spark):
     finally:
         httpd.shutdown()
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_raw_spill_stream_refuses_nested_dictionary(tmp_path):
+    """A dictionary anywhere in the schema tree (not just top level)
+    must disqualify the splice — nested dictionary fields also emit
+    per-file dictionary messages."""
+    from arrow_experiments_spark.sources.arrow_ipc import raw_spill_stream
+
+    t = pa.table(
+        {
+            "xs": pa.array(
+                [["a", "b"], ["a"]],
+                type=pa.list_(pa.dictionary(pa.int32(), pa.string())),
+            )
+        }
+    )
+    p = str(tmp_path / "nested.arrows")
+    with open(p, "wb") as f, pa.ipc.new_stream(f, t.schema) as w:
+        w.write_table(t)
+    assert raw_spill_stream([p], t.schema) is None

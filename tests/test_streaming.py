@@ -363,3 +363,48 @@ def test_upsert_snapshot_sink_multi_microbatch(spark, tmp_path):
     )
     assert final.count() == want.count()
     assert final.exceptAll(want).count() == 0
+
+
+def test_upsert_snapshot_replay_is_skipped_and_versions_pruned(spark, tmp_path):
+    """Crash-after-commit replay: when LATEST already names v{batch_id},
+    the merge is skipped (re-merging would overwrite the directory the
+    lazy read streams from).  And superseded versions are pruned down to
+    current + previous."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value"
+    ).limit(100)
+    # pre-seed a committed v0 + pointer: the sink's batch 0 is a replay
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    seeded = src.limit(10)
+    seeded.write.parquet(os.path.join(snap, "v0"))
+    with open(os.path.join(snap, "LATEST"), "w") as f:
+        f.write("v0")
+    staged = str(tmp_path / "one")
+    src.coalesce(1).write.parquet(staged)
+    stream = spark.readStream.schema(src.schema).parquet(staged)
+    upsert_snapshot_sink(stream, snap, key_cols=["user_id"], order_col="event_id")
+    final = read_snapshot(spark, snap)
+    # replayed batch 0 was skipped: the snapshot is exactly the seeded v0
+    assert final.count() == seeded.count()
+
+    # fresh sink over 3 micro-batches: prune keeps current + previous only
+    snap2 = str(tmp_path / "snap2")
+    staged2 = str(tmp_path / "three")
+    src.repartition(3).write.parquet(staged2)
+    stream2 = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged2)
+    )
+    upsert_snapshot_sink(stream2, snap2, key_cols=["user_id"], order_col="event_id")
+    versions = sorted(d for d in os.listdir(snap2) if d.startswith("v"))
+    assert len(versions) == 2, versions
+    assert read_snapshot(spark, snap2).count() > 0

@@ -212,7 +212,8 @@ def main() -> None:
                     results[name][k] = min(cur, dt)
                 print(f"x{k} pass{i} {name} {dt:.2f}s", flush=True)
                 progress.write_text(json.dumps(
-                    {n: {str(kk): vv for kk, vv in r.items()}
+                    {n: {str(kk): ("guarded" if vv != vv else vv)
+                         for kk, vv in r.items()}
                      for n, r in results.items()}))
         print(f"x{k} done", flush=True)
 
@@ -258,8 +259,14 @@ def main() -> None:
         lines.append(
             f"| {name} | {fmt(r[1])} | {fmt(r[10])} | {fmt(r[100])} | {fmt(exp)} |"
         )
-        js[name] = {"x1": round(r[1], 3), "x10": round(r[10], 3),
-                    "x100": round(r[100], 3), "exp": round(exp, 2)}
+        # NaN (a guard refusal) is not valid JSON — serialize as the
+        # string the table shows
+        def _js(v: float):
+            return "guarded" if v != v else round(v, 3)
+
+        js[name] = {"x1": _js(r[1]), "x10": _js(r[10]),
+                    "x100": _js(r[100]),
+                    "exp": "guarded" if exp != exp else round(exp, 2)}
         if exp == exp and (worst is None or exp > worst[1]):
             worst = (name, exp)
     lines += [
@@ -267,7 +274,18 @@ def main() -> None:
         f"Steepest observed exponent: `{worst[0]}` at {worst[1]:.2f}.",
         "",
     ]
-    Path(out_md).write_text("\n".join(lines))
+    # preserve every section below the main table (query_scale.py /
+    # topk_scale.py and hand-written analyses append their measured rows
+    # as "## ..." sections — a sweep rerun must not destroy that
+    # evidence; the sweep owns only the preamble + main table)
+    out_path = Path(out_md)
+    tail = ""
+    if out_path.exists():
+        prev = out_path.read_text()
+        idx = prev.find("\n## ")
+        if idx != -1:
+            tail = prev[idx:]
+    out_path.write_text("\n".join(lines) + tail)
     print(json.dumps({"metric": "scale_sweep", "queries": js}))
     spark.stop()
     for k in FACTORS:
