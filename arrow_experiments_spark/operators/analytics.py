@@ -756,3 +756,41 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(float(_MIX_GATE_SPACE)) / F.col("thr")).alias("weight"),
         )
     )
+
+
+@register(
+    "agg_hll_partial_union",
+    "agg",
+    doc="mergeable HLL sketch exchange (Apache DataSketches via Spark's "
+    "hll_sketch_agg / hll_union_agg): per-event_type PARTIAL sketches of "
+    "user_id, unioned into the corpus-wide distinct-user estimate plus "
+    "per-type estimates.  This is THE pattern for distinct-count rollups "
+    "at 100 TB: each partition/group builds a fixed-size register array "
+    "(lgK=12 → 4 KiB), only sketches travel the shuffle, and union is "
+    "associative — the global estimate never re-touches rows.  HLL "
+    "insertion is order-insensitive (register maxima), so the union of "
+    "partials is BIT-IDENTICAL to a single sketch over all rows "
+    "(tests/test_analytics.py asserts that mergeability invariant and "
+    "<5%% error vs the exact count).  No DuckDB oracle: the estimate is "
+    "DataSketches-specific, not SQL-expressible — the driver records the "
+    "rows-only check.",
+    oracle=None,
+)
+def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("uid", F.lit(12)).alias("sk")
+    )
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.lit("(all)").alias("event_type"),
+            F.hll_sketch_estimate("sk").alias("est_users"),
+        )
+    )
+    return per_est.unionByName(total).orderBy("event_type")

@@ -747,3 +747,32 @@ def test_minhash_estimate_consistent_with_lsh(spark):
     full = [p for p, b in lsh.items() if b == 4]
     for p in full:
         assert est[p][0] == 8, (p, est[p])
+
+
+def test_hll_partial_union_mergeable_and_accurate(spark):
+    """The sketch-exchange invariants: (a) union-of-partials equals a
+    single sketch over all rows — HLL registers are order-insensitive
+    maxima, so mergeability is exact, not approximate; (b) estimates land
+    within 5% of the exact distinct counts (lgK=12 → ~1.6% RSE)."""
+    import pyspark.sql.functions as F
+
+    from arrow_experiments_spark.operators.analytics import agg_hll_partial_union
+    from arrow_experiments_spark.tables import table
+    from conftest import SF_DIR_T2
+
+    got = {r["event_type"]: r["est_users"] for r in
+           agg_hll_partial_union(spark, SF_DIR_T2).collect()}
+    ev = table(spark, SF_DIR_T2, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("uid", F.lit(12))).alias("e")
+    ).first()["e"]
+    assert got["(all)"] == direct  # exact mergeability
+    exact_all = ev.select("uid").distinct().count()
+    assert abs(got["(all)"] - exact_all) / exact_all < 0.05
+    for r in ev.groupBy("event_type").agg(
+        F.count_distinct("uid").alias("n")
+    ).collect():
+        est = got[r["event_type"]]
+        assert abs(est - r["n"]) / r["n"] < 0.05, (r["event_type"], est, r["n"])
