@@ -108,19 +108,64 @@ def _bench_replay(spark) -> float:
         httpd.shutdown()
 
 
+# Concurrent-fetch clients are SUBPROCESSES (own interpreters), as the
+# reference's clients are separate processes — in-process client threads
+# would measure the harness's GIL, not the server's concurrency.  A
+# READY/GO barrier keeps interpreter startup + pyarrow import (~0.4 s
+# per process) OUT of the timed window: each client signals READY, the
+# parent releases all at once, and the wall-clock runs from the release
+# to the last exit — the fetch phase only.
+_X4_CLIENT_CODE = (
+    "import sys, pyarrow as pa, urllib.request\n"
+    "print('READY', flush=True)\n"
+    "sys.stdin.readline()\n"
+    "resp = urllib.request.urlopen(sys.argv[1])\n"
+    "n = sum(b.num_rows for b in pa.ipc.open_stream(resp))\n"
+    "print(n, flush=True)\n"
+)
+
+
+def _concurrent_fetch(url: str, n_clients: int, timeout: int = 600) -> tuple[float, list[int]]:
+    """Barrier-synchronized concurrent fetch: returns (wall seconds of
+    the fetch phase, per-client row counts)."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _X4_CLIENT_CODE, url],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True,
+        )
+        for _ in range(n_clients)
+    ]
+    try:
+        for p in procs:
+            assert p.stdout.readline().strip() == "READY"
+        t0 = _time.perf_counter()
+        for p in procs:
+            p.stdin.write("go\n")
+            p.stdin.flush()
+        counts = []
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            counts.append(int(out.strip().splitlines()[-1]))
+        return _time.perf_counter() - t0, counts
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+
 def _bench_replay_10m_x4(spark) -> float:
     """The reference's Flight-comparison shape: its get_simple workload is
     benchmarked against flight_benchmark.cc, which uses 4 CONCURRENT
     streams (http/get_simple/README.md:30; SURVEY.md §4 parallel
     multi-stream fetch).  Serve the 10M-row table once, fetch it from 4
-    concurrent clients, report the wall-clock for all 4 to finish — the
-    threaded server + per-request replay model must scale across
-    connections, not just per-stream."""
-    import time as _time
-    from concurrent.futures import ThreadPoolExecutor
-
+    concurrent clients, report the fetch-phase wall-clock for all 4 to
+    finish — the threaded server + per-request replay model must scale
+    across connections, not just per-stream."""
     from arrow_experiments_spark.sources.generators import gen_flight_bench
-    from arrow_experiments_spark.transport.client import fetch_arrow
     from arrow_experiments_spark.transport.server import DatasetRegistry, serve
 
     rows = 10_000_000
@@ -130,37 +175,12 @@ def _bench_replay_10m_x4(spark) -> float:
     httpd = serve(registry)
     host, port = httpd.server_address
     url = f"http://{host}:{port}/datasets/flight"
-
-    # clients are SUBPROCESSES (own interpreters), as the reference's
-    # clients are separate processes — in-process client threads would
-    # measure the harness's GIL, not the server's concurrency
-    import subprocess
-    import sys as _sys
-
-    client_code = (
-        "import sys, pyarrow as pa, urllib.request\n"
-        "resp = urllib.request.urlopen(sys.argv[1])\n"
-        "n = sum(b.num_rows for b in pa.ipc.open_stream(resp))\n"
-        "print(n)\n"
-    )
-
-    def one() -> int:
-        out = subprocess.run(
-            [_sys.executable, "-c", client_code, url],
-            capture_output=True, text=True, timeout=300,
-        )
-        if out.returncode != 0:
-            raise RuntimeError(f"bench client failed: {out.stderr.strip()}")
-        return int(out.stdout)
-
     try:
-        one()  # warm interpreter/page caches once
+        _concurrent_fetch(url, 1)  # warm page caches + identity body once
         best = float("inf")
         for _ in range(2):
-            t0 = _time.perf_counter()
-            with ThreadPoolExecutor(4) as pool:
-                got = list(pool.map(lambda _i: one(), range(4)))
-            best = min(best, _time.perf_counter() - t0)
+            wall, got = _concurrent_fetch(url, 4)
+            best = min(best, wall)
             assert got == [rows] * 4
         return round(best, 3)
     finally:
@@ -187,10 +207,7 @@ def _bench_replay_100m(spark) -> dict[str, object]:
     at the same full scale (the reference's Flight comparison uses 4
     streams, get_simple/README.md:30)."""
     import shutil
-    import subprocess
-    import sys as _sys
     import time as _time
-    from concurrent.futures import ThreadPoolExecutor
 
     from arrow_experiments_spark.sources.arrow_ipc import (
         register_spilled_files,
@@ -232,28 +249,11 @@ def _bench_replay_100m(spark) -> dict[str, object]:
             assert 24_415 <= metrics.batches <= 24_415 + len(files), metrics.batches
 
         # ×4 concurrent clients at FULL reference scale (VERDICT r5 #5):
-        # subprocesses (own interpreters), so this measures the threaded
-        # server's GIL-released sendall path, not the harness's GIL.
-        client_code = (
-            "import sys, pyarrow as pa, urllib.request\n"
-            "resp = urllib.request.urlopen(sys.argv[1])\n"
-            "n = sum(b.num_rows for b in pa.ipc.open_stream(resp))\n"
-            "print(n)\n"
-        )
-
-        def one() -> int:
-            out = subprocess.run(
-                [_sys.executable, "-c", client_code, url],
-                capture_output=True, text=True, timeout=600,
-            )
-            if out.returncode != 0:
-                raise RuntimeError(f"bench client failed: {out.stderr.strip()}")
-            return int(out.stdout)
-
-        t0 = _time.perf_counter()
-        with ThreadPoolExecutor(4) as pool:
-            got = list(pool.map(lambda _i: one(), range(4)))
-        x4 = round(_time.perf_counter() - t0, 3)
+        # barrier-synchronized subprocesses — measures the threaded
+        # server's GIL-released mmap-splice sendall path under 4
+        # concurrent 3 GiB streams, fetch phase only.
+        wall, got = _concurrent_fetch(url, 4)
+        x4 = round(wall, 3)
         assert got == [rows] * 4
         return {
             "s1_replay_100m": min(attempts),
