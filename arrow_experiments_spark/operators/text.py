@@ -931,3 +931,135 @@ def pipeline_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_str(F.col("text")).alias("content_hash")
     )
     return delta.join(base, "content_hash", "left_anti")
+
+
+# The full curation funnel as ONE registered row.  CTE fragments are the
+# same ones the stage queries use: the recursive LSH-component chain from
+# dedup (_COMP_CTES), this module's tokenizer/stopword SQL.
+from arrow_experiments_spark.operators.dedup import _COMP_CTES as _DEDUP_COMP_CTES
+
+
+@register(
+    "pipeline_curate_end_to_end",
+    "text",
+    doc="THE training-data curation job, end to end, as one query: "
+    "per-source funnel counts through (1) quality gating (>= 20 tokens, "
+    "distinct ratio >= 0.4, stopword ratio >= 0.05 — the "
+    "pipeline_training_select thresholds), (2) near-dup canonicalization "
+    "(doc survives iff it is its LSH cluster's canonical — "
+    "dedup_keep_canonical over the full corpus), and (3) decontamination "
+    "(drop any training doc sharing >= 3 shingles with an eval doc; eval "
+    "= source src0, which is excluded from the training funnel "
+    "entirely).  Output: source, n_docs, n_quality, n_canonical, "
+    "n_selected — the monotone funnel a curation run reports.  Composes "
+    "the registered stage operators verbatim (their builders are called, "
+    "not reimplemented), so stage semantics can never drift between the "
+    "observable stages and the composite.  Scale shape: quality is "
+    "row-local; the dedup and decontamination shuffles are the audited "
+    "stage plans; the final regroup is #sources rows.",
+    oracle=_DEDUP_COMP_CTES
+    + f"""
+        , ranked AS (
+            SELECT c.cluster_id, c.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY LENGTH(d.text) DESC, c.doc_id
+                   ) AS rn
+            FROM comp c JOIN documents d USING (doc_id)
+        ), kept AS (
+            SELECT doc_id FROM ranked WHERE rn = 1
+        ), tq AS (
+            SELECT doc_id, source, {_TOKS_SQL} AS toks
+            FROM documents WHERE source <> 'src0'
+        ), q AS (
+            SELECT doc_id, source,
+                   (len(toks) >= 20
+                    AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / NULLIF(len(toks), 0) >= 0.4
+                    AND CAST(len(list_filter(toks,
+                            x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                        / NULLIF(len(toks), 0) >= 0.05) AS ok
+            FROM tq
+        ), ev AS (
+            SELECT t.doc_id AS eval_id, unnest(t.sh) AS s
+            FROM sh_t t JOIN documents d USING (doc_id)
+            WHERE d.source = 'src0'
+        ), tr AS (
+            SELECT t.doc_id AS train_id, unnest(t.sh) AS s
+            FROM sh_t t JOIN documents d USING (doc_id)
+            WHERE d.source <> 'src0'
+        ), decon_pairs AS (
+            SELECT train_id, eval_id
+            FROM tr JOIN ev USING (s)
+            GROUP BY train_id, eval_id
+            HAVING COUNT(*) >= 3
+        ), flagged AS (
+            SELECT DISTINCT train_id AS doc_id FROM decon_pairs
+        )
+        SELECT q.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN q.ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality,
+               CAST(SUM(CASE WHEN q.ok AND k.doc_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+               CAST(SUM(CASE WHEN q.ok AND k.doc_id IS NOT NULL
+                                  AND f.doc_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+        FROM q
+        LEFT JOIN kept k ON k.doc_id = q.doc_id
+        LEFT JOIN flagged f ON f.doc_id = q.doc_id
+        GROUP BY q.source
+    """,
+)
+def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.operators.dedup import (
+        decontaminate_flags,
+        dedup_keep_canonical,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.try_divide(
+            F.size(F.array_distinct(toks)).cast("double"), n_tokens
+        ).alias("dr"),
+        F.try_divide(
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
+                "double"
+            ),
+            n_tokens,
+        ).alias("sr"),
+    )
+    qual = (
+        (F.col("n_tokens") >= 20) & (F.col("dr") >= 0.4) & (F.col("sr") >= 0.05)
+    )
+    kept = dedup_keep_canonical(spark, sf_dir).select(
+        F.col("kept_doc_id").alias("doc_id"), F.lit(1).alias("is_canon")
+    )
+    flagged = decontaminate_flags(spark, sf_dir).select(
+        F.col("train_id").alias("doc_id"), F.lit(1).alias("is_flagged")
+    )
+    staged = (
+        scored.withColumn("q", qual)
+        .join(kept, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("q")).cast("bigint").alias("n_quality"),
+        F.count_if(F.col("q") & F.col("is_canon").isNotNull())
+        .cast("bigint")
+        .alias("n_canonical"),
+        F.count_if(
+            F.col("q")
+            & F.col("is_canon").isNotNull()
+            & F.col("is_flagged").isNull()
+        )
+        .cast("bigint")
+        .alias("n_selected"),
+    )

@@ -776,3 +776,33 @@ def test_hll_partial_union_mergeable_and_accurate(spark):
     ).collect():
         est = got[r["event_type"]]
         assert abs(est - r["n"]) / r["n"] < 0.05, (r["event_type"], est, r["n"])
+
+
+def test_curation_funnel_is_monotone_and_stagewise_consistent(spark):
+    """The composite curation funnel must be monotone per source
+    (n_docs >= n_quality >= n_canonical >= n_selected), cover every
+    non-eval source, and exclude the eval source entirely."""
+    from arrow_experiments_spark.operators.text import pipeline_curate_end_to_end
+    from arrow_experiments_spark.tables import table
+    from conftest import SF_DIR
+
+    import pyspark.sql.functions as F
+
+    rows = pipeline_curate_end_to_end(spark, SF_DIR).collect()
+    assert rows
+    sources = {r["source"] for r in rows}
+    assert "src0" not in sources
+    want = {
+        r["source"]
+        for r in table(spark, SF_DIR, "documents")
+        .filter(F.col("source") != "src0")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert sources == want
+    for r in rows:
+        assert (
+            r["n_docs"] >= r["n_quality"] >= r["n_canonical"] >= r["n_selected"]
+        ), tuple(r)
+    assert sum(r["n_selected"] for r in rows) > 0
