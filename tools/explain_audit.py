@@ -91,6 +91,8 @@ AUDIT = [
     "text_dedup_chunk_exact",
     "pipeline_dedup_incremental",
     "dedup_minhash_estimate",
+    "pipeline_curate_end_to_end",
+    "agg_hll_partial_union",
     "join_cross_small",
     "agg_unpivot",
     "embedding_label_centroids",
@@ -135,6 +137,10 @@ BOUNDED_BROADCAST_OK = {
     "dedup_embedding_topk": {"embeddings"},
     "decontaminate_ngram_overlap": {"documents"},
     "decontaminate_flags": {"documents"},  # same eval-side broadcast
+    # composes decontaminate_flags verbatim — same eval-side broadcast
+    # (the eval set is bounded in production; scaling it with the corpus
+    # is a test-corpus artifact, documented on the stage operator)
+    "pipeline_curate_end_to_end": {"documents"},
     "ann_recall_eval": {"embeddings"},  # vec_id < 10 probe set, twice
     "ann_recall_eval_ivf": {"embeddings"},  # same probe-set pattern
 }
