@@ -61,11 +61,14 @@ HEADLINE = [
     "text_shared_ngram_fraction",
     "ann_recall_eval",
     # round-6 additions: the two-level time-bucketed TWA (the events
-    # family's scale re-key, exp 0.27 vs 0.68 — SCALE.md) and the
+    # family's scale re-key, exp 0.27 vs 0.68 — SCALE.md), the
     # signature-agreement Jaccard estimator (verify stage with zero
-    # re-tokenization)
+    # re-tokenization), and the end-to-end curation funnel (quality →
+    # near-dup canonical → decontamination — the north-star pipeline as
+    # one query)
     "events_time_weighted_avg_bucketed",
     "dedup_minhash_estimate",
+    "pipeline_curate_end_to_end",
 ]
 
 
