@@ -138,7 +138,7 @@ def _cmd_pipeline(args: argparse.Namespace) -> int:
         seed=args.seed, batches=args.batches, rows_per_batch=args.rows_per_batch
     ).read_all()
     widened, _sidecar = widen_for_spark(fixture)
-    df = spark.createDataFrame(widened.to_pandas())
+    df = spark.createDataFrame(widened)
     artifacts = run_pipeline(df, args.out, stem=args.stem)
     for kind, path in artifacts.items():
         print(f"{kind}: {path or '(skipped)'}")

@@ -60,10 +60,26 @@ def _guard_pair_mass(
 ) -> None:
     """``buckets``: one row per candidate bucket with a count column
     ``n``.  Estimated pair mass = Σ n·(n−1)/2 — exactly the number of
-    in-bucket pairs the exact scorer is about to shuffle."""
-    limit = int(
-        spark.conf.get(_EXACT_PAIR_LIMIT_CONF, str(_EXACT_PAIR_LIMIT_DEFAULT))
+    in-bucket pairs the exact scorer is about to shuffle.
+
+    NOTE: this runs an EAGER Spark action (one aggregate over the
+    bucket-count frame) inside the builder — deliberately, because the
+    whole point is to refuse BEFORE the unbounded pair shuffle is even
+    planned into a job.  Builders that call it (dedup_ngram_jaccard,
+    dedup_embedding_cosine) therefore execute the tokenize/shingle/bucket
+    stage at build() time rather than at first action; plan-only callers
+    (explain audits) pay that stage once.  The frames involved are
+    persisted, so the action's work is reused by the returned plan."""
+    raw_limit = spark.conf.get(
+        _EXACT_PAIR_LIMIT_CONF, str(_EXACT_PAIR_LIMIT_DEFAULT)
     )
+    try:
+        limit = int(raw_limit)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{_EXACT_PAIR_LIMIT_CONF} must be an integer pair count, "
+            f"got {raw_limit!r}"
+        ) from None
     est = buckets.agg(
         F.sum(F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)).alias("p")
     ).first()["p"]
@@ -217,7 +233,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard similarity within language blocks: pairwise over "
     "distinct 3-word shingle sets, |A∩B|/|A∪B| ≥ 0.02. Blocking key (lang) "
     "bounds the pair explosion; at scale the block would be (lang, "
-    "length-bucket, LSH band).",
+    "length-bucket, LSH band).  NOTE: build() is EAGER — the pair-mass "
+    "guard runs one aggregate over the persisted shingle frame before "
+    "returning the plan (refuse before the unbounded shuffle exists; see "
+    "_guard_pair_mass).",
     oracle=f"""
         WITH sh_t AS (
             SELECT doc_id, lang, list_distinct({_SH_SQL}) AS sh FROM documents
@@ -677,7 +696,10 @@ def _emb_band_union_sql() -> str:
     "(band, bucket) — cell population is tuned by adding bits, unlike the "
     "fixed label vocabulary this replaces; recall is tuned by adding "
     "bands (at the production threshold 0.9 three 4-bit bands give ~90% "
-    "recall; the 0.3 gate here just exercises more pairs at test scale).",
+    "recall; the 0.3 gate here just exercises more pairs at test scale).  "
+    "NOTE: build() is EAGER — the pair-mass guard runs one aggregate over "
+    "the persisted bucket frame before returning the plan (refuse before "
+    "the unbounded shuffle exists; see _guard_pair_mass).",
     oracle=f"""
         WITH nz AS (SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0),
         cand AS ({_emb_band_union_sql()})

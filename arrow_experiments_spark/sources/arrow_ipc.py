@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_ipc_stream(spark: SparkSession, source: str | bytes | io.IOBase) -> DataFrame:
-    """.arrows (IPC stream) → DataFrame via Arrow-enabled createDataFrame."""
+    """.arrows (IPC stream) → DataFrame via Arrow-enabled createDataFrame.
+
+    The ``pa.Table`` is handed to Spark directly (Spark 4 accepts Arrow
+    tables natively) — no pandas hop, so nullable ints stay ints and
+    nanosecond timestamps aren't silently coerced through object dtype.
+    """
     if isinstance(source, (str, os.PathLike)):
         with open(source, "rb") as f:
             table = ipc.open_stream(f).read_all()
@@ -33,14 +38,14 @@ def read_ipc_stream(spark: SparkSession, source: str | bytes | io.IOBase) -> Dat
         table = ipc.open_stream(io.BytesIO(source)).read_all()
     else:
         table = ipc.open_stream(source).read_all()
-    return spark.createDataFrame(table.to_pandas())
+    return spark.createDataFrame(table)
 
 
 def read_ipc_file(spark: SparkSession, path: str) -> DataFrame:
     """.arrow (IPC file format, seekable footer) → DataFrame."""
     with open(path, "rb") as f:
         table = ipc.open_file(f).read_all()
-    return spark.createDataFrame(table.to_pandas())
+    return spark.createDataFrame(table)
 
 
 def read_ipc_streams_parallel(spark: SparkSession, paths: list[str]) -> DataFrame:

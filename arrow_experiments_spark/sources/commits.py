@@ -87,7 +87,7 @@ def build_commits_table(spark: SparkSession, repo: str) -> DataFrame:
     """The published commit table: drop author, UTC-normalize time,
     first-line-of-message — the reference's exact transform chain
     (arrow-commits.R:31-42) as Spark DataFrame ops."""
-    raw = spark.createDataFrame(scan_git_log(repo).to_pandas())
+    raw = spark.createDataFrame(scan_git_log(repo))
     return (
         raw.drop("author")
         # %cI carries a UTC offset; to_timestamp resolves it to a UTC

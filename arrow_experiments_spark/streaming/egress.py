@@ -68,6 +68,7 @@ def upsert_snapshot_sink(
     key_cols: list[str],
     order_col: str,
     timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
 ):
     """foreachBatch incremental UPSERT into a keyed parquet snapshot —
     the streaming twin of the batch ``pipeline_snapshot_upsert``
@@ -78,17 +79,29 @@ def upsert_snapshot_sink(
     clause would).
 
     Without a table format, atomicity comes from versioned directories:
-    each merged snapshot writes to ``{snapshot_dir}/v{batch_id}`` and a
+    each merged snapshot writes to ``{snapshot_dir}/v{N}`` and a
     ``LATEST`` pointer file is swapped via atomic rename afterwards —
     readers following the pointer never observe a partial write, and a
-    crashed batch leaves the previous version intact.  When foreachBatch
-    REPLAYS a batch id after a crash-after-commit, the pointer already
-    names ``v{batch_id}`` and the merge is SKIPPED — re-merging would
-    lazily read the very directory the rewrite deletes out from under
-    the running job.  Superseded versions older than the previous one
-    are pruned after each commit (the previous version stays for
-    in-flight readers).  Returns the finished query; read the result
-    with :func:`read_snapshot`.
+    crashed batch leaves the previous version intact.  Superseded
+    versions older than the previous one are pruned after each commit
+    (the previous version stays for in-flight readers).  Returns the
+    finished query; read the result with :func:`read_snapshot`.
+
+    Crash-replay idempotence is keyed on foreachBatch batch ids, which
+    are only durable/monotonic when the query has a checkpoint — so the
+    contract is split on ``checkpoint_dir``:
+
+    * ``checkpoint_dir`` set: the query runs with that
+      ``checkpointLocation``; batch ids never repeat except on a true
+      crash-after-commit replay, where the pointer already names
+      ``v{batch_id}`` and the merge is SKIPPED (re-merging would lazily
+      read the very directory the rewrite deletes out from under the
+      running job).
+    * ``checkpoint_dir`` unset: batch ids restart at 0 on every run, so
+      they cannot identify replays.  Versions are instead allocated past
+      whatever ``LATEST`` names (``committed + 1``) and NOTHING is ever
+      skipped — a second run against an existing snapshot merges its
+      first micro-batch instead of silently discarding it.
     """
     import os
     import shutil
@@ -101,12 +114,19 @@ def upsert_snapshot_sink(
     pointer = os.path.join(snapshot_dir, "LATEST")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        version = f"v{batch_id}"
+        committed: str | None = None
         if os.path.exists(pointer):
             with open(pointer) as f:
                 committed = f.read().strip()
-            if committed == version:
+        if checkpoint_dir is not None:
+            seq = batch_id
+            if committed == f"v{seq}":
                 return  # replay of an already-committed batch — idempotent skip
+        else:
+            # no durable checkpoint → batch ids are per-run; continue the
+            # snapshot's own version sequence and never skip
+            seq = int(committed[1:]) + 1 if committed else batch_id
+        version = f"v{seq}"
         current = read_snapshot(spark, snapshot_dir)
         incoming = batch_df.withColumn("_src", F.lit(1))
         merged = (
@@ -124,24 +144,26 @@ def upsert_snapshot_sink(
         )
         vdir = os.path.join(snapshot_dir, version)
         out.write.mode("overwrite").parquet(vdir)
-        tmp = pointer + f".tmp{batch_id}"
+        tmp = pointer + f".tmp{seq}"
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, pointer)  # atomic swap — the "commit"
         # prune versions older than the PREVIOUS one (kept for readers
         # that resolved the pointer just before the swap)
-        prev = _prev_version(snapshot_dir, batch_id)
+        prev = _prev_version(snapshot_dir, seq)
         keep = {version} | ({f"v{prev}"} if prev is not None else set())
         for d in os.listdir(snapshot_dir):
             if d.startswith("v") and d not in keep:
                 shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
 
-    q = (
+    writer = (
         stream_df.writeStream.foreachBatch(merge)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     if not q.awaitTermination(timeout_sec):
         q.stop()
         raise TimeoutError(

@@ -76,7 +76,7 @@ def test_spark_roundtrip_21_types(spark, fixture_table, tmp_path):
     """Fixture → widen → Spark DataFrame → Arrow → restore → equal.
     (The R identical() round-trip pattern, arrow-commits.R:66.)"""
     widened, sidecar = widen_for_spark(fixture_table)
-    df = spark.createDataFrame(widened.to_pandas())
+    df = spark.createDataFrame(widened)
     back = df.toArrow()
     # Spark normalizes some physical details; compare restored values
     restored = restore_from_sidecar(back, sidecar)
@@ -84,7 +84,7 @@ def test_spark_roundtrip_21_types(spark, fixture_table, tmp_path):
     for name in ["col_0", "col_3", "col_7", "col_10", "col_16", "col_17"]:
         orig = fixture_table.column(name).combine_chunks()
         got = restored.column(name).combine_chunks()
-        # row order is preserved by createDataFrame(pandas) on local data
+        # row order is preserved by createDataFrame(pa.Table) on local data
         assert orig.equals(got), f"column {name} value drift"
 
 

@@ -365,11 +365,12 @@ def test_upsert_snapshot_sink_multi_microbatch(spark, tmp_path):
     assert final.exceptAll(want).count() == 0
 
 
-def test_upsert_snapshot_replay_is_skipped_and_versions_pruned(spark, tmp_path):
-    """Crash-after-commit replay: when LATEST already names v{batch_id},
-    the merge is skipped (re-merging would overwrite the directory the
-    lazy read streams from).  And superseded versions are pruned down to
-    current + previous."""
+def test_upsert_snapshot_second_run_merges_and_versions_pruned(spark, tmp_path):
+    """Without a checkpoint, batch ids restart at 0 every run, so they
+    cannot identify replays: a second run against an existing snapshot
+    must MERGE its first micro-batch (version = committed + 1), never
+    skip it.  And superseded versions are pruned down to current +
+    previous."""
     import os
 
     from arrow_experiments_spark.streaming.egress import (
@@ -380,7 +381,7 @@ def test_upsert_snapshot_replay_is_skipped_and_versions_pruned(spark, tmp_path):
     src = table(spark, SF_DIR, "events").select(
         "user_id", "event_id", "value"
     ).limit(100)
-    # pre-seed a committed v0 + pointer: the sink's batch 0 is a replay
+    # pre-seed a committed v0 + pointer: a prior single-batch run
     snap = str(tmp_path / "snap")
     os.makedirs(snap)
     seeded = src.limit(10)
@@ -391,9 +392,11 @@ def test_upsert_snapshot_replay_is_skipped_and_versions_pruned(spark, tmp_path):
     src.coalesce(1).write.parquet(staged)
     stream = spark.readStream.schema(src.schema).parquet(staged)
     upsert_snapshot_sink(stream, snap, key_cols=["user_id"], order_col="event_id")
+    # the new run's batch 0 was merged as v1, not discarded as a "replay"
+    with open(os.path.join(snap, "LATEST")) as f:
+        assert f.read().strip() == "v1"
     final = read_snapshot(spark, snap)
-    # replayed batch 0 was skipped: the snapshot is exactly the seeded v0
-    assert final.count() == seeded.count()
+    assert final.count() == src.select("user_id").distinct().count()
 
     # fresh sink over 3 micro-batches: prune keeps current + previous only
     snap2 = str(tmp_path / "snap2")
@@ -408,3 +411,52 @@ def test_upsert_snapshot_replay_is_skipped_and_versions_pruned(spark, tmp_path):
     versions = sorted(d for d in os.listdir(snap2) if d.startswith("v"))
     assert len(versions) == 2, versions
     assert read_snapshot(spark, snap2).count() > 0
+
+
+def test_upsert_snapshot_checkpointed_replay_is_skipped(spark, tmp_path):
+    """With a durable checkpoint, batch ids are monotonic across runs and
+    a crash-after-commit replay (offsets written, commit marker lost) is
+    detected by the pointer already naming v{batch_id}: the merge is
+    skipped, so the replayed batch neither rewrites the live version dir
+    nor advances the pointer."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value"
+    ).limit(100)
+    staged = str(tmp_path / "one")
+    src.coalesce(1).write.parquet(staged)
+    snap = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema(src.schema).parquet(staged)
+    upsert_snapshot_sink(
+        stream, snap, key_cols=["user_id"], order_col="event_id",
+        checkpoint_dir=ckpt,
+    )
+    with open(os.path.join(snap, "LATEST")) as f:
+        assert f.read().strip() == "v0"
+    before_files = sorted(os.listdir(os.path.join(snap, "v0")))
+    before_count = read_snapshot(spark, snap).count()
+
+    # simulate crash-after-commit: the engine recorded the batch's offsets
+    # but lost the commit marker → restart replays batch 0
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):  # hadoop checksum sidecar
+        os.remove(crc)
+    stream2 = spark.readStream.schema(src.schema).parquet(staged)
+    upsert_snapshot_sink(
+        stream2, snap, key_cols=["user_id"], order_col="event_id",
+        checkpoint_dir=ckpt,
+    )
+    with open(os.path.join(snap, "LATEST")) as f:
+        assert f.read().strip() == "v0"
+    # skip means v0 was not rewritten: identical part files
+    assert sorted(os.listdir(os.path.join(snap, "v0"))) == before_files
+    assert read_snapshot(spark, snap).count() == before_count
