@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 
 TOKENS_SQL = "list_filter(string_split_regex(lower({col}), '\\s+'), x -> x <> '')"
 
+# The engine-wide English-stopword heuristic vocabulary (language-ID,
+# quality scoring, the curation funnel).  Lives in this leaf module so
+# both operators.text and operators.dedup can share it without a cycle.
+EN_STOPWORDS = ["a", "the", "of", "and", "in", "to", "is", "on", "for", "with"]
+
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col

@@ -115,7 +115,61 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE persisted scan of documents carrying everything the curation
+    funnel consumes: per-doc quality scalars (token count, distinct
+    ratio, stopword ratio), text length (the canonical tie-break), and
+    the distinct 3-shingle set (MinHash banding + decontamination).
+    Columns: ``(doc_id, source, text_len, n_tokens, dr, sr, sh)``.
+
+    Threaded through the stage builders' ``corpus=`` parameter this makes
+    ``pipeline_curate_end_to_end`` a single-scan job: without it each of
+    the three stages re-reads and re-tokenizes the corpus (PLANS.md
+    measured scan-count 5 at sf0.1; at 100 TB the scan+tokenize IS the
+    dominant cost, so the composite paid ~3× what one funnel pass
+    should).  All sources are kept — decontamination needs the eval
+    shingles (src0) and clustering runs over the full corpus; the quality
+    stage filters downstream.
+    """
+    from arrow_experiments_spark.functions.text import EN_STOPWORDS
+
+    par = spark.sparkContext.defaultParallelism
+    # persist barrier after tokenization: no CSE across HOF lambdas, see
+    # _minhash_sigs
+    toks = (
+        table(spark, sf_dir, "documents")
+        .repartition(par)
+        .select(
+            "doc_id",
+            "source",
+            F.length("text").alias("text_len"),
+            tokens(F.col("text")).alias("toks"),
+        )
+        .persist()
+    )
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_tokens = F.size(F.col("toks"))
+    return toks.select(
+        "doc_id",
+        "source",
+        "text_len",
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.try_divide(
+            F.size(F.array_distinct(F.col("toks"))).cast("double"), n_tokens
+        ).alias("dr"),
+        F.try_divide(
+            F.size(
+                F.filter(F.col("toks"), lambda x: F.array_contains(sw, x))
+            ).cast("double"),
+            n_tokens,
+        ).alias("sr"),
+        F.array_distinct(shingles3(F.col("toks"))).alias("sh"),
+    ).persist()
+
+
+def _minhash_sigs(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, s0..s7): the per-document MinHash signature row.
 
     The shingle stage is persisted before fanning out to 8 signature
@@ -125,26 +179,33 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     even at sf0.01.  At cluster scale this materialization is the standard
     LSH shape: compute signatures once, reuse across bands, the candidate
     join, and the signature-agreement estimator.
+
+    ``corpus``: an already-persisted :func:`curate_corpus` frame; when
+    given, its ``sh`` column replaces the tokenize+shingle stage entirely
+    (the funnel's single-scan path).
     """
-    docs = table(spark, sf_dir, "documents")
-    # Two-stage materialization: the persist barrier after tokenization
-    # stops Catalyst's projection collapse from re-inlining the whole
-    # split/filter chain into each element_at inside the shingle lambda
-    # (no CSE across higher-order-function lambdas — measured 5× on the
-    # shingle stage alone).
-    # repartition first: the documents file is tiny at test SF (one input
-    # split → one task); the shuffle of raw text is cheap next to the
-    # tokenize/hash chain it parallelizes.  At 100 TB the source has
-    # thousands of splits and this is a no-op cost-wise (AQE coalesces).
-    par = spark.sparkContext.defaultParallelism
-    toks = (
-        docs.repartition(par)
-        .select("doc_id", tokens(F.col("text")).alias("toks"))
-        .persist()
-    )
-    sh = toks.select(
-        "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
-    ).persist()
+    if corpus is not None:
+        sh = corpus.select("doc_id", "sh")
+    else:
+        docs = table(spark, sf_dir, "documents")
+        # Two-stage materialization: the persist barrier after tokenization
+        # stops Catalyst's projection collapse from re-inlining the whole
+        # split/filter chain into each element_at inside the shingle lambda
+        # (no CSE across higher-order-function lambdas — measured 5× on the
+        # shingle stage alone).
+        # repartition first: the documents file is tiny at test SF (one input
+        # split → one task); the shuffle of raw text is cheap next to the
+        # tokenize/hash chain it parallelizes.  At 100 TB the source has
+        # thousands of splits and this is a no-op cost-wise (AQE coalesces).
+        par = spark.sparkContext.defaultParallelism
+        toks = (
+            docs.repartition(par)
+            .select("doc_id", tokens(F.col("text")).alias("toks"))
+            .persist()
+        )
+        sh = toks.select(
+            "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
+        ).persist()
     sigs = sh.select(
         "doc_id",
         *[minhash_sig(F.col("sh"), i).alias(f"s{i}") for i in range(_N_SIGS)],
@@ -152,9 +213,11 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs
 
 
-def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_bands(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band_idx, band_val): 8 min-hash sigs → 4 bands of 2."""
-    sigs = _minhash_sigs(spark, sf_dir)
+    sigs = _minhash_sigs(spark, sf_dir, corpus=corpus)
     bands = F.array(
         *[
             F.struct(
@@ -333,11 +396,13 @@ _CLUSTERS_ORACLE = _COMP_CTES + """
     """
 
 
-def _candidate_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candidate_edges(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     """Symmetric distinct (src, dst) candidate edges from the MinHash-LSH
     band join: both (x,y) and (y,x) survive the <> filter, so one
     propagation join covers both directions."""
-    bands = _minhash_bands(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir, corpus=corpus)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -373,10 +438,12 @@ _PROP_MAX_ROUNDS = 25
     "win and the contraction path is the safety net.",
     oracle=_CLUSTERS_ORACLE,
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    edges = _candidate_edges(spark, sf_dir)
+    edges = _candidate_edges(spark, sf_dir, corpus=corpus)
     # Labels cover the full corpus, deliberately: a parquet-derived labels
     # side carries accurate size stats, so AQE broadcasts it in the
     # per-round join (no edge shuffle).  The tempting "restrict labels to
@@ -573,17 +640,24 @@ def dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 3
     """,
 )
-def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    par = spark.sparkContext.defaultParallelism
-    sh = (
-        table(spark, sf_dir, "documents")
-        .repartition(par)
-        .select("doc_id", "source", tokens(F.col("text")).alias("toks"))
-        .persist()
-        .select(
-            "doc_id", "source", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
+def decontaminate_ngram_overlap(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
+    if corpus is not None:
+        sh = corpus.select("doc_id", "source", "sh")
+    else:
+        par = spark.sparkContext.defaultParallelism
+        sh = (
+            table(spark, sf_dir, "documents")
+            .repartition(par)
+            .select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+            .persist()
+            .select(
+                "doc_id",
+                "source",
+                F.array_distinct(shingles3(F.col("toks"))).alias("sh"),
+            )
         )
-    )
     ev = (
         sh.filter(F.col("source") == "src0")
         .select(F.col("doc_id").alias("eval_id"), F.explode("sh").alias("s"))
@@ -937,13 +1011,18 @@ def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rn = 1
     """,
 )
-def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_canonical(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    clusters = dedup_clusters(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.length("text").alias("text_len")
-    )
+    clusters = dedup_clusters(spark, sf_dir, corpus=corpus)
+    if corpus is not None:
+        docs = corpus.select("doc_id", "text_len")
+    else:
+        docs = table(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("text_len")
+        )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("text_len"), F.asc("doc_id")
     )
@@ -1174,8 +1253,10 @@ def dedup_jaccard_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs GROUP BY train_id
     """,
 )
-def decontaminate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = decontaminate_ngram_overlap(spark, sf_dir)
+def decontaminate_flags(
+    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+) -> DataFrame:
+    pairs = decontaminate_ngram_overlap(spark, sf_dir, corpus=corpus)
     return pairs.groupBy("train_id").agg(
         F.count("*").cast("bigint").alias("n_eval_docs"),
         F.max("n_shared").cast("bigint").alias("max_shared"),

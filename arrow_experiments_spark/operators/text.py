@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arrow_experiments_spark.functions.text import (
+    EN_STOPWORDS,
     FINGERPRINT_SQL,
     SHINGLES3_SQL,
     TOKENS_SQL,
@@ -22,7 +23,7 @@ from arrow_experiments_spark.tables import table
 
 _TOKS_SQL = TOKENS_SQL.format(col="text")
 
-_EN_STOPWORDS = ["a", "the", "of", "and", "in", "to", "is", "on", "for", "with"]
+_EN_STOPWORDS = EN_STOPWORDS
 _SW_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
 
 
@@ -954,9 +955,13 @@ from arrow_experiments_spark.operators.dedup import _COMP_CTES as _DEDUP_COMP_CT
     "n_selected — the monotone funnel a curation run reports.  Composes "
     "the registered stage operators verbatim (their builders are called, "
     "not reimplemented), so stage semantics can never drift between the "
-    "observable stages and the composite.  Scale shape: quality is "
-    "row-local; the dedup and decontamination shuffles are the audited "
-    "stage plans; the final regroup is #sources rows.",
+    "observable stages and the composite.  SINGLE-SCAN: all three stages "
+    "share one persisted curate_corpus frame (quality scalars + shingle "
+    "sets from one tokenize pass) threaded through the stage builders' "
+    "corpus= parameter — the corpus is read and tokenized exactly once.  "
+    "Scale shape: quality is row-local; the dedup and decontamination "
+    "shuffles are the audited stage plans; the final regroup is #sources "
+    "rows.",
     oracle=_DEDUP_COMP_CTES
     + f"""
         , ranked AS (
@@ -1013,35 +1018,27 @@ from arrow_experiments_spark.operators.dedup import _COMP_CTES as _DEDUP_COMP_CT
 )
 def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_experiments_spark.operators.dedup import (
+        curate_corpus,
         decontaminate_flags,
         dedup_keep_canonical,
     )
 
-    docs = table(spark, sf_dir, "documents").filter(F.col("source") != "src0")
-    toks = tokens(F.col("text"))
-    n_tokens = F.size(toks)
-    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
-    scored = docs.select(
-        "doc_id",
-        "source",
-        n_tokens.cast("bigint").alias("n_tokens"),
-        F.try_divide(
-            F.size(F.array_distinct(toks)).cast("double"), n_tokens
-        ).alias("dr"),
-        F.try_divide(
-            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
-                "double"
-            ),
-            n_tokens,
-        ).alias("sr"),
+    # SINGLE-SCAN: one persisted (doc_id, source, text_len, n_tokens, dr,
+    # sr, sh) frame feeds all three stages — quality reads the scalars,
+    # canonicalization and decontamination read the shared shingle sets —
+    # instead of each stage re-reading and re-tokenizing the corpus (the
+    # dominant cost at 100 TB; was 3× the single funnel pass).
+    corpus = curate_corpus(spark, sf_dir)
+    scored = corpus.filter(F.col("source") != "src0").select(
+        "doc_id", "source", "n_tokens", "dr", "sr"
     )
     qual = (
         (F.col("n_tokens") >= 20) & (F.col("dr") >= 0.4) & (F.col("sr") >= 0.05)
     )
-    kept = dedup_keep_canonical(spark, sf_dir).select(
+    kept = dedup_keep_canonical(spark, sf_dir, corpus=corpus).select(
         F.col("kept_doc_id").alias("doc_id"), F.lit(1).alias("is_canon")
     )
-    flagged = decontaminate_flags(spark, sf_dir).select(
+    flagged = decontaminate_flags(spark, sf_dir, corpus=corpus).select(
         F.col("train_id").alias("doc_id"), F.lit(1).alias("is_flagged")
     )
     staged = (

@@ -360,6 +360,35 @@ def test_no_unintended_cartesian(spark, name):
         spark.catalog.clearCache()
 
 
+def test_curate_composite_is_single_scan(spark):
+    """The curation funnel's scale contract: ONE tokenizing scan of the
+    corpus shared by all three stages (plus the doc_id-only labels scan
+    that dedup_clusters keeps parquet-derived for AQE broadcast stats).
+    A third ReadSchema in the final plan means a stage went back to the
+    table and the composite pays the tokenize cost twice."""
+    import re
+
+    from arrow_experiments_spark.registry import all_queries
+
+    df = all_queries()["pipeline_curate_end_to_end"].build(spark, SF_DIR)
+    try:
+        # formatted mode prints each distinct scan node once —
+        # executedPlan().toString() would re-embed every cached subtree
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert len(read_schemas) <= 2, (
+            f"curate composite re-scans the corpus: {read_schemas}\n"
+            f"{plan[:3000]}"
+        )
+        widths = sorted(len(s.split(",")) if s else 0 for s in read_schemas)
+        # one wide-ish scan (doc_id, source, text) + one doc_id-only scan
+        assert widths == [1, 3], widths
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_twa_bucketed_is_two_level(spark):
     """The bucketed TWA's scale contract: the event-scale sort window is
     keyed (event_type, bucket) — the plan must carry two Window nodes
