@@ -794,3 +794,84 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_est.unionByName(total).orderBy("event_type")
+
+
+def sketch_table_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus location of the HLL sketch artifact table
+    (under the system temp dir — the bench/test sandbox's warehouse)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"aes_hll_sketches_{tag}")
+
+
+def write_hll_sketch_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str, lg_k: int = 12
+) -> list[str]:
+    """The nightly half of the sketch exchange: per time-shard,
+    per-event_type HLL sketches of user_id persisted as a parquet table,
+    ONE INDEPENDENT JOB PER SHARD — each write shares no state with the
+    others (each scans only its shard's rows and emits 4 KiB register
+    arrays), exactly like the per-partition sketch jobs a 100 TB
+    warehouse runs nightly.  Layout: ``out_dir/shard=<week>/`` so
+    partition discovery restores the shard column.  Returns the shard
+    keys written (weeks of the events table; the driver-side loop is
+    over ~#weeks scheduler metadata, not data)."""
+    import os
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").cast("string").alias(
+            "shard"
+        ),
+        "event_type",
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    shards = sorted(r["shard"] for r in ev.select("shard").distinct().collect())
+    for s in shards:
+        (
+            ev.filter(F.col("shard") == s)
+            .groupBy("event_type")
+            .agg(F.hll_sketch_agg("uid", F.lit(lg_k)).alias("sk"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"shard={s}"))
+        )
+    return shards
+
+
+@register(
+    "agg_hll_sketch_exchange",
+    "agg",
+    doc="the sketch exchange as a STORAGE pattern, end to end: nightly "
+    "per-shard jobs (one independent Spark job per event-week, "
+    "write_hll_sketch_shards) persist per-event_type HLL sketches as a "
+    "parquet table; this query then answers global + per-type distinct "
+    "users from the SKETCH TABLE ALONE — hll_union_agg across shards, "
+    "never re-touching a raw row.  At 100 TB this is the warehouse "
+    "rollup: the nightly jobs each scan one day's partition, the rollup "
+    "reads kilobytes of register arrays and is interactive.  Because HLL "
+    "registers are order-insensitive maxima, the union across "
+    "independently-written shards is BIT-IDENTICAL to one sketch over "
+    "all rows (tests/test_analytics.py asserts equality with "
+    "agg_hll_partial_union and the direct sketch).  NOTE: build() is "
+    "EAGER — it (re)writes the shard artifacts, the nightly half of the "
+    "exchange.  No DuckDB oracle: DataSketches-specific, rows-only "
+    "check, like agg_hll_partial_union.",
+    oracle=None,
+)
+def agg_hll_sketch_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sketch_table_dir(sf_dir)
+    write_hll_sketch_shards(spark, sf_dir, out)
+    sk = spark.read.parquet(out)
+    per = sk.groupBy("event_type").agg(F.hll_union_agg("sk").alias("sk"))
+    per_est = per.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("est_users")
+    )
+    total = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("(all)").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    return per_est.unionByName(total).orderBy("event_type")

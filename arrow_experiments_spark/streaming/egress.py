@@ -69,6 +69,7 @@ def upsert_snapshot_sink(
     order_col: str,
     timeout_sec: int = 120,
     checkpoint_dir: str | None = None,
+    prepare=None,
 ):
     """foreachBatch incremental UPSERT into a keyed parquet snapshot —
     the streaming twin of the batch ``pipeline_snapshot_upsert``
@@ -102,6 +103,13 @@ def upsert_snapshot_sink(
       whatever ``LATEST`` names (``committed + 1``) and NOTHING is ever
       skipped — a second run against an existing snapshot merges its
       first micro-batch instead of silently discarding it.
+
+    ``prepare``: optional ``(batch_df, current_snapshot | None) ->
+    DataFrame`` hook run before the keyed merge — the seam for
+    delta-vs-snapshot gating (quality filters, seen-before anti-joins)
+    that must see the committed snapshot, not just the incoming rows.
+    Its output defines the snapshot schema and must contain ``key_cols``
+    and ``order_col``.
     """
     import os
     import shutil
@@ -128,6 +136,8 @@ def upsert_snapshot_sink(
             seq = int(committed[1:]) + 1 if committed else batch_id
         version = f"v{seq}"
         current = read_snapshot(spark, snapshot_dir)
+        if prepare is not None:
+            batch_df = prepare(batch_df, current)
         incoming = batch_df.withColumn("_src", F.lit(1))
         merged = (
             incoming
@@ -172,6 +182,74 @@ def upsert_snapshot_sink(
             f"micro-batches"
         )
     return q
+
+
+def incremental_curation_sink(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
+):
+    """The curation funnel as a daily-delta job: each micro-batch of raw
+    documents passes (1) the row-local quality gate (the
+    pipeline_curate_end_to_end thresholds: ≥ 20 tokens, distinct ratio
+    ≥ 0.4, stopword ratio ≥ 0.05), (2) in-batch exact dedup (first =
+    lowest doc_id per content hash), and (3) the have-we-ingested-this
+    anti-join against the committed snapshot's content hashes
+    (pipeline_dedup_incremental's gate), then upserts the survivors into
+    the versioned snapshot.  The snapshot IS the curated corpus, and
+    each micro-batch pays only delta-sized tokenize plus one anti-join
+    keyed on the hash — never a full-corpus rescan.  At 100 TB the
+    snapshot side of that anti-join is a bucketed-by-hash fingerprint
+    table, so the gate co-locates without reshuffling the corpus.
+
+    Expects ``doc_id`` and ``text`` columns; the snapshot carries the
+    batch columns plus ``content_hash``.  First-seen-wins across
+    micro-batches (arrival order), min-doc_id-wins within one batch.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arrow_experiments_spark.functions.text import (
+        EN_STOPWORDS,
+        md5_str,
+        tokens,
+    )
+
+    def prepare(batch_df: DataFrame, current: DataFrame | None) -> DataFrame:
+        toks = tokens(F.col("text"))
+        n = F.size(toks)
+        sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+        dr = F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n)
+        sr = F.try_divide(
+            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
+                "double"
+            ),
+            n,
+        )
+        gated = batch_df.where((n >= 20) & (dr >= 0.4) & (sr >= 0.05))
+        hashed = gated.withColumn("content_hash", md5_str(F.col("text")))
+        w = Window.partitionBy("content_hash").orderBy("doc_id")
+        firsts = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if current is not None:
+            firsts = firsts.join(
+                current.select("content_hash"), "content_hash", "left_anti"
+            )
+        return firsts
+
+    return upsert_snapshot_sink(
+        stream_df,
+        snapshot_dir,
+        key_cols=["content_hash"],
+        order_col="doc_id",
+        timeout_sec=timeout_sec,
+        checkpoint_dir=checkpoint_dir,
+        prepare=prepare,
+    )
 
 
 def _prev_version(snapshot_dir: str, batch_id: int) -> int | None:

@@ -204,11 +204,15 @@ def _bench_replay_100m(spark) -> dict[str, object]:
     reference's measurement protocol (client elapsed seconds,
     get_simple/README.md:37).
 
-    Returns the single-client attempts (attempt 1 reads the spill from a
-    colder page cache than attempt 2 — both are recorded so the warm/cold
-    distinction is visible, ADVICE r5) plus the 4-concurrent-client run
+    Returns the single-client attempts plus the 4-concurrent-client run
     at the same full scale (the reference's Flight comparison uses 4
-    streams, get_simple/README.md:30)."""
+    streams, get_simple/README.md:30).  Attempt 1 reads the spill from a
+    colder page cache than attempt 2; attempt 3 runs AFTER the ×4 pass
+    (VERDICT r6 #2) — by then the concurrent streams have pulled every
+    spill byte through the page cache and ~35 s have elapsed, so a noise
+    window that caught the early attempts has decorrelated.  All attempts
+    are recorded; the committed number is their min, the cold ones stay
+    visible in the spread."""
     import shutil
     import time as _time
 
@@ -233,23 +237,25 @@ def _bench_replay_100m(spark) -> dict[str, object]:
     host, port = httpd.server_address
     url = f"http://{host}:{port}/datasets/flight100m"
     try:
-        # two recorded fetches: the r5-vs-r4 comparison caught a
-        # single-shot fetch landing in a co-tenant noise window (30.1 s
-        # vs 7.0 s re-measured minutes later) — one repeat bounds that,
-        # and the spill (the expensive half) still happens once.
-        attempts = []
-        for _ in range(2):
+        def one_fetch() -> float:
             t0 = _time.perf_counter()
             _, metrics = fetch_arrow(
                 url, accept_encoding="identity", collect_table=False
             )
-            attempts.append(round(_time.perf_counter() - t0, 3))
+            dt = round(_time.perf_counter() - t0, 3)
             assert metrics.rows == rows
             # 100M rows in 4096-row batches: global ceil = 24,415; the
             # splice replays per-file bytes verbatim, so each spill
             # file's partial tail batch stays unmerged → up to one extra
             # batch per file.
             assert 24_415 <= metrics.batches <= 24_415 + len(files), metrics.batches
+            return dt
+
+        # two recorded fetches: the r5-vs-r4 comparison caught a
+        # single-shot fetch landing in a co-tenant noise window (30.1 s
+        # vs 7.0 s re-measured minutes later) — one repeat bounds that,
+        # and the spill (the expensive half) still happens once.
+        attempts = [one_fetch() for _ in range(2)]
 
         # ×4 concurrent clients at FULL reference scale (VERDICT r5 #5):
         # barrier-synchronized subprocesses — measures the threaded
@@ -258,6 +264,12 @@ def _bench_replay_100m(spark) -> dict[str, object]:
         wall, got = _concurrent_fetch(url, 4)
         x4 = round(wall, 3)
         assert got == [rows] * 4
+
+        # third single-client attempt, warm + window-decorrelated
+        # (VERDICT r6 #2: r6's two attempts both landed in one noise
+        # window — attempt 2 slower than attempt 1 — while the ×4 run
+        # seconds later streamed 12 GiB in 1.5 s)
+        attempts.append(one_fetch())
         return {
             "s1_replay_100m": min(attempts),
             "s1_replay_100m_attempts": attempts,
@@ -489,7 +501,34 @@ def main() -> None:
     }
     attempts = r100["s1_replay_100m_attempts"]
     spread["s1_replay_100m"] = [min(attempts), max(attempts)]
-    total = round(sum(timings.values()), 3)
+
+    # r6 verdict #4: agg_count_distinct / window_running_sum per-pass
+    # FLOORS rose 1.3-1.7× while the sentinel improved — re-measure with
+    # extra passes pinned adjacent to sentinel samples, so a window hit
+    # is visible in the bracketing sentinel numbers.  Median over all 5
+    # samples becomes the committed figure; every sample is recorded.
+    floor_watch: dict[str, list[float]] = {}
+    for name in ("agg_count_distinct", "window_running_sum"):
+        if name not in queries:
+            continue
+        sentinel()
+        extra = [measure(name) for _ in range(2)]
+        sentinel()
+        samples = [p[name] for p in passes] + extra
+        floor_watch[name] = [round(s, 3) for s in samples]
+        ordered = sorted(samples)
+        timings[name] = round(ordered[len(ordered) // 2], 3)
+        spread[name] = [round(ordered[0], 3), round(ordered[-1], 3)]
+
+    # The x4 entry is a different metric (4-client aggregate wall), not a
+    # fifth headline query — keep it OUT of the total so the
+    # round-over-round total_sec comparison isn't conflated (ADVICE r6).
+    # NOTE for cross-round comparison: the r6 total INCLUDED
+    # s1_replay_100m_x4; drop that key from r6's sum before comparing.
+    total_excludes = {"s1_replay_100m_x4"}
+    total = round(
+        sum(v for k, v in timings.items() if k not in total_excludes), 3
+    )
     med = sorted(sentinel_samples)[len(sentinel_samples) // 2]
     print(
         json.dumps(
@@ -500,6 +539,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "spread": spread,
+                "total_excludes": sorted(total_excludes),
+                "floor_watch": floor_watch,
                 "sentinel": {
                     "name": "s2_serve_1m_identity",
                     "samples": [round(s, 3) for s in sentinel_samples],

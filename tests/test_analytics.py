@@ -778,6 +778,52 @@ def test_hll_partial_union_mergeable_and_accurate(spark):
         assert abs(est - r["n"]) / r["n"] < 0.05, (r["event_type"], est, r["n"])
 
 
+def test_hll_sketch_exchange_across_independent_shards(spark, tmp_path):
+    """The storage half of the sketch exchange: per-week sketch shards
+    written by INDEPENDENT jobs (no shared state between writes), then
+    distinct counts answered from the sketch table alone.  Invariants:
+    (a) several shards actually exist as separate partition dirs;
+    (b) the union across independently-written shards is bit-identical
+    to agg_hll_partial_union's estimates (whose own mergeability vs a
+    single direct sketch is asserted above) — i.e. how the registers
+    were partitioned, persisted, and re-read changes nothing."""
+    import os
+
+    from arrow_experiments_spark.operators.analytics import (
+        agg_hll_partial_union,
+        write_hll_sketch_shards,
+    )
+    from conftest import SF_DIR_T2
+
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "sketches")
+    shards = write_hll_sketch_shards(spark, SF_DIR_T2, out)
+    assert len(shards) >= 3, shards
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == len(shards), (dirs, shards)
+
+    sk = spark.read.parquet(out)
+    assert set(sk.columns) >= {"event_type", "sk", "shard"}
+    per = sk.groupBy("event_type").agg(F.hll_union_agg("sk").alias("sk"))
+    got = {
+        r["event_type"]: r["e"]
+        for r in per.select(
+            "event_type", F.hll_sketch_estimate("sk").alias("e")
+        ).collect()
+    }
+    got["(all)"] = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("e"))
+        .first()["e"]
+    )
+    want = {
+        r["event_type"]: r["est_users"]
+        for r in agg_hll_partial_union(spark, SF_DIR_T2).collect()
+    }
+    assert got == want  # exact — register maxima, not approximation
+
+
 def test_curation_funnel_is_monotone_and_stagewise_consistent(spark):
     """The composite curation funnel must be monotone per source
     (n_docs >= n_quality >= n_canonical >= n_selected), cover every
