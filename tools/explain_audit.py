@@ -93,6 +93,7 @@ AUDIT = [
     "dedup_minhash_estimate",
     "pipeline_curate_end_to_end",
     "agg_hll_partial_union",
+    "agg_hll_sketch_exchange",
     "join_cross_small",
     "agg_unpivot",
     "embedding_label_centroids",

@@ -68,7 +68,18 @@ SWEEP = [
 ]
 
 
-def build_corpus(spark, base: str, factor: int, dest: str) -> None:
+def build_corpus(
+    spark, base: str, factor: int, dest: str, max_family: int | None = None
+) -> None:
+    """``max_family=None`` (the default) reproduces the clone-dense
+    recipe above: EVERY replica is a near-dup of its original, so
+    near-dup families have ``factor`` members and candidate-pair mass
+    grows ~quadratically in the factor — the output-sensitive upper
+    bound.  ``max_family=m`` caps near-dup families at ``m`` members:
+    replicas with rep >= m get hash-synthesized text (fresh tokens, zero
+    shared shingles) / uniform hash-seeded vectors, so dup DENSITY stays
+    constant as the corpus scales — the natural-corpus regime where the
+    measured exponent reflects the plan, not obligated clone output."""
     import pyspark.sql.functions as F
 
     os.makedirs(dest, exist_ok=True)
@@ -85,21 +96,39 @@ def build_corpus(spark, base: str, factor: int, dest: str) -> None:
     docs = spark.read.parquet(f"{base}/documents.parquet")
     max_doc = docs.agg(F.max("doc_id")).first()[0] + 1
     reps = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    near_dup_text = F.concat(
+        F.col("text"),
+        F.lit(" zq"),
+        F.conv(F.abs(F.hash("doc_id", "rep")).cast("string"), 10, 36),
+    )
+    # fresh-token synthesis: ~n_chars/9 pseudo-random 8-char tokens —
+    # length distribution preserved, zero shingles shared with anything
+    unique_text = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    (F.col("n_chars") / F.lit(9)).cast("int"), F.lit(20)
+                ),
+            ),
+            lambda i: F.substring(
+                F.md5(F.concat_ws("_", F.col("doc_id"), F.col("rep"), i)), 1, 8
+            ),
+        ),
+        " ",
+    )
+    text_expr = F.when(F.col("rep") == 0, F.col("text"))
+    if max_family is None:
+        text_expr = text_expr.otherwise(near_dup_text)
+    else:
+        text_expr = text_expr.when(
+            F.col("rep") < max_family, near_dup_text
+        ).otherwise(unique_text)
     scaled_docs = (
         docs.select("*", reps)
         .select(
             (F.col("doc_id") + F.col("rep") * max_doc).alias("doc_id"),
-            F.when(F.col("rep") == 0, F.col("text"))
-            .otherwise(
-                F.concat(
-                    F.col("text"),
-                    F.lit(" zq"),
-                    F.conv(
-                        F.abs(F.hash("doc_id", "rep")).cast("string"), 10, 36
-                    ),
-                )
-            )
-            .alias("text"),
+            text_expr.alias("text"),
             "lang",
             "source",
             "n_chars",
@@ -111,19 +140,29 @@ def build_corpus(spark, base: str, factor: int, dest: str) -> None:
 
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
     max_vec = emb.agg(F.max("vec_id")).first()[0] + 1
+    near_dup_vec = F.expr(
+        "transform(embedding, (x, i) -> "
+        "cast(x + (pmod(hash(vec_id, i), 2000) - 1000) * 1.0e-5 "
+        "as float))"
+    )
+    # uniform hash-seeded direction — lands in its own LSH cell mix
+    # instead of stacking onto the original's bucket
+    unique_vec = F.expr(
+        "transform(embedding, (x, i) -> "
+        "cast((pmod(hash(vec_id, rep, i), 2000) - 1000) * 1.0e-3 as float))"
+    )
+    vec_expr = F.when(F.col("rep") == 0, F.col("embedding"))
+    if max_family is None:
+        vec_expr = vec_expr.otherwise(near_dup_vec)
+    else:
+        vec_expr = vec_expr.when(
+            F.col("rep") < max_family, near_dup_vec
+        ).otherwise(unique_vec)
     scaled_emb = (
         emb.select("*", reps)
         .select(
             (F.col("vec_id") + F.col("rep") * max_vec).alias("vec_id"),
-            F.when(F.col("rep") == 0, F.col("embedding"))
-            .otherwise(
-                F.expr(
-                    "transform(embedding, (x, i) -> "
-                    "cast(x + (pmod(hash(vec_id, i), 2000) - 1000) * 1.0e-5 "
-                    "as float))"
-                )
-            )
-            .alias("embedding"),
+            vec_expr.alias("embedding"),
             "label",
         )
     )
