@@ -744,6 +744,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_LSH_BANDS = 3
 _EMB_LSH_BITS = 4
 
+# Cell-population knob for the bounded top-k scorer: in-bucket work is
+# quadratic in bucket population, so at production scale bits grow with
+# the corpus (each bit halves expected cell population; the recall cost
+# is bought back by adding bands).  The DEFAULT must stay 4 — it is what
+# the shared oracle describes; non-default values are for scale runs.
+_EMB_LSH_BITS_CONF = "spark.arrowExperimentsSpark.emb.lshBits"
+
+
+def _emb_lsh_bits(spark: SparkSession) -> int:
+    raw = spark.conf.get(_EMB_LSH_BITS_CONF, str(_EMB_LSH_BITS))
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{_EMB_LSH_BITS_CONF} must be an integer bit count, got {raw!r}"
+        ) from None
+
 
 def _emb_band_union_sql() -> str:
     from arrow_experiments_spark.operators.similarity import lsh_bucket_sql
@@ -1106,7 +1123,13 @@ def _bucket_topk_pdf(pdf):
     "This is the Pandas-UDF-when-built-ins-can't case (SURVEY §2.6 UDF "
     "row): Spark has no bounded-state top-k aggregate, so the window "
     "form must materialize the pair list; applyInPandas is what bounds "
-    "it.  Same declared result as dedup_embedding_topk (shared oracle).",
+    "it.  Same declared result as dedup_embedding_topk (shared oracle).  "
+    "Cell population is the scale knob: "
+    "spark.arrowExperimentsSpark.emb.lshBits (default 4, what the oracle "
+    "describes) — each extra bit halves expected bucket population, so "
+    "bits grow ~log2(N) with the corpus and per-bucket quadratic work "
+    "stays constant (recall bought back by adding bands); SCALE.md "
+    "measures the knob at 1000×.",
     oracle=_EMB_TOPK_ORACLE,
 )
 def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1118,6 +1141,7 @@ def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    bits = _emb_lsh_bits(spark)
     banded = emb.select(
         "vec_id",
         "embedding",
@@ -1126,7 +1150,7 @@ def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        lsh_bucket_col(F.col("embedding"), band, _EMB_LSH_BITS).alias(
+                        lsh_bucket_col(F.col("embedding"), band, bits).alias(
                             "bucket"
                         ),
                     )

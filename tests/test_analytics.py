@@ -749,6 +749,40 @@ def test_minhash_estimate_consistent_with_lsh(spark):
         assert est[p][0] == 8, (p, est[p])
 
 
+def test_embedding_topk_grouped_bits_knob(spark):
+    """The cell-population knob (spark.arrowExperimentsSpark.emb.lshBits):
+    a non-default bit count must still produce valid bounded top-k rows
+    (cos >= 0.3, no self pairs, <= 4 per vector, subset of candidate
+    semantics), and a non-integer value must raise a clear error instead
+    of an opaque int() traceback."""
+    import pytest
+
+    from arrow_experiments_spark.operators.dedup import (
+        dedup_embedding_topk_grouped,
+    )
+    from conftest import SF_DIR_T2
+
+    spark.conf.set("spark.arrowExperimentsSpark.emb.lshBits", "6")
+    try:
+        rows = dedup_embedding_topk_grouped(spark, SF_DIR_T2).collect()
+    finally:
+        spark.conf.unset("spark.arrowExperimentsSpark.emb.lshBits")
+    assert rows
+    per: dict[int, int] = {}
+    for r in rows:
+        assert r["cos_sim"] >= 0.3
+        assert r["vec_id"] != r["nbr_id"]
+        per[r["vec_id"]] = per.get(r["vec_id"], 0) + 1
+    assert max(per.values()) <= 4
+
+    spark.conf.set("spark.arrowExperimentsSpark.emb.lshBits", "banana")
+    try:
+        with pytest.raises(ValueError, match="lshBits"):
+            dedup_embedding_topk_grouped(spark, SF_DIR_T2)
+    finally:
+        spark.conf.unset("spark.arrowExperimentsSpark.emb.lshBits")
+
+
 def test_hll_partial_union_mergeable_and_accurate(spark):
     """The sketch-exchange invariants: (a) union-of-partials equals a
     single sketch over all rows — HLL registers are order-insensitive
