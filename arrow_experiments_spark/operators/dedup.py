@@ -1086,17 +1086,29 @@ def _bucket_topk_pdf(pdf):
     B = 512
     for s in range(0, m, B):
         e = min(s + B, m)
-        cos = np.round((V[s:e] @ V.T) / np.outer(n[s:e], n), 6)
+        # At large cell populations this loop is memory-bandwidth-bound,
+        # not flop-bound (dim is small), so every full-matrix pass
+        # counts: divide/round run in place, and the tie-break key is
+        # folded into `cos` itself (-inf - finite == -inf, so masked
+        # entries need no separate where/isfinite matrix).  The emitted
+        # cosine is recovered by adding the key back and re-snapping to
+        # the 6-decimal grid — exact, since the float64 recovery error
+        # (~1e-16) is far below the grid's half-step.
+        cos = V[s:e] @ V.T
+        np.divide(cos, np.outer(n[s:e], n), out=cos)
+        np.round(cos, 6, out=cos)
         cos[cos < 0.3] = -np.inf
         cos[np.arange(e - s), np.arange(s, e)] = -np.inf  # self-pairs
-        key = np.where(np.isfinite(cos), cos - nbr_key[None, :], -np.inf)
-        top = np.argpartition(-key, k - 1, axis=1)[:, :k]
+        cos -= nbr_key[None, :]
+        top = np.argpartition(cos, m - k, axis=1)[:, m - k :]
         rows = np.repeat(np.arange(s, e), k)
         cols = top.ravel()
-        keep = np.isfinite(cos[rows - s, cols])
-        out_v.append(ids[rows[keep]])
-        out_n.append(ids[cols[keep]])
-        out_c.append(cos[rows[keep] - s, cols[keep]])
+        vals = cos[rows - s, cols]
+        keep = np.isfinite(vals)
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
+        out_v.append(ids[rows])
+        out_n.append(ids[cols])
+        out_c.append(np.round(vals + nbr_key[cols], 6))
     return pd.DataFrame(
         {
             "vec_id": np.concatenate(out_v).astype("int64"),
