@@ -69,6 +69,12 @@ HEADLINE = [
     "events_time_weighted_avg_bucketed",
     "dedup_minhash_estimate",
     "pipeline_curate_end_to_end",
+    # round-7 addition: the sketch-exchange storage pattern (independent
+    # per-shard sketch jobs + rollup from the sketch table alone — its
+    # time INCLUDES the nightly-half shard writes).  NOTE: r7 total
+    # includes this new key and excludes s1_replay_100m_x4; adjust when
+    # comparing totals across rounds.
+    "agg_hll_sketch_exchange",
 ]
 
 
