@@ -435,7 +435,14 @@ _PROP_MAX_ROUNDS = 25
     "large-star/small-star contraction (O(log n) rounds) — same output "
     "contract, no user-visible failure mode. Component diameters in "
     "near-dup graphs are small, so plain propagation is the common-case "
-    "win and the contraction path is the safety net.",
+    "win and the contraction path is the safety net.  Plan-audit note: "
+    "the iterated persisted frame's PRE-materialization cache estimate "
+    "compounds through the self-join lineage (PLANS.md shows a wild "
+    "sizeInBytes=PiB logical stat on one TableCacheQueryStage); every "
+    "join strategy decision is made by AQE from runtime KiB-scale stats "
+    "(visible in the Final Plan stages), so the artifact is cosmetic — "
+    "an accurate estimate would require an eager count per round, which "
+    "costs more than it informs.",
     oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(
@@ -1182,6 +1189,143 @@ def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 4)
         .select("vec_id", "nbr_id", "cos_sim", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+_SEMDEDUP_TAU = 0.3
+_SEMDEDUP_SCALE = 1_000_000  # analytics._CENT_SCALE: exact integer centroid sums
+
+
+def _cluster_semantic_pdf(pdf):
+    """Per-cluster SemDeDup verdict: exact-integer centroid, cosine to
+    centroid, and a blocked pairwise pass marking each vector dominated
+    if some same-cluster vector at cosine >= tau sits strictly closer to
+    the boundary — lower (cos_centroid, vec_id) in lexicographic order
+    (the keep-farthest-from-centroid rule).  Output is one verdict row
+    per vector: nothing the size of the pair list ever exists.  The
+    centroid uses order-independent bigint sums of floor(v * 1e6) (the
+    embedding_label_centroids trick) so both engines derive the same
+    doubles; cosines are snapped to 6 decimals like every other
+    embedding scorer in this module."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(pdf)
+    if m == 0:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "cluster": pd.Series([], dtype="int32"),
+                "cos_centroid": pd.Series([], dtype="float64"),
+                "kept": pd.Series([], dtype="bool"),
+            }
+        )
+    ids = pdf["vec_id"].to_numpy().astype("int64")
+    label = np.int32(pdf["label"].iloc[0])
+    V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    s = np.floor(V * _SEMDEDUP_SCALE).astype(np.int64).sum(axis=0)
+    c = s.astype(np.float64) / float(m * _SEMDEDUP_SCALE)
+    n = np.sqrt((V * V).sum(axis=1))
+    cn = np.sqrt((c * c).sum())
+    if cn > 0:
+        cosc = np.round((V @ c) / (n * cn), 6)
+    else:  # degenerate all-cancelling cluster: centroid is the origin
+        cosc = np.zeros(m)
+    # total domination order: ascending (cos_centroid, vec_id)
+    rank = np.empty(m, dtype=np.int64)
+    rank[np.lexsort((ids, cosc))] = np.arange(m)
+    dominated = np.zeros(m, dtype=bool)
+    B = 512
+    for lo in range(0, m, B):
+        hi = min(lo + B, m)
+        cos = V[lo:hi] @ V.T
+        np.divide(cos, np.outer(n[lo:hi], n), out=cos)
+        np.round(cos, 6, out=cos)
+        hit = cos >= _SEMDEDUP_TAU
+        hit &= rank[lo:hi, None] < rank[None, :]  # strict: also kills self
+        dominated |= hit.any(axis=0)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "cluster": np.full(m, label, dtype="int32"),
+            "cos_centroid": cosc,
+            "kept": ~dominated,
+        }
+    )
+
+
+@register(
+    "dedup_semantic_clusters",
+    "dedup",
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, "
+    "arXiv:2303.09540): within each embedding cluster, near-identical "
+    f"pairs (cosine ≥ {_SEMDEDUP_TAU}) are resolved by keeping the "
+    "member FARTHEST from the cluster centroid — the paper's rule for "
+    "preserving boundary examples while shedding redundant interior "
+    "mass.  Cluster = the k-means assignment the codebook stage "
+    "produces (embedding_kmeans_step / ann_ivf_codebook; the fixture "
+    "ships it as `label`).  One verdict row per vector: (vec_id, "
+    "cluster, cos_centroid, kept), kept=false iff some same-cluster "
+    "vector at cosine ≥ tau has strictly lower (cos_centroid, vec_id). "
+    "Physical form: ONE shuffle keyed on cluster, then a per-cluster "
+    "applyInPandas kernel — exact-bigint centroid (order-independent "
+    "across partitionings), blocked pairwise scoring, O(cluster) "
+    "output; the pair list never exists in memory or shuffle.  Scale "
+    "posture: per-cluster work is quadratic in population BY CONTRACT "
+    "(SemDeDup is within-cluster pairwise), and the production knob is "
+    "k — cluster count grows ∝ N (k ≈ N/target_population, e.g. 50k "
+    "clusters for 100M docs in the paper) so population and per-cluster "
+    "cost stay constant while total work stays linear; the same "
+    "knob-not-plan story as the lshBits cell-population control, with "
+    f"the tau gate at the production ~0.9 instead of the {_SEMDEDUP_TAU} "
+    "that exercises pairs at fixture scale.",
+    oracle=f"""
+        WITH nz AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            WHERE {norm_sql('embedding')} > 0
+        ), e AS (
+            SELECT label, embedding[i] AS v, i - 1 AS pos
+            FROM nz, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+        ), cent AS (
+            SELECT label, pos,
+                   SUM(CAST(floor(CAST(v AS DOUBLE) * {_SEMDEDUP_SCALE}) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM e GROUP BY 1, 2
+        ), cvec AS (
+            SELECT label,
+                   LIST(CAST(s AS DOUBLE) / CAST(n * {_SEMDEDUP_SCALE} AS DOUBLE)
+                        ORDER BY pos) AS c
+            FROM cent GROUP BY label
+        ), scored AS (
+            SELECT nz.vec_id, nz.label, nz.embedding,
+                   CASE WHEN {norm_sql('cvec.c')} > 0
+                        THEN CAST(CAST({cosine_sql('nz.embedding', 'cvec.c')}
+                                  AS DECIMAL(28,6)) AS DOUBLE)
+                        ELSE 0.0 END AS cos_centroid
+            FROM nz JOIN cvec ON nz.label = cvec.label
+        )
+        SELECT s.vec_id,
+               CAST(s.label AS INT) AS cluster,
+               s.cos_centroid,
+               NOT EXISTS (
+                   SELECT 1 FROM scored u
+                   WHERE u.label = s.label AND u.vec_id <> s.vec_id
+                     AND CAST(CAST({cosine_sql('u.embedding', 's.embedding')}
+                              AS DECIMAL(28,6)) AS DOUBLE) >= {_SEMDEDUP_TAU}
+                     AND (u.cos_centroid < s.cos_centroid
+                          OR (u.cos_centroid = s.cos_centroid
+                              AND u.vec_id < s.vec_id))
+               ) AS kept
+        FROM scored s
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.operators.similarity import _nonzero_embeddings
+
+    emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding", "label")
+    return emb.groupBy("label").applyInPandas(
+        _cluster_semantic_pdf,
+        schema="vec_id long, cluster int, cos_centroid double, kept boolean",
     )
 
 

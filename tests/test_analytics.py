@@ -886,3 +886,65 @@ def test_curation_funnel_is_monotone_and_stagewise_consistent(spark):
             r["n_docs"] >= r["n_quality"] >= r["n_canonical"] >= r["n_selected"]
         ), tuple(r)
     assert sum(r["n_selected"] for r in rows) > 0
+
+
+def test_semantic_clusters_verdicts_match_reference_rule(spark):
+    """dedup_semantic_clusters: recompute the SemDeDup keep rule with
+    plain numpy over the whole corpus and require identical verdicts —
+    kept=false iff some same-cluster vector at cosine >= tau has
+    strictly lower (cos_centroid, vec_id).  Also: exactly one verdict
+    row per nonzero vector, the cluster's rank-minimum is always kept,
+    and the plan is the one-shuffle grouped-kernel form."""
+    import numpy as np
+
+    from arrow_experiments_spark.operators.dedup import (
+        _SEMDEDUP_TAU,
+        _SEMDEDUP_SCALE,
+        dedup_semantic_clusters,
+    )
+    from arrow_experiments_spark.operators.similarity import _nonzero_embeddings
+    from conftest import SF_DIR_T2
+
+    df = dedup_semantic_clusters(spark, SF_DIR_T2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    got = {r["vec_id"]: r for r in df.collect()}
+
+    src = _nonzero_embeddings(spark, SF_DIR_T2).select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    assert len(got) == len(src)
+
+    by_label: dict[int, list] = {}
+    for r in src:
+        by_label.setdefault(r["label"], []).append(r)
+    for label, members in by_label.items():
+        ids = np.array([m["vec_id"] for m in members], dtype=np.int64)
+        V = np.array([m["embedding"] for m in members], dtype=np.float64)
+        m = len(ids)
+        c = np.floor(V * _SEMDEDUP_SCALE).astype(np.int64).sum(axis=0).astype(
+            np.float64
+        ) / float(m * _SEMDEDUP_SCALE)
+        n = np.sqrt((V * V).sum(axis=1))
+        cosc = np.round((V @ c) / (n * np.sqrt((c * c).sum())), 6)
+        order = np.lexsort((ids, cosc))
+        rank = np.empty(m, dtype=np.int64)
+        rank[order] = np.arange(m)
+        S = np.round((V @ V.T) / np.outer(n, n), 6)
+        dominated = ((S >= _SEMDEDUP_TAU) & (rank[:, None] < rank[None, :])).any(
+            axis=0
+        )
+        # the rank-minimum is undominatable by construction
+        assert not dominated[order[0]]
+        for i, vid in enumerate(ids):
+            row = got[vid]
+            assert row["cluster"] == label
+            assert row["kept"] == (not dominated[i]), (
+                label,
+                vid,
+                row["kept"],
+            )
+            assert abs(row["cos_centroid"] - cosc[i]) < 1e-12
+    # the fixture actually exercises both verdicts
+    kept = [r["kept"] for r in got.values()]
+    assert any(kept) and not all(kept)

@@ -91,6 +91,7 @@ AUDIT = [
     "text_dedup_chunk_exact",
     "pipeline_dedup_incremental",
     "dedup_minhash_estimate",
+    "dedup_semantic_clusters",
     "pipeline_curate_end_to_end",
     "agg_hll_partial_union",
     "agg_hll_sketch_exchange",
