@@ -1195,6 +1195,25 @@ def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.3
 _SEMDEDUP_SCALE = 1_000_000  # analytics._CENT_SCALE: exact integer centroid sums
 
+# Cluster-population knob: production SemDeDup holds per-cluster population
+# constant by growing k with the corpus (k ≈ N / target_population).  The
+# fixture's assignment is a FIXED vocabulary, so scale runs need an
+# equivalent: clusterBits > 0 sub-splits each cluster by n sign-bits of the
+# deterministic hyperplane LSH family — exactly "re-cluster at higher k"
+# (verdicts and centroids become subcluster-scoped).  The DEFAULT must stay
+# 0 — it is what the oracle describes; non-default values are for scale runs.
+_SEMDEDUP_BITS_CONF = "spark.arrowExperimentsSpark.semdedup.clusterBits"
+
+
+def _semdedup_cluster_bits(spark: SparkSession) -> int:
+    raw = spark.conf.get(_SEMDEDUP_BITS_CONF, "0")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{_SEMDEDUP_BITS_CONF} must be an integer bit count, got {raw!r}"
+        ) from None
+
 
 def _cluster_semantic_pdf(pdf):
     """Per-cluster SemDeDup verdict: exact-integer centroid, cosine to
@@ -1278,7 +1297,13 @@ def _cluster_semantic_pdf(pdf):
     "cost stay constant while total work stays linear; the same "
     "knob-not-plan story as the lshBits cell-population control, with "
     f"the tau gate at the production ~0.9 instead of the {_SEMDEDUP_TAU} "
-    "that exercises pairs at fixture scale.",
+    "that exercises pairs at fixture scale.  Because the fixture's "
+    "assignment is a fixed vocabulary, scale runs use "
+    "spark.arrowExperimentsSpark.semdedup.clusterBits (default 0 = what "
+    "the oracle describes): n > 0 sub-splits each cluster by n "
+    "hyperplane sign-bits — the conf-level equivalent of re-clustering "
+    "at higher k (each bit halves expected population; verdicts and "
+    "centroids become subcluster-scoped, as they would at higher k).",
     oracle=f"""
         WITH nz AS (
             SELECT vec_id, embedding, label FROM embeddings
@@ -1320,12 +1345,25 @@ def _cluster_semantic_pdf(pdf):
     """,
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from arrow_experiments_spark.operators.similarity import _nonzero_embeddings
+    from arrow_experiments_spark.operators.similarity import (
+        _nonzero_embeddings,
+        lsh_bucket_col,
+    )
 
     emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding", "label")
-    return emb.groupBy("label").applyInPandas(
-        _cluster_semantic_pdf,
-        schema="vec_id long, cluster int, cos_centroid double, kept boolean",
+    bits = _semdedup_cluster_bits(spark)
+    sub = (
+        lsh_bucket_col(F.col("embedding"), 0, bits)
+        if bits > 0
+        else F.lit(0)
+    )
+    return (
+        emb.withColumn("subcluster", sub)
+        .groupBy("label", "subcluster")
+        .applyInPandas(
+            _cluster_semantic_pdf,
+            schema="vec_id long, cluster int, cos_centroid double, kept boolean",
+        )
     )
 
 

@@ -948,3 +948,79 @@ def test_semantic_clusters_verdicts_match_reference_rule(spark):
     # the fixture actually exercises both verdicts
     kept = [r["kept"] for r in got.values()]
     assert any(kept) and not all(kept)
+
+
+def test_semantic_clusters_subcluster_knob(spark):
+    """clusterBits > 0 must equal the reference rule applied per
+    (label, hyperplane-bucket) subgroup — the conf-level equivalent of
+    re-clustering at higher k — and a junk conf value must raise a
+    clear error naming the conf."""
+    import numpy as np
+    import pytest
+
+    from arrow_experiments_spark.operators.dedup import (
+        _SEMDEDUP_BITS_CONF,
+        _SEMDEDUP_SCALE,
+        _SEMDEDUP_TAU,
+        dedup_semantic_clusters,
+    )
+    from arrow_experiments_spark.operators.similarity import (
+        _nonzero_embeddings,
+        lsh_bucket_col,
+    )
+    from conftest import SF_DIR_T2
+
+    import pyspark.sql.functions as F
+
+    spark.conf.set(_SEMDEDUP_BITS_CONF, "2")
+    try:
+        got = {
+            r["vec_id"]: r
+            for r in dedup_semantic_clusters(spark, SF_DIR_T2).collect()
+        }
+    finally:
+        spark.conf.unset(_SEMDEDUP_BITS_CONF)
+
+    src = (
+        _nonzero_embeddings(spark, SF_DIR_T2)
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            lsh_bucket_col(F.col("embedding"), 0, 2).alias("sub"),
+        )
+        .collect()
+    )
+    assert len(got) == len(src)
+    groups: dict[tuple, list] = {}
+    for r in src:
+        groups.setdefault((r["label"], r["sub"]), []).append(r)
+    assert len(groups) > 10  # the knob actually split the label vocabulary
+    for (label, _sub), members in groups.items():
+        ids = np.array([m["vec_id"] for m in members], dtype=np.int64)
+        V = np.array([m["embedding"] for m in members], dtype=np.float64)
+        m = len(ids)
+        c = np.floor(V * _SEMDEDUP_SCALE).astype(np.int64).sum(axis=0).astype(
+            np.float64
+        ) / float(m * _SEMDEDUP_SCALE)
+        n = np.sqrt((V * V).sum(axis=1))
+        cn = np.sqrt((c * c).sum())
+        cosc = (
+            np.round((V @ c) / (n * cn), 6) if cn > 0 else np.zeros(m)
+        )
+        rank = np.empty(m, dtype=np.int64)
+        rank[np.lexsort((ids, cosc))] = np.arange(m)
+        S = np.round((V @ V.T) / np.outer(n, n), 6)
+        dominated = (
+            (S >= _SEMDEDUP_TAU) & (rank[:, None] < rank[None, :])
+        ).any(axis=0)
+        for i, vid in enumerate(ids):
+            assert got[vid]["cluster"] == label
+            assert got[vid]["kept"] == (not dominated[i])
+
+    spark.conf.set(_SEMDEDUP_BITS_CONF, "banana")
+    try:
+        with pytest.raises(ValueError, match="clusterBits"):
+            dedup_semantic_clusters(spark, SF_DIR_T2)
+    finally:
+        spark.conf.unset(_SEMDEDUP_BITS_CONF)
