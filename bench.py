@@ -69,12 +69,15 @@ HEADLINE = [
     "events_time_weighted_avg_bucketed",
     "dedup_minhash_estimate",
     "pipeline_curate_end_to_end",
-    # round-7 addition: the sketch-exchange storage pattern (independent
+    # round-7 additions: the sketch-exchange storage pattern (independent
     # per-shard sketch jobs + rollup from the sketch table alone — its
-    # time INCLUDES the nightly-half shard writes).  NOTE: r7 total
-    # includes this new key and excludes s1_replay_100m_x4; adjust when
-    # comparing totals across rounds.
+    # time INCLUDES the nightly-half shard writes), and the SemDeDup-style
+    # cluster-scoped semantic dedup (one cluster-keyed shuffle + in-core
+    # blocked kernel).  NOTE: r7 total includes these new keys and
+    # excludes s1_replay_100m_x4; adjust when comparing totals across
+    # rounds.
     "agg_hll_sketch_exchange",
+    "dedup_semantic_clusters",
 ]
 
 
