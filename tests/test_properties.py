@@ -240,3 +240,86 @@ def test_fb_body_length_any_geometry(n_rows, chunk):
     for batch in t.to_batches(max_chunksize=chunk):
         msg = ipc.read_message(batch.serialize())
         assert _fb_body_length(msg.metadata.to_pybytes()) == msg.body.size
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-2, max_value=2), min_size=3, max_size=3
+        ).filter(lambda v: any(v)),
+        min_size=1,
+        max_size=8,
+    ),
+    st.data(),
+)
+def test_semantic_kernel_matches_literal_rule(vecs, data):
+    """_cluster_semantic_pdf against the literal SemDeDup rule, O(m^2)
+    loop: kept(v) iff no same-cluster u with cos(u,v) >= tau and
+    (cos_centroid, vec_id) strictly lower.  Integer-grid vectors make
+    duplicate vectors (exact cosine 1.0) and exactly-equal
+    centroid-cosines reachable, pinning both tie-break paths the fixture
+    corpus may never hit."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from arrow_experiments_spark.operators.dedup import (
+        _SEMDEDUP_SCALE,
+        _SEMDEDUP_TAU,
+        _cluster_semantic_pdf,
+    )
+
+    # hypothesis may duplicate list entries — ids must be distinct
+    ids = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=50),
+            min_size=len(vecs),
+            max_size=len(vecs),
+            unique=True,
+        )
+    )
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "embedding": [np.array(v, dtype="float32") for v in vecs],
+            "label": pd.Series([7] * len(vecs), dtype="int32"),
+        }
+    )
+    out = _cluster_semantic_pdf(pdf).set_index("vec_id")
+    assert len(out) == len(vecs)
+
+    m = len(vecs)
+    V = [np.array(v, dtype=np.float64) for v in vecs]
+    s = [0] * 3
+    for v in V:
+        for p in range(3):
+            s[p] += math.floor(v[p] * _SEMDEDUP_SCALE)
+    c = [x / float(m * _SEMDEDUP_SCALE) for x in s]
+    cn = math.sqrt(sum(x * x for x in c))
+
+    def cosc(i):
+        if cn == 0:
+            return 0.0
+        n = math.sqrt(float(V[i] @ V[i]))
+        return round(float(V[i] @ np.array(c)) / (n * cn), 6)
+
+    def cos(i, j):
+        ni = math.sqrt(float(V[i] @ V[i]))
+        nj = math.sqrt(float(V[j] @ V[j]))
+        return round(float(V[i] @ V[j]) / (ni * nj), 6)
+
+    for i in range(m):
+        kept = True
+        for j in range(m):
+            if j == i:
+                continue
+            if cos(i, j) >= _SEMDEDUP_TAU and (
+                (cosc(j), ids[j]) < (cosc(i), ids[i])
+            ):
+                kept = False
+        row = out.loc[ids[i]]
+        assert bool(row["kept"]) == kept, (ids, vecs, ids[i])
+        assert abs(row["cos_centroid"] - cosc(i)) < 1e-9
+        assert row["cluster"] == 7
