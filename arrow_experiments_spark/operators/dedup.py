@@ -435,14 +435,11 @@ _PROP_MAX_ROUNDS = 25
     "large-star/small-star contraction (O(log n) rounds) — same output "
     "contract, no user-visible failure mode. Component diameters in "
     "near-dup graphs are small, so plain propagation is the common-case "
-    "win and the contraction path is the safety net.  Plan-audit note: "
-    "the iterated persisted frame's PRE-materialization cache estimate "
-    "compounds through the self-join lineage (PLANS.md shows a wild "
-    "sizeInBytes=PiB logical stat on one TableCacheQueryStage); every "
-    "join strategy decision is made by AQE from runtime KiB-scale stats "
-    "(visible in the Final Plan stages), so the artifact is cosmetic — "
-    "an accurate estimate would require an eager count per round, which "
-    "costs more than it informs.",
+    "win and the contraction path is the safety net.  Each round ends "
+    "with localCheckpoint (like _two_phase_components): persist caches "
+    "data but the logical plan still nests round over round, growing "
+    "driver-side planning time and compounding cache-size estimates "
+    "into PiB-scale artifacts; truncation keeps rounds O(1).",
     oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(
@@ -484,7 +481,14 @@ def dedup_clusters(
                     F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
                 ).alias("cluster_id"),
             )
-            .persist()
+            # localCheckpoint, not persist: persist caches DATA but the
+            # logical plan still nests round over round, and per-round
+            # driver-side planning grows with it (measured 0.7 -> 1.4 s
+            # by round 4 at sf0.1; flat 0.3 s checkpointed — and the
+            # compounding cache-size estimates go with it).  Same pattern
+            # as _two_phase_components; swap for checkpoint() with a
+            # reliable dir on a multi-node cluster.
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("cluster_id")).collect()[0][0]
         labels.unpersist()

@@ -362,10 +362,12 @@ def test_no_unintended_cartesian(spark, name):
 
 def test_curate_composite_is_single_scan(spark):
     """The curation funnel's scale contract: ONE tokenizing scan of the
-    corpus shared by all three stages (plus the doc_id-only labels scan
-    that dedup_clusters keeps parquet-derived for AQE broadcast stats).
-    A third ReadSchema in the final plan means a stage went back to the
-    table and the composite pays the tokenize cost twice."""
+    corpus shared by all three stages.  (The labels side starts
+    parquet-derived inside dedup_clusters' round-0 job, but every round
+    ends in a localCheckpoint, so the FINAL plan joins a materialized
+    RDD — zero extra table scans.)  A second ReadSchema in the final
+    plan means a stage went back to the table and the composite pays
+    the tokenize cost twice."""
     import re
 
     from arrow_experiments_spark.registry import all_queries
@@ -378,13 +380,13 @@ def test_curate_composite_is_single_scan(spark):
             df._jdf.queryExecution(), "formatted"
         )
         read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-        assert len(read_schemas) <= 2, (
+        assert len(read_schemas) <= 1, (
             f"curate composite re-scans the corpus: {read_schemas}\n"
             f"{plan[:3000]}"
         )
         widths = sorted(len(s.split(",")) if s else 0 for s in read_schemas)
-        # one wide-ish scan (doc_id, source, text) + one doc_id-only scan
-        assert widths == [1, 3], widths
+        # the one tokenizing scan: (doc_id, source, text)
+        assert widths == [3], widths
     finally:
         spark.catalog.clearCache()
 
