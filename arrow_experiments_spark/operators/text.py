@@ -695,6 +695,78 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_TRAIN_LT = 205  # of 256: ~80.1% train
+_SPLIT_VAL_LT = 230  # next ~9.8% val, remainder ~10.2% test
+
+
+@register(
+    "pipeline_train_split_chunks",
+    "text",
+    doc="leak-safe train/val/test assignment propagated to chunk level: "
+    "the split is a pure function of doc_id (first byte of "
+    f"md5(doc_id) against {_SPLIT_TRAIN_LT}/{_SPLIT_VAL_LT} of 256 — "
+    "~80/10/10), so every window text_chunk_windows derives from a "
+    "document lands in exactly ONE split by construction — the "
+    "standard guard against sibling-chunk leakage between train and "
+    "eval.  Deliberately keyed on the stable id, not content: an edited "
+    "document must stay in its split (content-keyed assignment migrates "
+    "rows between splits on every revision, silently contaminating "
+    "eval).  Row-local assignment — no join, no extra shuffle; the "
+    "only shuffle is the final 3-row stats aggregate, so at 100 TB "
+    "this is a map over the chunk stream.  Output: per-split doc, "
+    "chunk and token counts (the numbers a training run budgets "
+    "from).",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {_CHUNK_S}.0) AS BIGINT)))
+                       AS chunk_id
+            FROM t WHERE len(toks) > 0
+        ), ch AS (
+            SELECT doc_id,
+                   CAST(least({_CHUNK_W}, len(toks) - chunk_id * {_CHUNK_S})
+                        AS BIGINT) AS n_chunk_tokens,
+                   CASE
+                     WHEN {_hexbyte_sql("md5(CAST(doc_id AS VARCHAR))", 0)}
+                          < {_SPLIT_TRAIN_LT} THEN 'train'
+                     WHEN {_hexbyte_sql("md5(CAST(doc_id AS VARCHAR))", 0)}
+                          < {_SPLIT_VAL_LT} THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM c
+        )
+        SELECT split,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens
+        FROM ch GROUP BY split
+    """,
+)
+def pipeline_train_split_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.text import md5_str
+
+    chunks = text_chunk_windows(spark, sf_dir)
+    first_byte = F.conv(
+        F.substring(md5_str(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(first_byte < _SPLIT_TRAIN_LT, F.lit("train"))
+        .when(first_byte < _SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        chunks.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 # ---- incremental corpus refresh -------------------------------------------
 
 

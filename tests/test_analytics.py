@@ -1024,3 +1024,46 @@ def test_semantic_clusters_subcluster_knob(spark):
             dedup_semantic_clusters(spark, SF_DIR_T2)
     finally:
         spark.conf.unset(_SEMDEDUP_BITS_CONF)
+
+
+def test_train_split_chunks_matches_hashlib_reference(spark):
+    """pipeline_train_split_chunks: per-split doc counts must equal an
+    independent hashlib recomputation of the md5(doc_id) first-byte
+    rule over the chunk-bearing docs, and chunk/token totals must equal
+    text_chunk_windows' — i.e. the split partitions the chunk stream
+    exactly (leak-safe by construction: split is a function of doc_id)."""
+    import hashlib
+
+    from arrow_experiments_spark.operators.text import (
+        _SPLIT_TRAIN_LT,
+        _SPLIT_VAL_LT,
+        pipeline_train_split_chunks,
+        text_chunk_windows,
+    )
+    from conftest import SF_DIR_T2
+
+    got = {r["split"]: r for r in pipeline_train_split_chunks(spark, SF_DIR_T2).collect()}
+    chunks = text_chunk_windows(spark, SF_DIR_T2).collect()
+
+    expect = {"train": set(), "val": set(), "test": set()}
+    n_chunks = {"train": 0, "val": 0, "test": 0}
+    n_tokens = {"train": 0, "val": 0, "test": 0}
+    for c in chunks:
+        b = hashlib.md5(str(c["doc_id"]).encode()).hexdigest()
+        byte0 = int(b[:2], 16)
+        split = (
+            "train"
+            if byte0 < _SPLIT_TRAIN_LT
+            else ("val" if byte0 < _SPLIT_VAL_LT else "test")
+        )
+        expect[split].add(c["doc_id"])
+        n_chunks[split] += 1
+        n_tokens[split] += c["n_chunk_tokens"]
+    for split in ("train", "val", "test"):
+        assert got[split]["n_docs"] == len(expect[split]), split
+        assert got[split]["n_chunks"] == n_chunks[split], split
+        assert got[split]["n_tokens"] == n_tokens[split], split
+    # the three splits partition the docs — no doc in two splits
+    assert not (expect["train"] & expect["val"])
+    assert not (expect["train"] & expect["test"])
+    assert not (expect["val"] & expect["test"])

@@ -92,6 +92,7 @@ AUDIT = [
     "pipeline_dedup_incremental",
     "dedup_minhash_estimate",
     "dedup_semantic_clusters",
+    "pipeline_train_split_chunks",
     "pipeline_curate_end_to_end",
     "agg_hll_partial_union",
     "agg_hll_sketch_exchange",
