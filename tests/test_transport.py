@@ -671,3 +671,23 @@ def test_adhoc_sql_endpoint_with_pluggable_runner(table):
         assert exc_info.value.code == 404
     finally:
         httpd2.shutdown()
+
+
+@pytest.mark.parametrize("strategy", ["identity", "gzip", "zstd", "br"])
+@pytest.mark.parametrize("nrows", [0, 1])
+def test_encode_decode_degenerate_geometries(strategy, nrows):
+    """Schema-only (0-row) and single-row streams must round-trip under
+    every coding — the gzip branch in particular must emit a valid
+    member when the eager-first-chunk flush fires before any batch
+    bytes exist."""
+    import pyarrow as pa
+
+    from arrow_experiments_spark.transport.ipc_stream import (
+        decode_body,
+        encode_ipc_chunks,
+    )
+
+    t = pa.table({"a": pa.array(range(nrows)), "b": pa.array(["x"] * nrows)})
+    body = b"".join(encode_ipc_chunks(t.schema, t.to_batches(), strategy))
+    got = decode_body(io.BytesIO(body), strategy).read_all()
+    assert got.equals(t)
