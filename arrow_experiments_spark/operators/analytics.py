@@ -831,7 +831,12 @@ def write_hll_sketch_shards(
         F.col("user_id").cast("string").alias("uid"),
     )
     shards = sorted(r["shard"] for r in ev.select("shard").distinct().collect())
-    for s in shards:
+
+    # The per-shard jobs are independent by design — and a warehouse runs
+    # its nightly partition jobs CONCURRENTLY, so submit them from a small
+    # thread pool (Spark's scheduler interleaves jobs from different
+    # threads; each write targets its own directory).
+    def write_shard(s: str) -> None:
         (
             ev.filter(F.col("shard") == s)
             .groupBy("event_type")
@@ -839,6 +844,11 @@ def write_hll_sketch_shards(
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"shard={s}"))
         )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, max(1, len(shards)))) as pool:
+        list(pool.map(write_shard, shards))  # list() re-raises any failure
     return shards
 
 
