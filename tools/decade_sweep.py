@@ -20,6 +20,12 @@ bend; the clone-dense upper-bound behavior stays documented by the
 
 Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/decade_sweep.py
 Appends a section to SCALE.md and prints one JSON line.
+
+Round-7 results are already recorded in SCALE.md ("One decade further"
+and the sections after it — including curate funnel, semantic dedup,
+jaccard, ANN and keep_canonical cells measured with this protocol on
+the same corpora); re-running appends a fresh section rather than
+editing those.
 """
 
 from __future__ import annotations
