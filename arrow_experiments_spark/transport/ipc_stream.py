@@ -163,11 +163,17 @@ def encode_ipc_chunks(
             else:
                 codec = "brotli" if strategy == "br" else strategy
                 compressor = pa.CompressedOutputStream(sink, codec)
+            # GzipFile emits its 10-byte member header at construction, so
+            # "nothing flushed yet" is tell()==header_pos, not tell()==0
+            # (ADVICE r7: comparing against 0 made the eager sync-flush
+            # dead code on the gzip branch and the first chunk carried only
+            # the bare header).
+            header_pos = sink.tell()
             writer = pa.ipc.new_stream(compressor, schema)
             first_sent = False
             for batch in batches:
                 writer.write_batch(batch)
-                if not first_sent and sink.tell() == 0:
+                if not first_sent and sink.tell() == header_pos:
                     compressor.flush()  # push the first chunk out ASAP
                 pos = sink.tell()
                 if pos >= min_chunk or (not first_sent and pos > 0):

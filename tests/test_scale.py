@@ -402,3 +402,91 @@ def test_twa_bucketed_is_two_level(spark):
     plan = _plan(df)
     assert plan.count("Window") >= 2, plan
     assert "bkt" in plan, plan
+
+
+# ---- auto-derived LSH cell geometry (r7 verdict #2 + #8) -------------------
+
+
+def test_derive_lsh_bits_formula():
+    """bits = max(floor, ceil(log2(N / target))): floor at or below the
+    target, one bit per doubling past it — each bit halves expected cell
+    population, holding it ≤ target as N grows."""
+    from arrow_experiments_spark.operators.dedup import derive_lsh_bits
+
+    assert derive_lsh_bits(0, 2000) == 4
+    assert derive_lsh_bits(2000, 2000) == 4
+    assert derive_lsh_bits(32_000, 2000) == 4      # 2^4 cells exactly
+    assert derive_lsh_bits(32_001, 2000) == 5
+    assert derive_lsh_bits(200_000, 2000) == 7     # SCALE.md 100× corpus
+    assert derive_lsh_bits(2_000_000, 2000) == 10  # SCALE.md 1000× corpus
+    assert derive_lsh_bits(200, 25_000, floor=0) == 0
+    assert derive_lsh_bits(200_000, 25_000, floor=0) == 3  # linear-restored cell
+
+
+def test_auto_bits_fixture_scale_is_oracle_geometry(spark):
+    """With the bits confs UNSET, every test fixture must derive the
+    oracle geometry (4 emb bits / 0 cluster bits) from its footer
+    count — the auto-derivation can never shift a correctness fixture."""
+    from arrow_experiments_spark.operators.dedup import (
+        _emb_lsh_bits,
+        _semdedup_cluster_bits,
+    )
+
+    for d in (SF_DIR, SF_DIR_T2):
+        assert _emb_lsh_bits(spark, d) == 4
+        assert _semdedup_cluster_bits(spark, d) == 0
+
+
+def test_auto_bits_large_n_reaches_the_physical_plan(spark):
+    """r7 verdict #8 guardrail: under a synthetic large-N stats override
+    (corpusNOverride = 2,048,000 → derived 10 bits) the bucket expression
+    in the PHYSICAL plan must carry the 10th sign-bit term (literal 512),
+    which the 4-bit fixture plan must not — so the scale knob can't
+    silently regress to fixed bits."""
+    import re as _re
+
+    from arrow_experiments_spark.operators.dedup import (
+        dedup_embedding_topk_grouped,
+    )
+
+    def bit_terms(df) -> set[int]:
+        # the bucket expression's k-th sign-bit term is "THEN (1<<k) ELSE"
+        return {int(m) for m in _re.findall(r"THEN (\d+) ELSE", _plan(df))}
+
+    base = dedup_embedding_topk_grouped(spark, SF_DIR_T2)
+    assert 8 in bit_terms(base)       # 4th bit term (1 << 3)
+    assert 512 not in bit_terms(base)
+
+    spark.conf.set(
+        "spark.arrowExperimentsSpark.emb.corpusNOverride", "2048000"
+    )
+    try:
+        scaled = dedup_embedding_topk_grouped(spark, SF_DIR_T2)
+        assert 512 in bit_terms(scaled)  # 10th bit term (1 << 9)
+    finally:
+        spark.conf.unset("spark.arrowExperimentsSpark.emb.corpusNOverride")
+
+
+def test_auto_cluster_bits_large_n_subsplits(spark):
+    """Same guardrail for the SemDeDup sub-split: a synthetic 2M-vector
+    override (pop 200k at the fixture's k=10) derives 3 bits, and the
+    plan's subcluster expression carries the 3rd sign-bit term; the
+    fixture default has no sub-split at all (subcluster = literal 0)."""
+    import re as _re
+
+    from arrow_experiments_spark.operators.dedup import (
+        dedup_semantic_clusters,
+    )
+
+    base = dedup_semantic_clusters(spark, SF_DIR_T2)
+    assert "THEN 4 ELSE" not in _plan(base)
+
+    spark.conf.set(
+        "spark.arrowExperimentsSpark.emb.corpusNOverride", "2000000"
+    )
+    try:
+        scaled = dedup_semantic_clusters(spark, SF_DIR_T2)
+        plan = _plan(scaled)
+        assert "THEN 4 ELSE" in plan, plan[:2000]  # 3rd bit (1 << 2)
+    finally:
+        spark.conf.unset("spark.arrowExperimentsSpark.emb.corpusNOverride")

@@ -547,3 +547,47 @@ def test_upsert_snapshot_checkpointed_replay_is_skipped(spark, tmp_path):
     # skip means v0 was not rewritten: identical part files
     assert sorted(os.listdir(os.path.join(snap, "v0"))) == before_files
     assert read_snapshot(spark, snap).count() == before_count
+
+
+def test_upsert_snapshot_checkpointed_onto_uncheckpointed_stays_monotonic(
+    spark, tmp_path
+):
+    """ADVICE r7 mode-mixing edge: a checkpointed query attached to a
+    snapshot previously advanced WITHOUT a checkpoint restarts at batch
+    0 while LATEST names some vN > 0.  The old code wrote v0 below vN
+    and the pruner then deleted the just-superseded vN — version ids
+    must instead stay monotonic (allocated past the committed version)
+    and the pre-existing version must survive as the 'previous' kept for
+    in-flight readers."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value"
+    ).limit(100)
+    # pre-seed a snapshot advanced without a checkpoint up to v3
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    seeded = src.limit(10)
+    seeded.write.parquet(os.path.join(snap, "v3"))
+    with open(os.path.join(snap, "LATEST"), "w") as f:
+        f.write("v3")
+
+    staged = str(tmp_path / "one")
+    src.coalesce(1).write.parquet(staged)
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(src.schema).parquet(staged)
+    upsert_snapshot_sink(
+        stream, snap, key_cols=["user_id"], order_col="event_id",
+        checkpoint_dir=ckpt,
+    )
+    with open(os.path.join(snap, "LATEST")) as f:
+        assert f.read().strip() == "v4"  # monotonic: past committed, not v0
+    versions = sorted(d for d in os.listdir(snap) if d.startswith("v"))
+    assert versions == ["v3", "v4"], versions  # previous version survives
+    final = read_snapshot(spark, snap)
+    assert final.count() == src.select("user_id").distinct().count()

@@ -691,3 +691,29 @@ def test_encode_decode_degenerate_geometries(strategy, nrows):
     body = b"".join(encode_ipc_chunks(t.schema, t.to_batches(), strategy))
     got = decode_body(io.BytesIO(body), strategy).read_all()
     assert got.equals(t)
+
+
+def test_gzip_first_chunk_carries_schema():
+    """ADVICE r7: GzipFile writes its 10-byte member header at
+    construction, so the old ``sink.tell() == 0`` eager-flush guard never
+    fired and the first chunk was the bare header.  The fixed guard
+    compares against the post-init header offset; the first yielded chunk
+    must now sync-flush a decompressible prefix that already contains the
+    complete IPC schema message (time-to-first-byte semantic, reference
+    get_compressed server force-flush)."""
+    import zlib
+
+    import pyarrow as pa
+
+    from arrow_experiments_spark.transport.ipc_stream import encode_ipc_chunks
+
+    t = pa.table({"a": pa.array(range(200_000))})
+    chunks = encode_ipc_chunks(t.schema, t.to_batches(max_chunksize=20_000), "gzip")
+    try:
+        first = next(chunks)
+    finally:
+        chunks.close()
+    plain = zlib.decompressobj(wbits=31).decompress(first)
+    assert plain, "first gzip chunk decompressed to nothing — flush did not fire"
+    msg = pa.ipc.read_message(pa.BufferReader(plain))
+    assert msg.type == "schema"
