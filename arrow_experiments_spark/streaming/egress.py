@@ -289,3 +289,44 @@ def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
     with open(pointer) as f:
         version = f.read().strip()
     return spark.read.parquet(os.path.join(snapshot_dir, version))
+
+
+def snapshot_reader_factory(snapshot_dir: str):
+    """RecordBatchReader factory over a versioned snapshot — the egress
+    seam that closes the funnel loop (r7 verdict #7): the LATEST pointer
+    is resolved AT REQUEST TIME, so the endpoint always serves the
+    current survivors, and the versioned-dir contract (previous version
+    kept for in-flight readers, atomic pointer swap) means the resolved
+    version's files stay put for the duration of the read even if a
+    micro-batch commits mid-response.  Pure pyarrow — no Spark job per
+    request.  Returns None before the first commit (the server turns
+    that into a 404)."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    def factory():
+        pointer = os.path.join(snapshot_dir, "LATEST")
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            version = f.read().strip()
+        d = pads.dataset(
+            os.path.join(snapshot_dir, version), format="parquet"
+        )
+        return d.scanner().to_reader()
+
+    return factory
+
+
+def register_snapshot(registry, name: str, snapshot_dir: str) -> None:
+    """Expose a versioned snapshot through the HTTP catalog:
+    ``GET /catalog`` lists it, ``GET /datasets/{name}`` streams the
+    current version as Arrow — the reference's get_indirect two-step
+    (catalog → dataset URI) over the funnel's LIVE output instead of a
+    static artifact."""
+    registry.register(
+        name,
+        snapshot_reader_factory(snapshot_dir),
+        meta={"kind": "snapshot", "snapshot_dir": snapshot_dir},
+    )

@@ -126,6 +126,49 @@ def fetch_arrow(
     return table, metrics
 
 
+def fetch_multipart(
+    url: str, chunk_bytes: int = 1 << 16
+) -> tuple[dict, pa.Table, FetchMetrics]:
+    """GET a multipart/mixed dataset (JSON meta + Arrow part) and decode
+    the Arrow part INCREMENTALLY off the socket via the feed-based parser
+    (r7 verdict #5): peak buffering is O(part-header + chunk), so a
+    multi-GB Arrow part streams batch-by-batch exactly like the plain GET
+    path — the reference client's ``BytesFeedParser`` loop
+    (http/get_multipart/python/client/simple_client.py:35-58) without its
+    whole-part buffering."""
+    from arrow_experiments_spark.transport.multipart import (
+        stream_multipart_arrow,
+    )
+
+    metrics = FetchMetrics(url=url)
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(url) as resp:
+        ctype = resp.headers.get("Content-Type", "")
+        if not ctype.startswith("multipart/mixed"):
+            raise ValueError(f"unexpected content type: {ctype!r}")
+        metrics.content_type = ctype
+
+        def chunks():
+            while True:
+                c = resp.read(chunk_bytes)
+                if not c:
+                    return
+                metrics.bytes_received += len(c)
+                yield c
+
+        meta, reader = stream_multipart_arrow(chunks(), ctype)
+        metrics.time_to_schema_sec = time.perf_counter() - t0
+        batches = []
+        for batch in reader:
+            if metrics.batches == 0:
+                metrics.time_to_first_batch_sec = time.perf_counter() - t0
+            metrics.batches += 1
+            metrics.rows += batch.num_rows
+            batches.append(batch)
+    metrics.elapsed_sec = time.perf_counter() - t0
+    return meta, pa.Table.from_batches(batches, schema=reader.schema), metrics
+
+
 def post_arrow(
     url: str,
     table: pa.Table,

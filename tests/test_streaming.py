@@ -591,3 +591,98 @@ def test_upsert_snapshot_checkpointed_onto_uncheckpointed_stays_monotonic(
     assert versions == ["v3", "v4"], versions  # previous version survives
     final = read_snapshot(spark, snap)
     assert final.count() == src.select("user_id").distinct().count()
+
+
+def test_curated_snapshot_served_through_catalog(spark, tmp_path):
+    """r7 verdict #7, the loop closed: run the incremental curation sink,
+    register its snapshot in the HTTP registry, then do the reference's
+    get_indirect two-step — GET /catalog lists the dataset URI, GET
+    /datasets/curated streams the CURRENT survivors as Arrow — and the
+    fetched table must equal the batch funnel's selection.  A further
+    micro-batch committed after registration must be visible on the next
+    fetch (LATEST resolves at request time)."""
+    import glob
+    import os
+    import shutil
+    import urllib.request
+
+    from arrow_experiments_spark.streaming.egress import (
+        incremental_curation_sink,
+        read_snapshot,
+        register_snapshot,
+    )
+    from arrow_experiments_spark.transport.client import (
+        fetch_arrow,
+        fetch_catalog,
+    )
+    from arrow_experiments_spark.transport.server import (
+        DatasetRegistry,
+        serve,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    cut = ids[len(ids) // 2]
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+
+    def stage(i: int, lo: int, hi: int) -> None:
+        wdir = str(tmp_path / f"w{i}")
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(wdir)
+        src = glob.glob(os.path.join(wdir, "part-*.parquet"))[0]
+        dst = os.path.join(staged, f"{i:03d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    stage(0, ids[0], cut)
+    snap = str(tmp_path / "snap")
+
+    def run_sink() -> None:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged)
+        )
+        incremental_curation_sink(stream, snap)
+
+    run_sink()
+    registry = DatasetRegistry()
+    register_snapshot(registry, "curated", snap)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    base = f"http://{host}:{port}"
+    try:
+        uris = fetch_catalog(f"{base}/catalog")
+        (uri,) = [u for u in uris if u.endswith("/datasets/curated")]
+        got1, _m = fetch_arrow(uri, accept_encoding="identity")
+        want1 = read_snapshot(spark, snap)
+        assert got1.num_rows == want1.count()
+        assert sorted(got1["doc_id"].to_pylist()) == sorted(
+            r["doc_id"] for r in want1.select("doc_id").collect()
+        )
+
+        # second delta lands AFTER registration — the endpoint must serve
+        # the new version without re-registering
+        stage(1, cut, ids[-1] + 1)
+        run_sink()
+        got2, _m = fetch_arrow(uri, accept_encoding="identity")
+        want2 = read_snapshot(spark, snap)
+        assert got2.num_rows == want2.count() > got1.num_rows
+        assert sorted(got2["content_hash"].to_pylist()) == sorted(
+            r["content_hash"] for r in want2.select("content_hash").collect()
+        )
+
+        # unregistered-before-first-commit shape: a fresh empty snapshot
+        # registers fine and 404s until its first commit
+        register_snapshot(registry, "curated_empty", str(tmp_path / "nosnap"))
+        try:
+            urllib.request.urlopen(f"{base}/datasets/curated_empty")
+            raise AssertionError("expected 404 before first commit")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()

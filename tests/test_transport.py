@@ -717,3 +717,115 @@ def test_gzip_first_chunk_carries_schema():
     assert plain, "first gzip chunk decompressed to nothing — flush did not fire"
     msg = pa.ipc.read_message(pa.BufferReader(plain))
     assert msg.type == "schema"
+
+
+def test_multipart_streaming_parse_matches_buffered(server, table):
+    """The incremental parser must agree with the buffered one on the
+    server's real multipart output: same metadata, same Arrow table."""
+    from arrow_experiments_spark.transport.multipart import (
+        parse_multipart,
+        read_arrow_part,
+        stream_multipart_arrow,
+    )
+
+    with urllib.request.urlopen(f"{server}/datasets/bench?multipart=1") as resp:
+        ctype = resp.headers["Content-Type"]
+        body = resp.read()
+    parts = parse_multipart(body, ctype)
+    want = read_arrow_part(parts)
+    import json as _json
+
+    want_meta = _json.loads(parts["application/json"][0])
+
+    def chunks():
+        for i in range(0, len(body), 4096):
+            yield body[i : i + 4096]
+
+    meta, reader = stream_multipart_arrow(chunks(), ctype)
+    got = reader.read_all()
+    assert meta == want_meta
+    assert got.equals(want)
+
+
+def test_multipart_streaming_parse_is_bounded_and_incremental():
+    """r7 verdict #5: a >64 MiB Arrow part must stream batch-by-batch
+    with peak buffering O(part-header + chunk) — the first batch decodes
+    long before the body is fully consumed, and no single buffered run
+    exceeds chunk + holdback."""
+    import pyarrow as pa
+
+    from arrow_experiments_spark.transport.multipart import (
+        encode_multipart,
+        iter_multipart_events,
+        make_boundary,
+        content_type as multipart_content_type,
+        stream_multipart_arrow,
+    )
+
+    # ~80 MiB of data in 40 × 2 MiB batches
+    batch = pa.record_batch({"x": pa.array([bytes(1024)] * 2048)})
+    boundary = make_boundary()
+    ctype = multipart_content_type(boundary)
+    body_chunks = list(
+        encode_multipart(
+            boundary, {"rows": 2048 * 40}, batch.schema, [batch] * 40
+        )
+    )
+    total = sum(len(c) for c in body_chunks)
+    assert total > 64 * 1024 * 1024
+
+    max_chunk = max(len(c) for c in body_chunks)
+    holdback = len(boundary) + 10
+    biggest = 0
+    for kind, payload in iter_multipart_events(iter(body_chunks), ctype):
+        if kind == "data":
+            biggest = max(biggest, len(payload))
+    assert biggest <= max_chunk + holdback  # never part-sized buffering
+
+    consumed = 0
+
+    def counting():
+        nonlocal consumed
+        for c in body_chunks:
+            consumed += 1
+            yield c
+
+    meta, reader = stream_multipart_arrow(counting(), ctype)
+    first = reader.read_next_batch()
+    assert first.num_rows == 2048
+    assert consumed < len(body_chunks) // 2, (consumed, len(body_chunks))
+    rest = sum(b.num_rows for b in reader)
+    assert 2048 + rest == 2048 * 40
+    assert meta == {"rows": 2048 * 40}
+
+
+def test_multipart_streaming_parse_truncated_raises():
+    """A body cut off mid-part must raise ValueError, not silently EOF."""
+    import pytest as _pytest
+
+    from arrow_experiments_spark.transport.multipart import (
+        iter_multipart_events,
+        content_type as multipart_content_type,
+    )
+
+    b = "bnd123"
+    body = (
+        f"--{b}\r\nContent-Type: text/plain\r\n\r\npartial data with no clo"
+    ).encode()
+    with _pytest.raises(ValueError, match="truncated"):
+        list(iter_multipart_events(iter([body]), multipart_content_type(b)))
+
+
+def test_fetch_multipart_client(server, table):
+    """The client-side streaming multipart fetch: metadata decoded, Arrow
+    part equal to the dataset, metrics populated (time-to-first-batch ≤
+    elapsed, bytes counted)."""
+    from arrow_experiments_spark.transport.client import fetch_multipart
+
+    meta, got, metrics = fetch_multipart(f"{server}/datasets/bench?multipart=1")
+    assert got.equals(table)
+    assert meta.get("name") == "bench" or meta  # server meta shape
+    assert metrics.batches >= 1
+    assert metrics.rows == table.num_rows
+    assert 0 < metrics.time_to_first_batch_sec <= metrics.elapsed_sec
+    assert metrics.bytes_received > 0
