@@ -1083,6 +1083,72 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_containment",
+    "dedup",
+    doc="near-SUPERSET detection: MinHash-LSH candidates verified with "
+    "max-containment |A∩B| / min(|A|,|B|) at threshold 0.5 instead of "
+    "Jaccard.  Containment is the score web-corpus dedup needs where "
+    "Jaccard fails: a page embedded in a larger boilerplate wrapper has "
+    "low Jaccard (the union is dominated by the wrapper) but containment "
+    "~1, so the wrapped copy is caught.  Same two-stage 100 TB shape as "
+    "dedup_ngram_jaccard_lsh — band equi-join proposes, exact set "
+    "arithmetic verifies only candidates — and asymmetric-size pairs "
+    "survive banding because MinHash collisions track the shared-shingle "
+    "fraction of EACH band's signature.",
+    oracle=_minhash_bands_sql()
+    + """
+        , cand AS (
+            SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.ida AS doc_id_a, c.idb AS doc_id_b,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / NULLIF(LEAST(len(x.sh), len(y.sh)), 0) AS containment
+        FROM cand c
+        JOIN sh_t x ON x.doc_id = c.ida
+        JOIN sh_t y ON y.doc_id = c.idb
+        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / NULLIF(LEAST(len(x.sh), len(y.sh)), 0) >= 0.5
+    """,
+)
+def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = (
+        _candidate_edges(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
+    )
+    sh = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .persist()
+        .select(
+            "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
+        )
+        .persist()
+    )
+    a = sh.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("doc_id").alias("idb"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    cont = F.try_divide(
+        inter.cast("double"),
+        F.least(F.size("sha"), F.size("shb")).cast("double"),
+    )
+    return (
+        cand.join(a, "ida")
+        .join(b, "idb")
+        .select(
+            F.col("ida").alias("doc_id_a"),
+            F.col("idb").alias("doc_id_b"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.5)
+    )
+
+
 # Shared oracle for both physical forms of the per-vector top-k near-dup
 # (windowed pair list vs bucket-local numpy) — identical declared result.
 _EMB_TOPK_ORACLE = f"""

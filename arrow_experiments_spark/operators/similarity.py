@@ -387,6 +387,126 @@ def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multiprobe_cells_col(emb: F.Column, k: int = _IVF_K, nprobe: int = 2) -> F.Column:
+    """Array of the ``nprobe`` nearest centroid ids, nearest first.
+    Struct sort is lexicographic (dist, then cell id), matching the
+    oracle's ``ORDER BY dist, cell`` — deterministic because both engines
+    derive bit-identical centroid doubles from the LCG family."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _l2sq(emb, _hyperplane(_CODEBOOK_OFFSET + c)).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c in range(k)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(pairs), 1, nprobe), lambda x: x["c"]
+    )
+
+
+def _multiprobe_cells_sql(emb: str, k: int = _IVF_K, nprobe: int = 2) -> str:
+    """DuckDB twin of :func:`_multiprobe_cells_col` as a correlated-free
+    CTE body: per-(vec_id, cell) distance rows → rank → nprobe rows per
+    probe."""
+    dist_rows = "\n            UNION ALL ".join(
+        f"SELECT vec_id, {c} AS cell, "
+        f"{_l2sq_sql(emb, _hyperplane_sql(_CODEBOOK_OFFSET + c))} AS dist "
+        f"FROM probes"
+        for c in range(k)
+    )
+    return f"""
+        pdist AS (
+            {dist_rows}
+        ), pcells AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, cell) AS rn
+                FROM pdist
+            ) WHERE rn <= {nprobe}
+        )"""
+
+
+@register(
+    "ann_ivf_multiprobe",
+    "similarity",
+    doc="multi-probe IVF: each query searches its nprobe=2 nearest "
+    "codebook cells instead of 1 — the standard recall lever of a "
+    "deployed IVF index (a query near a cell boundary misses true "
+    "neighbors quantized into the adjacent cell; probing the runner-up "
+    "cell recovers them for ~2× candidate cost, no index change).  "
+    "Plan shape: probe→cells is a broadcastable nprobe-row expansion of "
+    "the probe set; candidates join on cell exactly like "
+    "ann_ivf_codebook, so the shuffle stays bounded by nprobe × cell "
+    "population.  Top-3 per probe across both probed cells.",
+    oracle=f"""
+        WITH nz AS ({_NZ_SQL}),
+        probes AS (SELECT vec_id, embedding FROM nz WHERE vec_id < 10),
+        cells AS (
+            SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
+            FROM nz
+        ), {_multiprobe_cells_sql("embedding")}
+        SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS_SNAP_SQL} AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+            FROM probes q
+            JOIN pcells p ON p.vec_id = q.vec_id
+            JOIN cells c ON c.cell = p.cell AND c.vec_id <> q.vec_id
+        ) WHERE rnk <= 3
+    """,
+)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _nonzero_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        ivf_cell_col(F.col("embedding")).alias("cell"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_norm"),
+            F.explode(
+                _multiprobe_cells_col(F.col("embedding"))
+            ).alias("p_cell"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("p_cell") == F.col("c_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            snap6(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 3
+    )
+
+
 # ---- retriever recall evaluation -------------------------------------------
 
 # Shared oracle template for the retriever recall evals: {cells} is the

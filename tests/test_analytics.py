@@ -1137,3 +1137,56 @@ def test_train_split_chunks_matches_hashlib_reference(spark):
     assert not (expect["train"] & expect["val"])
     assert not (expect["train"] & expect["test"])
     assert not (expect["val"] & expect["test"])
+
+
+def test_containment_catches_supersets_jaccard_misses(spark):
+    """dedup_minhash_containment semantics: every returned pair has
+    containment in [0.5, 1] with a < b ordering, containment >= the
+    pair's Jaccard by construction (the union dominates the smaller
+    set), and the scorer surfaces wrapped-copy pairs whose Jaccard sits
+    below the Jaccard default's own threshold shape."""
+    from arrow_experiments_spark.operators.dedup import (
+        dedup_minhash_containment,
+        dedup_ngram_jaccard_lsh,
+    )
+    from conftest import SF_DIR_T2
+
+    rows = dedup_minhash_containment(spark, SF_DIR_T2).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id_a"] < r["doc_id_b"]
+        assert 0.5 <= r["containment"] <= 1.0 + 1e-9
+
+    jac = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup_ngram_jaccard_lsh(spark, SF_DIR_T2).collect()
+    }
+    for r in rows:
+        j = jac.get((r["doc_id_a"], r["doc_id_b"]))
+        if j is not None:
+            assert r["containment"] >= j - 1e-9
+
+
+def test_multiprobe_never_worse_than_single_probe(spark):
+    """ann_ivf_multiprobe's candidate set contains the single-probe
+    cell's, so at every rank its cosine must be >= ann_ivf_codebook's
+    for the same query — probing the runner-up cell can only add
+    candidates, never lose them."""
+    from arrow_experiments_spark.operators.similarity import (
+        ann_ivf_codebook,
+        ann_ivf_multiprobe,
+    )
+    from conftest import SF_DIR_T2
+
+    multi = {
+        (r["query_id"], r["rnk"]): r["cos_sim"]
+        for r in ann_ivf_multiprobe(spark, SF_DIR_T2).collect()
+    }
+    single = {
+        (r["query_id"], r["rnk"]): r["cos_sim"]
+        for r in ann_ivf_codebook(spark, SF_DIR_T2).collect()
+    }
+    assert multi
+    for key, cos in single.items():
+        assert key in multi
+        assert multi[key] >= cos - 1e-9
