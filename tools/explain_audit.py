@@ -146,6 +146,8 @@ BOUNDED_BROADCAST_OK = {
     "pipeline_curate_end_to_end": {"documents"},
     "ann_recall_eval": {"embeddings"},  # vec_id < 10 probe set, twice
     "ann_recall_eval_ivf": {"embeddings"},  # same probe-set pattern
+    # vec_id < 10 probe set exploded to nprobe=2 cells — still ≤ 20 rows
+    "ann_ivf_multiprobe": {"embeddings"},
 }
 
 
