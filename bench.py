@@ -78,6 +78,14 @@ HEADLINE = [
     # rounds.
     "agg_hll_sketch_exchange",
     "dedup_semantic_clusters",
+    # round-8 additions: containment verify over the LSH candidates (the
+    # wrapped-near-superset catch Jaccard misses) and multi-probe IVF
+    # (the deployed-index recall lever).  NOTE for total comparisons:
+    # r8 adds these keys, and agg_hll_sketch_exchange became
+    # write-if-absent this round (passes 2-3 measure the rollup alone,
+    # so its median dropped by design).
+    "dedup_minhash_containment",
+    "ann_ivf_multiprobe",
 ]
 
 
