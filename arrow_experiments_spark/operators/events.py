@@ -318,85 +318,6 @@ def events_hourly_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_funnel_steps",
-    "events",
-    doc="ordered conversion funnel view → signup → purchase: per user, "
-    "the earliest view, the earliest signup STRICTLY AFTER that view, "
-    "and the earliest purchase strictly after that signup; output is "
-    "one row per step with the surviving user count.  The ordering "
-    "constraint is what distinguishes a funnel from three distinct "
-    "counts — a user who purchased before ever viewing does not "
-    "convert.  Scale shape: one map-side type filter per step feeding "
-    "user_id-keyed joins + min-aggregates — each stage's frame is one "
-    "row per surviving user, so the shuffles shrink down the funnel; "
-    "no window over the raw event stream is ever needed.",
-    oracle="""
-        WITH v AS (
-            SELECT user_id, MIN(ts) AS t1 FROM events
-            WHERE event_type = 'view' GROUP BY user_id
-        ), s AS (
-            SELECT e.user_id, MIN(e.ts) AS t2
-            FROM events e JOIN v ON e.user_id = v.user_id
-            WHERE e.event_type = 'signup' AND e.ts > v.t1
-            GROUP BY e.user_id
-        ), p AS (
-            SELECT e.user_id, MIN(e.ts) AS t3
-            FROM events e JOIN s ON e.user_id = s.user_id
-            WHERE e.event_type = 'purchase' AND e.ts > s.t2
-            GROUP BY e.user_id
-        )
-        SELECT * FROM (
-            SELECT 1 AS step_idx, 'view' AS step,
-                   CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
-            UNION ALL
-            SELECT 2, 'view>signup',
-                   CAST((SELECT COUNT(*) FROM s) AS BIGINT)
-            UNION ALL
-            SELECT 3, 'view>signup>purchase',
-                   CAST((SELECT COUNT(*) FROM p) AS BIGINT)
-        ) ORDER BY step_idx
-    """,
-)
-def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    s = (
-        ev.filter(F.col("event_type") == "signup")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-
-    def count_row(idx: int, label: str, frame: DataFrame) -> DataFrame:
-        return frame.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users")
-        ).select(
-            F.lit(idx).alias("step_idx"),
-            F.lit(label).alias("step"),
-            "n_users",
-        )
-
-    return (
-        count_row(1, "view", v)
-        .unionByName(count_row(2, "view>signup", s))
-        .unionByName(count_row(3, "view>signup>purchase", p))
-        .orderBy("step_idx")
-    )
-
-
 _HIST_LO = 0.0
 _HIST_W = 5.0
 _HIST_BINS = 10

@@ -1190,28 +1190,3 @@ def test_multiprobe_never_worse_than_single_probe(spark):
     for key, cos in single.items():
         assert key in multi
         assert multi[key] >= cos - 1e-9
-
-
-def test_funnel_steps_ordered_and_monotone(spark):
-    """events_funnel_steps: three rows in step order, user counts
-    non-increasing down the funnel (the ordering constraint can only
-    remove users), and step 1 equals the distinct viewer count."""
-    import pyspark.sql.functions as F
-
-    from arrow_experiments_spark.operators.events import events_funnel_steps
-    from arrow_experiments_spark.tables import table
-    from conftest import SF_DIR_T2
-
-    rows = events_funnel_steps(spark, SF_DIR_T2).collect()
-    assert [r["step_idx"] for r in rows] == [1, 2, 3]
-    counts = [r["n_users"] for r in rows]
-    assert counts[0] >= counts[1] >= counts[2]
-    assert counts[0] > 0
-    viewers = (
-        table(spark, SF_DIR_T2, "events")
-        .filter(F.col("event_type") == "view")
-        .select("user_id")
-        .distinct()
-        .count()
-    )
-    assert counts[0] == viewers
