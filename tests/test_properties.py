@@ -323,3 +323,48 @@ def test_semantic_kernel_matches_literal_rule(vecs, data):
         assert bool(row["kept"]) == kept, (ids, vecs, ids[i])
         assert abs(row["cos_centroid"] - cosc(i)) < 1e-9
         assert row["cluster"] == 7
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=5
+    ),
+    chunk=st.integers(min_value=1, max_value=97),
+)
+def test_multipart_feed_parse_any_geometry(payloads, chunk):
+    """The incremental multipart parser must reassemble EXACTLY the
+    buffered parser's parts for arbitrary binary payloads (including
+    payloads containing CRLFs, dashes, and boundary-like fragments) under
+    any chunk geometry — delimiters straddling chunk edges included."""
+    from arrow_experiments_spark.transport.multipart import (
+        _part_header,
+        content_type,
+        iter_multipart_events,
+        make_boundary,
+        parse_multipart,
+    )
+
+    boundary = make_boundary()
+    body = b""
+    for i, p in enumerate(payloads):
+        body += _part_header(boundary, f"application/x-part{i}")
+        body += p + b"\r\n"
+    body += f"--{boundary}--\r\n".encode()
+    ctype = content_type(boundary)
+
+    want = parse_multipart(body, ctype)
+
+    chunks = [body[i : i + chunk] for i in range(0, len(body), chunk)]
+    got: dict[str, list[bytes]] = {}
+    cur_type = None
+    buf = b""
+    for kind, payload in iter_multipart_events(iter(chunks), ctype):
+        if kind == "begin":
+            cur_type = payload["content-type"]
+            buf = b""
+        elif kind == "data":
+            buf += payload
+        else:
+            got.setdefault(cur_type, []).append(buf)
+    assert got == {k: v for k, v in want.items()}
