@@ -348,8 +348,12 @@ def _bench_serve_42m(spark) -> float:
     httpd = serve(registry)
     host, port = httpd.server_address
     try:
-        # best-of-2, same noise-window rationale as _bench_replay_100m
-        best = float("inf")
+        # best-of-2, same noise-window rationale as _bench_replay_100m;
+        # every attempt is recorded (r8: this key drifted 2.9 → ~4 s with
+        # a CLEAN sentinel — the 1M sentinel does not see memory-bandwidth
+        # contention that a 42M encode does, so the attempts themselves
+        # are the diagnostic)
+        attempts: list[float] = []
         for _ in range(2):
             t0 = _time.perf_counter()
             tbl, metrics = fetch_arrow(
@@ -357,12 +361,16 @@ def _bench_serve_42m(spark) -> float:
                 accept_encoding="zstd",
                 collect_table=False,
             )
-            best = min(best, _time.perf_counter() - t0)
+            attempts.append(round(_time.perf_counter() - t0, 3))
             assert metrics.rows == rows
-        return round(best, 3)
+        _SERVE_42M_ATTEMPTS.extend(attempts)
+        return min(attempts)
     finally:
         httpd.shutdown()
         shutil.rmtree(d, ignore_errors=True)
+
+
+_SERVE_42M_ATTEMPTS: list[float] = []
 
 
 _S2_STRATEGIES: dict[str, tuple[str | None, str]] = {
@@ -570,6 +578,7 @@ def main() -> None:
             "median": round(med, 3),
         },
         "s1_replay_100m_attempts": attempts,
+        "s2_serve_42m_attempts": list(_SERVE_42M_ATTEMPTS),
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
     }

@@ -338,3 +338,51 @@ def test_raw_spill_parity_with_threaded(tmp_path, table):
         assert t2.num_rows == 7 and t2.column_names == ["a"]
     finally:
         httpd.shutdown()
+
+
+def test_snapshot_dataset_parity(tmp_path, table):
+    """register_snapshot works identically behind both server forms: the
+    LATEST pointer resolves per request, both forms serve the current
+    version's rows, and both 404 before the first commit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from arrow_experiments_spark.streaming.egress import register_snapshot
+
+    snap = str(tmp_path / "snap")
+    os.makedirs(os.path.join(snap, "v0"))
+    pq.write_table(table, os.path.join(snap, "v0", "part-0.parquet"))
+    with open(os.path.join(snap, "LATEST"), "w") as f:
+        f.write("v0")
+
+    r = DatasetRegistry()
+    register_snapshot(r, "curated", snap)
+    register_snapshot(r, "empty", str(tmp_path / "nosnap"))
+    app = make_asgi_app(r)
+    httpd = serve(r)
+    host, port = httpd.server_address
+    try:
+        status, headers, body = asgi_request(
+            app, "GET", "/datasets/curated", {"accept-encoding": "identity"}
+        )
+        assert status == 200
+        got_asgi = decode_body(io.BytesIO(body), "identity").read_all()
+        req = urllib.request.Request(
+            f"http://{host}:{port}/datasets/curated",
+            headers={"Accept-Encoding": "identity"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            got_threaded = decode_body(io.BytesIO(resp.read()), "identity").read_all()
+        assert got_asgi.equals(table.select(got_asgi.column_names))
+        assert got_threaded.equals(got_asgi)
+
+        status, _h, _b = asgi_request(app, "GET", "/datasets/empty")
+        assert status == 404
+        try:
+            urllib.request.urlopen(f"http://{host}:{port}/datasets/empty")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
