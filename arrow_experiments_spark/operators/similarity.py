@@ -651,3 +651,121 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_eval(spark, sf_dir, ivf_cell_col)
+
+
+@register(
+    "ann_recall_eval_multiprobe",
+    "similarity",
+    doc="recall@3 of the nprobe=2 multi-probe IVF retriever against exact "
+    "brute-force top-3 — quantifies the recall the runner-up cell buys "
+    "over ann_recall_eval_ivf's single probe, per probe vector.  This is "
+    "how a deployed IVF index chooses nprobe: recall(nprobe) is measured "
+    "on a sample at each candidate setting and the knee picked; the "
+    "per-query recall here can only be >= the single-probe eval's "
+    "(tests assert the dominance).  Same exact-side shape and bit-"
+    "identical tie-breaks as the other recall evals.",
+    oracle=f"""
+        WITH nz AS ({_NZ_SQL}),
+        probes AS (SELECT vec_id, embedding FROM nz WHERE vec_id < 10),
+        cells AS (
+            SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
+            FROM nz
+        ), {_multiprobe_cells_sql("embedding")},
+        exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+                FROM nz q JOIN nz c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+            ) WHERE rnk <= 3
+        ), approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                          ORDER BY {_COS_SNAP_SQL} DESC, c.vec_id) AS rnk
+                FROM probes q
+                JOIN pcells p ON p.vec_id = q.vec_id
+                JOIN cells c ON c.cell = p.cell AND c.vec_id <> q.vec_id
+            ) WHERE rnk <= 3
+        )
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """,
+)
+def ann_recall_eval_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _nonzero_embeddings(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        ivf_cell_col(F.col("embedding")).alias("cell"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
+    q_cells = probes.select(
+        "query_id",
+        "q_emb",
+        "q_norm",
+        F.explode(_multiprobe_cells_col(F.col("q_emb"))).alias("p_cell"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+    )
+    cos = snap6(
+        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        F.broadcast(probes)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx = (
+        F.broadcast(q_cells)
+        .join(
+            c,
+            (F.col("p_cell") == F.col("c_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("query_id").alias("a_query_id"),
+            F.col("neighbor_id").alias("a_neighbor_id"),
+            F.lit(1).alias("hit"),
+        )
+    )
+    joined = exact.join(
+        approx,
+        (F.col("query_id") == F.col("a_query_id"))
+        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+            / F.count("*")
+        ).alias("recall"),
+    )

@@ -256,7 +256,15 @@ class _EventPayloadReader(io.RawIOBase):
 
     def readinto(self, b) -> int:
         while not self._buf and not self._done:
-            kind, payload = next(self._events)
+            try:
+                kind, payload = next(self._events)
+            except StopIteration:
+                # the event stream itself raises ValueError on a truncated
+                # body; exhaustion without an "end" event means the caller
+                # consumed events out from under us
+                raise ValueError(
+                    "multipart event stream ended mid-part"
+                ) from None
             if kind == "end":
                 self._done = True
             elif kind == "data":

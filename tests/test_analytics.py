@@ -1190,3 +1190,28 @@ def test_multiprobe_never_worse_than_single_probe(spark):
     for key, cos in single.items():
         assert key in multi
         assert multi[key] >= cos - 1e-9
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """ann_recall_eval_multiprobe vs ann_recall_eval_ivf: per probe,
+    recall with the runner-up cell probed must be >= single-probe recall
+    (the candidate set is a superset), and strictly better for at least
+    one probe at the fixture geometry — otherwise the lever would be
+    measuring nothing."""
+    from arrow_experiments_spark.operators.similarity import (
+        ann_recall_eval_ivf,
+        ann_recall_eval_multiprobe,
+    )
+    from conftest import SF_DIR_T2
+
+    mp = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall_eval_multiprobe(spark, SF_DIR_T2).collect()
+    }
+    sp = {
+        r["query_id"]: r["recall"]
+        for r in ann_recall_eval_ivf(spark, SF_DIR_T2).collect()
+    }
+    assert mp and set(mp) == set(sp)
+    assert all(mp[k] >= sp[k] - 1e-9 for k in mp)
+    assert any(mp[k] > sp[k] + 1e-9 for k in mp)
