@@ -148,6 +148,7 @@ BOUNDED_BROADCAST_OK = {
     "ann_recall_eval_ivf": {"embeddings"},  # same probe-set pattern
     # vec_id < 10 probe set exploded to nprobe=2 cells — still ≤ 20 rows
     "ann_ivf_multiprobe": {"embeddings"},
+    "ann_recall_eval_multiprobe": {"embeddings"},  # same probe-set pattern
 }
 
 
