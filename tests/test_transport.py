@@ -829,3 +829,33 @@ def test_fetch_multipart_client(server, table):
     assert metrics.rows == table.num_rows
     assert 0 < metrics.time_to_first_batch_sec <= metrics.elapsed_sec
     assert metrics.bytes_received > 0
+
+
+def test_br_cached_replay(server, table):
+    """Pre-materialized tables serve brotli from the compress-once cache
+    (the streaming encoder's default level burns ~34× the CPU for the
+    same ratio): two requests return byte-identical bodies, the payload
+    decodes to the full table, and curl's decoder accepts it."""
+    import subprocess
+
+    from arrow_experiments_spark.transport.ipc_stream import decode_body
+
+    req = urllib.request.Request(
+        f"{server}/datasets/bench", headers={"Accept-Encoding": "br"}
+    )
+    bodies = []
+    for _ in range(2):
+        with urllib.request.urlopen(req) as resp:
+            assert resp.headers["Content-Encoding"] == "br"
+            bodies.append(resp.read())
+    assert bodies[0] == bodies[1]  # the cached body, replayed
+    got = decode_body(io.BytesIO(bodies[0]), "br").read_all()
+    assert got.equals(table)
+    out = subprocess.run(
+        ["curl", "-sS", "--compressed", "-H", "Accept-Encoding: br",
+         f"{server}/datasets/bench"],
+        capture_output=True,
+    )
+    assert out.returncode == 0
+    got_curl = pa.ipc.open_stream(out.stdout).read_all()
+    assert got_curl.equals(table)
