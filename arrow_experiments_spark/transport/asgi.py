@@ -266,10 +266,9 @@ def make_asgi_app(registry: DatasetRegistry, cors: bool = False, sql_runner=None
             slices = registry.identity_stream(name)
             if slices is not None:
                 return 200, resp_headers, (bytes(sl) for sl in slices)
-        if strategy == "br" and plain:
-            # compress-once replay parity with the threaded form (the
-            # streaming brotli encoder has no level knob; see br_body)
-            slices = registry.br_slices(name)
+        if strategy in DatasetRegistry.CACHED_CODINGS and plain:
+            # compress-once replay parity with the threaded form
+            slices = registry.encoded_slices(name, strategy)
             if slices is not None:
                 return 200, resp_headers, (bytes(sl) for sl in slices)
         return 200, resp_headers, encode_ipc_chunks(reader.schema, reader, strategy)

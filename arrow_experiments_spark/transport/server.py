@@ -156,7 +156,7 @@ class DatasetRegistry:
         self._files: dict[str, bytes] = {}
         self._tables: dict[str, pa.Table] = {}
         self._bodies: dict[str, pa.Buffer] = {}
-        self._br_bodies: dict[str, bytes] = {}
+        self._coded_bodies: dict[tuple[str, str], bytes] = {}
         self._raw: dict[str, Callable[[], "Iterable[bytes]"]] = {}
         self._lock = threading.Lock()
 
@@ -181,7 +181,8 @@ class DatasetRegistry:
             # must not keep serving the previous table's cached bytes
             self._tables.pop(name, None)
             self._bodies.pop(name, None)
-            self._br_bodies.pop(name, None)
+            for k in [k for k in self._coded_bodies if k[0] == name]:
+                self._coded_bodies.pop(k, None)
             self._raw.pop(name, None)
 
     def register_table(self, name: str, table: pa.Table, meta: dict | None = None) -> None:
@@ -228,36 +229,52 @@ class DatasetRegistry:
         step = self.IDENTITY_SLICE_BYTES
         return (body[i : i + step] for i in range(0, len(body), step))
 
-    # Brotli has no stdlib binding here and pyarrow's streaming
-    # CompressedOutputStream has no level knob — its default burns ~4.4 s
-    # on a 19 MiB body where one-shot level 2 takes 0.13 s at the SAME
-    # ratio (0.593 vs 0.586, measured).  Streams can't fake it (brotli
-    # has no multi-member story), but a pre-materialized table's body is
-    # already cached whole, so its brotli twin is compressed ONCE at the
-    # knee level and replayed — the identity-body serve-many model
-    # extended to the one coding whose streaming encoder is pathological.
+    # Compress-once replay for pre-materialized tables: the identity body
+    # is already cached whole, so each pure content coding's twin is
+    # compressed ONCE and replayed — the identity-body serve-many model
+    # extended to negotiated codings (what gzip_static / a CDN variant
+    # cache does).  Encoder choices are the measured knees: brotli one-shot
+    # level 2 matches the streaming default's ratio at ~1/34 the CPU
+    # (0.593 vs 0.586 on a 19 MiB body, 0.13 s vs 4.4 s — and the
+    # streaming CompressedOutputStream has no level knob at all); gzip
+    # uses the same level-4 knee the streaming path does; zstd its
+    # pyarrow default.
     BR_CACHE_LEVEL = 2
+    CACHED_CODINGS = ("br", "gzip", "zstd")
 
-    def br_body(self, name: str) -> memoryview | None:
-        """Cached brotli body of a pre-materialized table, or None (same
-        eligibility as identity_body; compressed once at BR_CACHE_LEVEL,
+    def encoded_body(self, name: str, coding: str) -> memoryview | None:
+        """Cached ``coding``-compressed body of a pre-materialized table,
+        or None (same eligibility as identity_body; compressed once,
         shared by every request)."""
+        if coding not in self.CACHED_CODINGS:
+            return None
+        key = (name, coding)
         with self._lock:
-            body = self._br_bodies.get(name)
+            body = self._coded_bodies.get(key)
         if body is not None:
             return memoryview(body)
         identity = self.identity_body(name)
         if identity is None:
             return None
-        codec = pa.Codec("brotli", compression_level=self.BR_CACHE_LEVEL)
-        body = codec.compress(identity, asbytes=True)
+        if coding == "br":
+            body = pa.Codec(
+                "brotli", compression_level=self.BR_CACHE_LEVEL
+            ).compress(identity, asbytes=True)
+        elif coding == "gzip":
+            import gzip as _gzip
+
+            from arrow_experiments_spark.transport.ipc_stream import GZIP_LEVEL
+
+            body = _gzip.compress(bytes(identity), compresslevel=GZIP_LEVEL)
+        else:
+            body = pa.Codec("zstd").compress(identity, asbytes=True)
         with self._lock:
-            body = self._br_bodies.setdefault(name, body)
+            body = self._coded_bodies.setdefault(key, body)
         return memoryview(body)
 
-    def br_slices(self, name: str):
-        """1 MiB slices of the cached brotli body, or None."""
-        body = self.br_body(name)
+    def encoded_slices(self, name: str, coding: str):
+        """1 MiB slices of the cached compressed body, or None."""
+        body = self.encoded_body(name, coding)
         if body is None:
             return None
         step = self.IDENTITY_SLICE_BYTES
@@ -606,11 +623,9 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
                     write_chunked(self.wfile, slices)
                 return
 
-        if strategy == "br" and plain:
-            # compress-once replay of the cached body (see br_body) — the
-            # streaming brotli encoder below it has no level knob and its
-            # default is ~34× the CPU for the same ratio
-            slices = self.registry.br_slices(name)
+        if strategy in DatasetRegistry.CACHED_CODINGS and plain:
+            # compress-once replay of the cached body (see encoded_body)
+            slices = self.registry.encoded_slices(name, strategy)
             if slices is not None:
                 self.send_response(200)
                 self._cors()
@@ -618,7 +633,7 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
                 self.send_header(
                     "Content-Disposition", 'attachment; filename="output.arrows"'
                 )
-                self.send_header("Content-Encoding", "br")
+                self.send_header("Content-Encoding", strategy)
                 if http10:
                     self.end_headers()
                     for sl in slices:
