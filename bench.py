@@ -81,9 +81,10 @@ HEADLINE = [
     # round-8 additions: containment verify over the LSH candidates (the
     # wrapped-near-superset catch Jaccard misses) and multi-probe IVF
     # (the deployed-index recall lever).  NOTE for total comparisons:
-    # r8 adds these keys, and agg_hll_sketch_exchange became
-    # write-if-absent this round (passes 2-3 measure the rollup alone,
-    # so its median dropped by design).
+    # r8 adds these keys; agg_hll_sketch_exchange became write-if-absent
+    # (passes 2-3 measure the rollup alone); and the s2_serve_1m
+    # br/gzip/zstd serves now replay the compress-once body cache
+    # (DatasetRegistry.encoded_body), so those keys dropped by design.
     "dedup_minhash_containment",
     "ann_ivf_multiprobe",
 ]
