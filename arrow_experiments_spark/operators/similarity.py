@@ -154,16 +154,29 @@ _LSH_DIM = 64
 # bits agree bit-for-bit — no tolerance needed on the bucket assignment.
 
 
+def _hyperplane_values(b: int) -> list[float]:
+    """Member ``b`` of the family, computed driver-side.  Every step is
+    exact in binary floating point (integer products < 2^53, a 2^31
+    divisor), so these doubles are bit-identical to the ones the previous
+    in-plan ``transform(sequence(...))`` form — and the oracle's
+    ``list_transform(range(...))`` — produce element-by-element."""
+    return [
+        ((1103515245 * (b * _LSH_DIM + i) + 12345) % 2147483648)
+        / 2147483648.0
+        - 0.5
+        for i in range(_LSH_DIM)
+    ]
+
+
 def _hyperplane(b: int):
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(_LSH_DIM - 1)),
-        lambda i: (
-            (F.lit(1103515245).cast("long") * (F.lit(b * _LSH_DIM) + i) + 12345)
-            % 2147483648
-        ).cast("double")
-        / F.lit(2147483648.0)
-        - 0.5,
-    )
+    # A plain array literal, NOT a runtime transform(sequence(...)) chain:
+    # the HOF form re-generated all 64 components per ROW in interpreted
+    # lambda evaluation (no codegen, no constant folding across HOF
+    # boundaries), which made bucket/cell assignment expression-bound —
+    # ~8 centroids x 192 lambda evals per row before any real work.  The
+    # literal keeps zip_with/aggregate consumers unchanged and
+    # bit-identical while shrinking the analyzed tree ~50x.
+    return F.lit(_hyperplane_values(b))
 
 
 def _hyperplane_sql(b: int) -> str:
