@@ -22,6 +22,7 @@ from arrow_experiments_spark.functions.numeric import snap6
 from arrow_experiments_spark.functions.vectors import (
     cosine_sql,
     dot,
+    dot_kernel,
     dot_sql,
     norm,
     norm_sql,
@@ -84,7 +85,7 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -136,7 +137,7 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -366,7 +367,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -433,7 +434,7 @@ def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -554,7 +555,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb"))
+                dot_kernel(F.col("q_emb"), F.col("c_emb"))
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
@@ -631,7 +632,7 @@ def _recall_eval(spark: SparkSession, sf_dir: str, cell_col) -> DataFrame:
         F.col("nrm").alias("c_norm"),
     )
     cos = snap6(
-        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+        dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -786,7 +787,7 @@ def ann_recall_eval_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("c_norm"),
     )
     cos = snap6(
-        dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+        dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
