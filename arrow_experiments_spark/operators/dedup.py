@@ -25,7 +25,7 @@ from arrow_experiments_spark.functions.text import (
     shingles3,
     tokens,
 )
-from arrow_experiments_spark.functions.vectors import cosine_sql, dot_kernel, norm_sql
+from arrow_experiments_spark.functions.vectors import cosine_sql, dot, norm_sql
 from arrow_experiments_spark.functions.vectors import norm as vnorm
 from arrow_experiments_spark.registry import register
 from arrow_experiments_spark.tables import table
@@ -989,7 +989,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = scored.alias("sa")
     sb = scored.alias("sb")
     cos = snap6(
-        dot_kernel(F.col("sa.embedding"), F.col("sb.embedding"))
+        dot(F.col("sa.embedding"), F.col("sb.embedding"))
         / (F.col("sa.nrm") * F.col("sb.nrm"))
     )
     return (

@@ -137,7 +137,7 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -367,7 +367,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -434,7 +434,7 @@ def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -555,7 +555,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot_kernel(F.col("q_emb"), F.col("c_emb"))
+                dot(F.col("q_emb"), F.col("c_emb"))
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
