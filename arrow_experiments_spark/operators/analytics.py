@@ -33,10 +33,14 @@ _TOKS_SQL = TOKENS_SQL.format(col="text")
     doc="ordered conversion funnel view -> click -> purchase: per user, "
     "the first view, the first click at-or-after that view, the first "
     "purchase at-or-after that click; stage user-counts plus conversion "
-    "ratio from the previous stage.  Three aggregations and two joins, "
-    "all keyed on user_id (high cardinality) — each stage's input shrinks "
-    "monotonically, so the plan narrows as it deepens; the final 3-row "
-    "union is driver-trivial.",
+    "ratio from the previous stage.  ONE scan of events and ONE user_id "
+    "shuffle: three chained full-partition window mins (each stage's "
+    "timestamp conditions on the previous stage's windowed value) share a "
+    "single Window.partitionBy(user_id) exchange, the per-user collapse "
+    "reuses that partitioning (no second exchange), and the three stage "
+    "counts come off one global conditional aggregation exploded into the "
+    "3-row result — at 100 TB the old 6-scan/3-shuffle CTE shape read the "
+    "biggest table six times; this reads it once.",
     oracle="""
         WITH v AS (
             SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
@@ -67,35 +71,71 @@ _TOKS_SQL = TOKENS_SQL.format(col="text")
     """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-
-    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("users")).select(
-            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "users"
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    wu = Window.partitionBy("user_id")
+    # Chained full-partition mins: t_click's predicate reads the windowed
+    # t_view (ts >= NULL is NULL, so a user who never viewed can't click
+    # "after their view" — the ordered-funnel skip-stage rule for free).
+    # All three share one hashpartitioning(user_id) exchange.
+    staged = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(wu),
         )
-
-    stages = stage(v, 1, "view").unionAll(stage(c, 2, "click")).unionAll(
-        stage(p, 3, "purchase")
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(wu),
+        )
     )
+    # Every row of a user carries identical stage timestamps; the collapse
+    # to one row per user reuses the window's partitioning (no exchange).
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_view").alias("t_view"),
+        F.first("t_click").alias("t_click"),
+        F.first("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage_no"),
+                    F.lit("view").alias("stage"),
+                    F.col("n_view").alias("users"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_no"),
+                    F.lit("click").alias("stage"),
+                    F.col("n_click").alias("users"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_no"),
+                    F.lit("purchase").alias("stage"),
+                    F.col("n_purchase").alias("users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage_no", "s.stage", "s.users")
     w = Window.orderBy("stage_no")
     # try_divide: an empty upstream stage (0 users) must yield NULL, not an
     # ANSI DIVIDE_BY_ZERO error (Spark 4 default); NULLIF mirrors it in SQL.

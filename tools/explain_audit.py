@@ -96,6 +96,9 @@ AUDIT = [
     "pipeline_curate_end_to_end",
     "agg_hll_partial_union",
     "agg_hll_sketch_exchange",
+    "dedup_minhash_containment",
+    "ann_ivf_multiprobe",
+    "ann_recall_eval_multiprobe",
     "join_cross_small",
     "agg_unpivot",
     "embedding_label_centroids",
