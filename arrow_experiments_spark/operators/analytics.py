@@ -798,25 +798,17 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_hll_partial_union",
-    "agg",
-    doc="mergeable HLL sketch exchange (Apache DataSketches via Spark's "
-    "hll_sketch_agg / hll_union_agg): per-event_type PARTIAL sketches of "
-    "user_id, unioned into the corpus-wide distinct-user estimate plus "
-    "per-type estimates.  This is THE pattern for distinct-count rollups "
-    "at 100 TB: each partition/group builds a fixed-size register array "
-    "(lgK=12 → 4 KiB), only sketches travel the shuffle, and union is "
-    "associative — the global estimate never re-touches rows.  HLL "
-    "insertion is order-insensitive (register maxima), so the union of "
-    "partials is BIT-IDENTICAL to a single sketch over all rows "
-    "(tests/test_analytics.py asserts that mergeability invariant and "
-    "<5%% error vs the exact count).  No DuckDB oracle: the estimate is "
-    "DataSketches-specific, not SQL-expressible — the driver records the "
-    "rows-only check.",
-    oracle=None,
-)
-def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_partial_union_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw sketch-exchange estimates (event_type, est_users): per-type
+    PARTIAL HLL sketches of user_id unioned into the corpus-wide row.
+    HLL insertion is order-insensitive (register maxima), so the union of
+    partials is BIT-IDENTICAL to a single sketch over all rows —
+    tests/test_analytics.py asserts that mergeability invariant and the
+    <5% error bound.  Not registered directly: the estimate value is
+    DataSketches-specific (no SQL-expressible DuckDB twin), so the
+    registered query ``agg_hll_partial_union`` emits the hash-checkable
+    bounded form instead and this helper carries the demonstrative
+    union-of-partials shape for the unit tests."""
     ev = table(spark, sf_dir, "events").select(
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
@@ -836,6 +828,62 @@ def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_est.unionByName(total).orderBy("event_type")
 
 
+_HLL_ORACLE = """
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN '(all)'
+                ELSE event_type END AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY ROLLUP(event_type)
+    ORDER BY event_type
+"""
+
+
+@register(
+    "agg_hll_partial_union",
+    "agg",
+    doc="mergeable HLL sketch rollup (Apache DataSketches via Spark's "
+    "hll_sketch_agg), emitted in the hash-checkable bounded form: one "
+    "rollup pass computes per-event_type + corpus-wide HLL sketches AND "
+    "the exact distinct counts, and the query asserts the sketch "
+    "estimate lands within the 5%% bound (lgK=12 → ~1.6%% RSE) per "
+    "group.  This is THE pattern for distinct-count rollups at 100 TB: "
+    "each partition builds fixed-size register arrays (4 KiB) merged "
+    "associatively — the partial-union mergeability (union of partials "
+    "BIT-IDENTICAL to one sketch over all rows) is asserted in "
+    "tests/test_analytics.py against hll_partial_union_estimates.  The "
+    "DuckDB oracle computes the exact side and TRUE per group, so the "
+    "sketch's accuracy contract is what the hash checks.  The exact "
+    "count_distinct here is the oracle-side anchor; the production "
+    "rollup that skips it is agg_hll_sketch_exchange's sketch-table "
+    "path.",
+    oracle=_HLL_ORACLE,
+)
+def agg_hll_partial_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    agg = ev.rollup("event_type").agg(
+        F.hll_sketch_agg("uid", F.lit(12)).alias("sk"),
+        F.count_distinct("uid").alias("exact_users"),
+        F.grouping("event_type").alias("g"),
+    )
+    est = F.hll_sketch_estimate("sk")
+    return agg.select(
+        F.when(F.col("g") == 1, F.lit("(all)"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type"),
+        "exact_users",
+        (
+            F.try_divide(
+                F.abs(est - F.col("exact_users")).cast("double"),
+                F.col("exact_users").cast("double"),
+            )
+            <= F.lit(0.05)
+        ).alias("within_bound"),
+    ).orderBy("event_type")
+
+
 _HLL_SKETCH_DIR_CONF = "spark.arrowExperimentsSpark.hll.sketchDir"
 
 
@@ -843,23 +891,34 @@ def sketch_table_dir(sf_dir: str, spark: SparkSession | None = None) -> str:
     """Location of the HLL sketch artifact table: the
     ``spark.arrowExperimentsSpark.hll.sketchDir`` conf when set (the
     production posture — a named warehouse path), else a deterministic
-    per-corpus tempdir (the bench/test sandbox's warehouse)."""
+    per-corpus tempdir (the bench/test sandbox's warehouse).  Either way
+    the path is NAMESPACED PER CORPUS (a hash tag of the source dir):
+    two corpora sharing one session/conf must not alternate fingerprint
+    mismatches and clobber each other's artifacts — that would defeat
+    write-if-absent entirely (ADVICE r8)."""
     import hashlib
     import os
     import tempfile
 
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     if spark is not None:
         conf = spark.conf.get(_HLL_SKETCH_DIR_CONF, "")
         if conf:
-            return conf
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+            return os.path.join(conf, f"corpus_{tag}")
     return os.path.join(tempfile.gettempdir(), f"aes_hll_sketches_{tag}")
 
 
-def _source_fingerprint(sf_dir: str, lg_k: int) -> str:
+def _source_fingerprint(sf_dir: str, lg_k: int) -> str | None:
     """Cheap freshness token for the events source: (relpath, size,
     mtime) of every file under it plus the sketch precision — no Spark
-    job, no data scan.  Any append/rewrite of the source changes it."""
+    job, no data scan.  Any append/rewrite of the source changes it.
+
+    Returns ``None`` when NO source file is locally statable (remote
+    filesystem, moved/empty dir): an empty walk must mean
+    "un-fingerprintable — always rewrite", not "matches forever" —
+    otherwise the manifest would silently serve stale sketches after
+    every source change in exactly the production posture the sketchDir
+    conf advertises (ADVICE r8, medium)."""
     import hashlib
     import os
 
@@ -876,6 +935,8 @@ def _source_fingerprint(sf_dir: str, lg_k: int) -> str:
                 entries.append(
                     f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
                 )
+    if not entries:
+        return None  # fail OPEN: staleness detection unavailable → rewrite
     token = f"lg_k={lg_k};" + ";".join(sorted(entries))
     return hashlib.sha256(token.encode()).hexdigest()
 
@@ -901,8 +962,17 @@ def write_hll_sketch_shards(
     stat-based fingerprint of the source files; when it matches (source
     unchanged, same lg_k) the call returns the recorded shard keys
     WITHOUT any Spark job — repeat calls measure nothing but a JSON
-    read, so the rollup half answers from the sketch table alone.  Pass
-    ``refresh=True`` to force the nightly rewrite.
+    read, so the rollup half answers from the sketch table alone.  An
+    un-fingerprintable source (no statable files) NEVER matches — the
+    staleness check fails open (ADVICE r8).  Pass ``refresh=True`` to
+    force the nightly rewrite.
+
+    The nightly job also audits itself: the manifest records the EXACT
+    per-type + global distinct-user counts (one extra rollup over the
+    same persisted scan) so the rollup half can assert the sketch
+    estimates against a stored exact anchor without ever re-touching a
+    raw row — that is what makes agg_hll_sketch_exchange
+    oracle-checkable while still answering from kilobytes.
 
     Returns the shard keys (weeks of the events table; the driver-side
     loop is over ~#weeks scheduler metadata, not data)."""
@@ -912,11 +982,11 @@ def write_hll_sketch_shards(
 
     manifest_path = os.path.join(out_dir, "_MANIFEST.json")
     fp = _source_fingerprint(sf_dir, lg_k)
-    if not refresh and os.path.exists(manifest_path):
+    if not refresh and fp is not None and os.path.exists(manifest_path):
         try:
             with open(manifest_path) as fh:
                 manifest = _json.load(fh)
-            if manifest.get("fingerprint") == fp:
+            if manifest.get("fingerprint") == fp and "exact" in manifest:
                 return list(manifest["shards"])
         except (OSError, ValueError, KeyError):
             pass  # unreadable manifest → rewrite below
@@ -956,10 +1026,30 @@ def write_hll_sketch_shards(
             max_workers=min(4, max(1, len(shards)))
         ) as pool:
             list(pool.map(write_shard, shards))  # list() re-raises failures
+
+        # exact-count audit anchor: one rollup over the SAME persisted
+        # scan; result is ~#event_types + 1 scalar rows
+        exact = {
+            ("(all)" if r["g"] == 1 else r["event_type"]): r["n"]
+            for r in ev.rollup("event_type")
+            .agg(
+                F.count_distinct("uid").alias("n"),
+                F.grouping("event_type").alias("g"),
+            )
+            .collect()
+        }
     finally:
         ev.unpersist()
     with open(manifest_path, "w") as fh:
-        _json.dump({"fingerprint": fp, "shards": shards, "lg_k": lg_k}, fh)
+        _json.dump(
+            {
+                "fingerprint": fp,
+                "shards": shards,
+                "lg_k": lg_k,
+                "exact": exact,
+            },
+            fh,
+        )
     return shards
 
 
@@ -977,19 +1067,29 @@ def write_hll_sketch_shards(
     "registers are order-insensitive maxima, the union across "
     "independently-written shards is BIT-IDENTICAL to one sketch over "
     "all rows (tests/test_analytics.py asserts equality with "
-    "agg_hll_partial_union and the direct sketch).  build() writes the "
-    "shard artifacts IF ABSENT OR STALE (stat-fingerprint manifest, r7 "
-    "verdict #3) — the first call pays the nightly half, repeat calls "
+    "hll_partial_union_estimates and the direct sketch).  build() writes "
+    "the shard artifacts IF ABSENT OR STALE (stat-fingerprint manifest, "
+    "r7 verdict #3) — the first call pays the nightly half, repeat calls "
     "measure the kilobyte rollup alone, which is the pattern's selling "
-    "point.  The artifact dir is the "
-    "spark.arrowExperimentsSpark.hll.sketchDir conf when set.  No DuckDB "
-    "oracle: DataSketches-specific, rows-only check, like "
-    "agg_hll_partial_union.",
-    oracle=None,
+    "point.  The artifact dir is namespaced per corpus under the "
+    "spark.arrowExperimentsSpark.hll.sketchDir conf when set.  "
+    "Oracle-checkable (r8 verdict): the nightly job stores the exact "
+    "per-group distinct counts in the manifest (computed on the same "
+    "scan it already pays), and the rollup emits (event_type, "
+    "exact_users, within_bound) — the sketch-union estimate asserted "
+    "within 5%% of the stored exact anchor — so DuckDB's exact side "
+    "hash-matches while repeat calls still read only kilobytes of "
+    "registers plus one JSON.",
+    oracle=_HLL_ORACLE,
 )
 def agg_hll_sketch_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+
     out = sketch_table_dir(sf_dir, spark)
     write_hll_sketch_shards(spark, sf_dir, out)
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        exact = _json.load(fh)["exact"]
     sk = spark.read.parquet(out)
     per = sk.groupBy("event_type").agg(F.hll_union_agg("sk").alias("sk"))
     per_est = per.select(
@@ -999,4 +1099,27 @@ def agg_hll_sketch_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("(all)").alias("event_type"),
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
-    return per_est.unionByName(total).orderBy("event_type")
+    # the exact anchor is ~#event_types + 1 rows of manifest JSON — a
+    # bounded broadcast by construction at any SF
+    anchor = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(exact.items())],
+        schema="event_type string, exact_users bigint",
+    )
+    return (
+        per_est.unionByName(total)
+        .join(F.broadcast(anchor), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.try_divide(
+                    F.abs(
+                        F.col("est_users") - F.col("exact_users")
+                    ).cast("double"),
+                    F.col("exact_users").cast("double"),
+                )
+                <= F.lit(0.05)
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )

@@ -790,12 +790,14 @@ def test_hll_partial_union_mergeable_and_accurate(spark):
     within 5% of the exact distinct counts (lgK=12 → ~1.6% RSE)."""
     import pyspark.sql.functions as F
 
-    from arrow_experiments_spark.operators.analytics import agg_hll_partial_union
+    from arrow_experiments_spark.operators.analytics import (
+        hll_partial_union_estimates,
+    )
     from arrow_experiments_spark.tables import table
     from conftest import SF_DIR_T2
 
     got = {r["event_type"]: r["est_users"] for r in
-           agg_hll_partial_union(spark, SF_DIR_T2).collect()}
+           hll_partial_union_estimates(spark, SF_DIR_T2).collect()}
     ev = table(spark, SF_DIR_T2, "events").select(
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
@@ -818,13 +820,13 @@ def test_hll_sketch_exchange_across_independent_shards(spark, tmp_path):
     distinct counts answered from the sketch table alone.  Invariants:
     (a) several shards actually exist as separate partition dirs;
     (b) the union across independently-written shards is bit-identical
-    to agg_hll_partial_union's estimates (whose own mergeability vs a
+    to hll_partial_union_estimates (whose own mergeability vs a
     single direct sketch is asserted above) — i.e. how the registers
     were partitioned, persisted, and re-read changes nothing."""
     import os
 
     from arrow_experiments_spark.operators.analytics import (
-        agg_hll_partial_union,
+        hll_partial_union_estimates,
         write_hll_sketch_shards,
     )
     from conftest import SF_DIR_T2
@@ -853,9 +855,74 @@ def test_hll_sketch_exchange_across_independent_shards(spark, tmp_path):
     )
     want = {
         r["event_type"]: r["est_users"]
-        for r in agg_hll_partial_union(spark, SF_DIR_T2).collect()
+        for r in hll_partial_union_estimates(spark, SF_DIR_T2).collect()
     }
     assert got == want  # exact — register maxima, not approximation
+
+
+def test_hll_registered_queries_emit_bounded_form(spark, tmp_path):
+    """r8 verdict #6: the registered HLL pair is hash-checkable — both
+    emit (event_type, exact_users, within_bound) where exact_users is
+    the true distinct count (DuckDB-reproducible) and within_bound
+    asserts the sketch estimate's 5% contract.  The sketch-exchange
+    variant must read its exact anchor from the nightly manifest, never
+    a raw row, on repeat calls."""
+    import json
+    import os
+
+    from arrow_experiments_spark.operators.analytics import (
+        agg_hll_partial_union,
+        agg_hll_sketch_exchange,
+        sketch_table_dir,
+    )
+    from conftest import SF_DIR_T2
+
+    pu = {r["event_type"]: (r["exact_users"], r["within_bound"])
+          for r in agg_hll_partial_union(spark, SF_DIR_T2).collect()}
+    ex = {r["event_type"]: (r["exact_users"], r["within_bound"])
+          for r in agg_hll_sketch_exchange(spark, SF_DIR_T2).collect()}
+    assert pu == ex  # same exact anchor, both in bound
+    assert "(all)" in pu and len(pu) >= 2
+    assert all(ok for _, ok in pu.values())
+    # the manifest stores the same exact counts the rollup emitted
+    manifest = os.path.join(
+        sketch_table_dir(SF_DIR_T2, spark), "_MANIFEST.json"
+    )
+    with open(manifest) as fh:
+        exact = json.load(fh)["exact"]
+    assert exact == {k: n for k, (n, _) in ex.items()}
+
+
+def test_hll_fingerprint_fails_open_on_unstatable_source(tmp_path):
+    """ADVICE r8 (medium): an empty/unstatable source dir must be
+    un-fingerprintable (None) so the manifest short-circuit never
+    matches — staleness detection fails open, not closed."""
+    import os
+
+    from arrow_experiments_spark.operators.analytics import (
+        _source_fingerprint,
+    )
+
+    empty = tmp_path / "no_such_corpus"
+    os.makedirs(empty / "events.parquet")  # dir exists but holds no files
+    assert _source_fingerprint(str(empty), 12) is None
+    assert _source_fingerprint(str(tmp_path / "missing"), 12) is None
+
+
+def test_sketch_dir_conf_is_namespaced_per_corpus(spark):
+    """ADVICE r8: two corpora sharing one sketchDir conf must resolve to
+    distinct artifact dirs under it, or they'd clobber each other and
+    defeat write-if-absent."""
+    from arrow_experiments_spark.operators.analytics import sketch_table_dir
+
+    spark.conf.set("spark.arrowExperimentsSpark.hll.sketchDir", "/w/sketches")
+    try:
+        a = sketch_table_dir("/corpus/a", spark)
+        b = sketch_table_dir("/corpus/b", spark)
+        assert a != b
+        assert a.startswith("/w/sketches/") and b.startswith("/w/sketches/")
+    finally:
+        spark.conf.unset("spark.arrowExperimentsSpark.hll.sketchDir")
 
 
 def test_hll_sketch_shards_write_if_absent(spark, tmp_path):
