@@ -890,9 +890,25 @@ def _emb_lsh_bits(spark: SparkSession, sf_dir: str | None = None) -> int:
             f"{_EMB_TARGET_CELL_POP_CONF} must be an integer population, "
             f"got {target_raw!r}"
         ) from None
-    return derive_lsh_bits(
+    bits = derive_lsh_bits(
         _embeddings_n(spark, sf_dir), target, floor=_EMB_LSH_BITS
     )
+    if bits != _EMB_LSH_BITS:
+        # ADVICE r8: the registered DuckDB oracle bakes the floor
+        # geometry ({_EMB_LSH_BITS} bits) at module import; a derived
+        # geometry is correct for production but will hash-mismatch an
+        # oracle-checked run — say so loudly instead of silently
+        # comparing different bucketings.
+        import warnings
+
+        warnings.warn(
+            f"auto-derived LSH bits = {bits} exceed the oracle-baked "
+            f"floor {_EMB_LSH_BITS}; an oracle comparison at this corpus "
+            f"size needs {_EMB_LSH_BITS_CONF}={_EMB_LSH_BITS} (or an "
+            f"oracle regenerated at {bits} bits)",
+            stacklevel=3,
+        )
+    return bits
 
 
 def _emb_band_union_sql() -> str:
@@ -1440,7 +1456,20 @@ def _semdedup_cluster_bits(spark: SparkSession, sf_dir: str | None = None) -> in
     # The fixture assignment is a fixed k=10 label vocabulary; production
     # SemDeDup grows k with N instead, making this sub-split a no-op there.
     pop = n // _SEMDEDUP_FIXTURE_K
-    return derive_lsh_bits(pop, target, floor=0)
+    bits = derive_lsh_bits(pop, target, floor=0)
+    if bits != 0:
+        # ADVICE r8: same oracle-geometry hazard as _emb_lsh_bits — the
+        # registered oracle bakes clusterBits=0.
+        import warnings
+
+        warnings.warn(
+            f"auto-derived SemDeDup cluster bits = {bits} exceed the "
+            f"oracle-baked 0; an oracle comparison at this corpus size "
+            f"needs {_SEMDEDUP_BITS_CONF}=0 (or an oracle regenerated "
+            f"at {bits} bits)",
+            stacklevel=3,
+        )
+    return bits
 
 
 def _cluster_semantic_pdf(pdf):

@@ -127,15 +127,19 @@ def fetch_arrow(
 
 
 def fetch_multipart(
-    url: str, chunk_bytes: int = 1 << 16
-) -> tuple[dict, pa.Table, FetchMetrics]:
-    """GET a multipart/mixed dataset (JSON meta + Arrow part) and decode
-    the Arrow part INCREMENTALLY off the socket via the feed-based parser
-    (r7 verdict #5): peak buffering is O(part-header + chunk), so a
-    multi-GB Arrow part streams batch-by-batch exactly like the plain GET
-    path — the reference client's ``BytesFeedParser`` loop
+    url: str, chunk_bytes: int = 1 << 16, collect_table: bool = True
+) -> tuple[dict, pa.Table | None, FetchMetrics]:
+    """GET a multipart/mixed dataset (JSON meta + Arrow part), decoding
+    the Arrow part incrementally off the socket via the feed-based parser
+    (r7 verdict #5).  ENCODED-side buffering is O(part-header + chunk) —
+    the reference client's ``BytesFeedParser`` loop
     (http/get_multipart/python/client/simple_client.py:35-58) without its
-    whole-part buffering."""
+    whole-part buffering.  The DECODED side depends on ``collect_table``:
+    the default accumulates every batch and returns a full ``pa.Table``
+    (peak memory = the decoded dataset, like any collect); pass
+    ``collect_table=False`` to drain batch-by-batch for metrics only
+    (peak memory = one batch — the multi-GB streaming posture, matching
+    ``fetch_arrow``), in which case the table slot is ``None``."""
     from arrow_experiments_spark.transport.multipart import (
         stream_multipart_arrow,
     )
@@ -164,8 +168,11 @@ def fetch_multipart(
                 metrics.time_to_first_batch_sec = time.perf_counter() - t0
             metrics.batches += 1
             metrics.rows += batch.num_rows
-            batches.append(batch)
+            if collect_table:
+                batches.append(batch)
     metrics.elapsed_sec = time.perf_counter() - t0
+    if not collect_table:
+        return meta, None, metrics
     return meta, pa.Table.from_batches(batches, schema=reader.schema), metrics
 
 

@@ -437,6 +437,32 @@ def test_auto_bits_fixture_scale_is_oracle_geometry(spark):
         assert _semdedup_cluster_bits(spark, d) == 0
 
 
+def test_auto_bits_beyond_oracle_floor_warns_loudly(spark):
+    """ADVICE r8: the registered oracles bake the floor geometry (4 emb
+    bits / 0 cluster bits) at module import; when the corpus is big
+    enough that derivation exceeds the floor, an oracle-checked run
+    would silently compare different bucketings — the derivation must
+    warn, naming the conf that pins the oracle geometry."""
+    import pytest as _pytest
+
+    from arrow_experiments_spark.operators.dedup import (
+        _emb_lsh_bits,
+        _semdedup_cluster_bits,
+    )
+
+    spark.conf.set(
+        "spark.arrowExperimentsSpark.emb.corpusNOverride", "2048000"
+    )
+    try:
+        with _pytest.warns(UserWarning, match="oracle-baked floor 4"):
+            assert _emb_lsh_bits(spark, SF_DIR_T2) == 10
+        # pop = 2,048,000 / 10 = 204,800 → ceil(log2(204800/25000)) = 4
+        with _pytest.warns(UserWarning, match="oracle-baked 0"):
+            assert _semdedup_cluster_bits(spark, SF_DIR_T2) == 4
+    finally:
+        spark.conf.unset("spark.arrowExperimentsSpark.emb.corpusNOverride")
+
+
 def test_auto_bits_large_n_reaches_the_physical_plan(spark):
     """r7 verdict #8 guardrail: under a synthetic large-N stats override
     (corpusNOverride = 2,048,000 → derived 10 bits) the bucket expression
