@@ -115,12 +115,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Previous curate_corpus frame per (session, corpus path): a repeat
-# build in the same session unpersists its predecessor before caching a
-# new copy (ADVICE r7: repeated builds accumulated cached corpus frames
-# that only the bench's clearCache() ever released).  Unpersist is
-# correctness-neutral — a still-referenced old frame just recomputes.
-_CURATE_CACHE: dict[tuple[int, str], DataFrame] = {}
+# Previous curate_corpus frame per (session, corpus path), with the
+# stat fingerprint of the source it was built from.  A repeat build in
+# the same session REUSES the persisted frame while the source is
+# unchanged (r8 verdict #3: unpersist-then-repersist of an identical
+# plan threw away the warm cache and made every build pay a cold
+# materialization), and unpersists its predecessor before caching a new
+# copy when the source moved (ADVICE r7: repeated builds accumulated
+# cached corpus frames that only the bench's clearCache() ever
+# released).  Unpersist is correctness-neutral — a still-referenced old
+# frame just recomputes.
+_CURATE_CACHE: dict[tuple[int, str], tuple[DataFrame, str | None]] = {}
+
+
+def _documents_fingerprint(sf_dir: str) -> str | None:
+    """Stat-based freshness token for documents.parquet (size+mtime of
+    every file — no Spark job); None when nothing is statable, so a
+    cache hit is impossible and staleness detection fails open."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    entries: list[str] = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        entries.append(f"documents.parquet:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    if not entries:
+        return None
+    return hashlib.sha256(";".join(sorted(entries)).encode()).hexdigest()
 
 
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,21 +172,30 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cache discipline: the returned frame is persisted and EAGERLY
     materialized (the guard actions downstream would materialize it
     anyway), after which the intermediate token frame is unpersisted —
-    one cached frame survives per call, and a repeat call for the same
-    corpus releases the previous one first.
+    one cached frame survives per (session, corpus).  A repeat call for
+    an UNCHANGED corpus (stat fingerprint of the source files) returns
+    the already-persisted frame with zero Spark work — the warehouse
+    steady state, and what keeps repeat funnel builds warm; a changed
+    source releases the previous frame first and rebuilds.
     """
     from arrow_experiments_spark.functions.text import EN_STOPWORDS
 
     import os
 
-    # Release the previous build's frame BEFORE persisting the new one:
-    # the two plans are equal, so unpersisting the old frame afterwards
-    # would evict the shared CacheManager entry out from under the new one.
     key = (id(spark), os.path.abspath(sf_dir))
-    prev = _CURATE_CACHE.pop(key, None)
-    if prev is not None:
+    fp = _documents_fingerprint(sf_dir)
+    hit = _CURATE_CACHE.get(key)
+    if hit is not None:
+        prev_frame, prev_fp = hit
+        if fp is not None and fp == prev_fp:
+            return prev_frame
+        # Source changed (or unstatable): release the stale frame BEFORE
+        # persisting the new one — the two plans are equal, so
+        # unpersisting the old frame afterwards would evict the shared
+        # CacheManager entry out from under the new one.
+        _CURATE_CACHE.pop(key, None)
         try:
-            prev.unpersist()
+            prev_frame.unpersist()
         except Exception:
             pass  # stopped session / already-released frame
 
@@ -194,7 +233,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     corpus.count()  # materialize the cache, then drop the token stage
     toks.unpersist()
-    _CURATE_CACHE[key] = corpus
+    _CURATE_CACHE[key] = (corpus, fp)
     return corpus
 
 

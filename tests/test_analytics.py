@@ -989,10 +989,48 @@ def test_curate_corpus_cache_discipline(spark):
     assert cm.cachedData().size() == 1
     c2 = curate_corpus(spark, SF_DIR)
     assert cm.cachedData().size() == 1
+    # r8 verdict #3: an unchanged source must be a true cache HIT — the
+    # same persisted frame back, zero re-materialization — not an
+    # unpersist-and-rebuild of an identical plan (that threw away the
+    # warm cache and made every repeat build pay the cold cost).
+    assert c2 is c1
     assert c2.storageLevel.useMemory
     key = lambda r: r["doc_id"]  # noqa: E731 — row order is partition-dependent
     assert sorted(c1.collect(), key=key) == sorted(c2.collect(), key=key)
     spark.catalog.clearCache()
+
+
+def test_curate_corpus_rebuilds_when_source_changes(spark, tmp_path):
+    """The warm-reuse path must be fingerprint-guarded: rewriting the
+    source corpus invalidates the cached frame and a rebuild reflects
+    the new rows (staleness fails open, never serves the old corpus)."""
+    import shutil
+
+    from arrow_experiments_spark.operators.dedup import curate_corpus
+    from conftest import SF_DIR
+
+    import os
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    dst = str(tmp_path / "documents.parquet")
+    shutil.copy(src, dst)
+    sf = str(tmp_path)
+
+    c1 = curate_corpus(spark, sf)
+    n1 = c1.count()
+    # append one document and bump mtime — the fingerprint must miss
+    t = pq.read_table(src)
+    extra = t.slice(0, 1).to_pylist()[0]
+    extra["doc_id"] = 10_000_019
+    pq.write_table(
+        pa.Table.from_pylist(t.to_pylist() + [extra], schema=t.schema), dst
+    )
+    c2 = curate_corpus(spark, sf)
+    assert c2 is not c1
+    assert c2.count() == n1 + 1
+    c2.unpersist()
 
 
 def test_curation_funnel_is_monotone_and_stagewise_consistent(spark):
