@@ -271,6 +271,11 @@ def make_asgi_app(registry: DatasetRegistry, cors: bool = False, sql_runner=None
             slices = registry.encoded_slices(name, strategy)
             if slices is not None:
                 return 200, resp_headers, (bytes(sl) for sl in slices)
+        if strategy.startswith("identity+") and plain:
+            # encode-once replay of the IPC-codec body, threaded-form parity
+            slices = registry.ipc_codec_slices(name, strategy[9:])
+            if slices is not None:
+                return 200, resp_headers, (bytes(sl) for sl in slices)
         return 200, resp_headers, encode_ipc_chunks(reader.schema, reader, strategy)
 
     def _not_acceptable(why: str, headers: _Headers):

@@ -280,6 +280,46 @@ class DatasetRegistry:
         step = self.IDENTITY_SLICE_BYTES
         return (body[i : i + step] for i in range(0, len(body), step))
 
+    # IPC buffer-compressed twins (identity+zstd / identity+lz4): the
+    # encoded stream is deterministic per (table, codec) — self-describing
+    # record-batch buffer compression, no per-request state — so it has
+    # exactly the cacheability of the HTTP codings above (r8 verdict #2:
+    # these were the two strategies the compress-once cache did NOT cover,
+    # and the only per-request encodes left on pre-materialized serves).
+    CACHED_IPC_CODECS = ("zstd", "lz4")
+
+    def ipc_codec_body(self, name: str, codec: str) -> memoryview | None:
+        """Cached IPC-buffer-compressed stream body of a pre-materialized
+        table, or None (same eligibility as identity_body; encoded once,
+        shared by every request)."""
+        if codec not in self.CACHED_IPC_CODECS:
+            return None
+        key = (name, f"ipc+{codec}")
+        with self._lock:
+            body = self._coded_bodies.get(key)
+            if body is not None:
+                return memoryview(body)
+            table = self._tables.get(name)
+        if table is None or table.nbytes > self.IDENTITY_CACHE_MAX_BYTES:
+            return None
+        sink = pa.BufferOutputStream()
+        opts = pa.ipc.IpcWriteOptions(compression=codec)
+        with pa.ipc.new_stream(sink, table.schema, options=opts) as writer:
+            for batch in table.to_batches():
+                writer.write_batch(batch)
+        body = sink.getvalue()
+        with self._lock:
+            body = self._coded_bodies.setdefault(key, body)
+        return memoryview(body)
+
+    def ipc_codec_slices(self, name: str, codec: str):
+        """1 MiB zero-copy slices of the cached IPC-codec body, or None."""
+        body = self.ipc_codec_body(name, codec)
+        if body is None:
+            return None
+        step = self.IDENTITY_SLICE_BYTES
+        return (body[i : i + step] for i in range(0, len(body), step))
+
     def register_raw(self, name: str, raw_factory: Callable[[], Iterable[bytes]]) -> None:
         """Supplement an existing dataset with a pre-encoded identity-IPC
         byte source (e.g. mmap'd spill artifacts spliced into one stream —
@@ -634,6 +674,32 @@ class ArrowHttpHandler(BaseHTTPRequestHandler):
                     "Content-Disposition", 'attachment; filename="output.arrows"'
                 )
                 self.send_header("Content-Encoding", strategy)
+                if http10:
+                    self.end_headers()
+                    for sl in slices:
+                        self.wfile.write(sl)
+                else:
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    write_chunked(self.wfile, slices)
+                return
+
+        if strategy.startswith("identity+") and plain:
+            # encode-once replay of the IPC-buffer-compressed body — no
+            # Content-Encoding header (the compression is inside the IPC
+            # stream, declared by the codecs content-type parameter)
+            codec = strategy[9:]
+            slices = self.registry.ipc_codec_slices(name, codec)
+            if slices is not None:
+                self.send_response(200)
+                self._cors()
+                self.send_header(
+                    "Content-Type",
+                    f"{ARROW_STREAM_CONTENT_TYPE}; codecs={codec}",
+                )
+                self.send_header(
+                    "Content-Disposition", 'attachment; filename="output.arrows"'
+                )
                 if http10:
                     self.end_headers()
                     for sl in slices:
