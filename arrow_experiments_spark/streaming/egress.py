@@ -70,6 +70,7 @@ def upsert_snapshot_sink(
     timeout_sec: int = 120,
     checkpoint_dir: str | None = None,
     prepare=None,
+    n_buckets: int = 32,
 ):
     """foreachBatch incremental UPSERT into a keyed parquet snapshot —
     the streaming twin of the batch ``pipeline_snapshot_upsert``
@@ -87,6 +88,20 @@ def upsert_snapshot_sink(
     versions older than the previous one are pruned after each commit
     (the previous version stays for in-flight readers).  Returns the
     finished query; read the result with :func:`read_snapshot`.
+
+    The version write is O(delta), not O(snapshot) (r8 verdict #4): the
+    snapshot is hash-bucketed on the key (``_bucket =
+    pmod(xxhash64(key), n_buckets)``, a hive-partitioned layout), each
+    micro-batch rewrites ONLY the buckets its keys touch (the merge
+    reads them back with partition pruning), and every untouched bucket
+    is HARD-LINKED from the committed version into the new one — zero
+    data movement, and the pruner's ``rmtree`` of superseded versions
+    can never strand a reader because linked files live until their
+    last version drops them.  A pre-bucketing (flat) committed version
+    is migrated wholesale on its first merge.  At 100 TB this is
+    partitioned MERGE INTO: bucket count scales with the corpus, the
+    delta's shuffle is delta-sized, and the object-store seat of the
+    hard link is a manifest entry instead.
 
     Crash-replay idempotence is keyed on foreachBatch batch ids, which
     are only durable/monotonic when the query has a checkpoint — so the
@@ -152,28 +167,70 @@ def upsert_snapshot_sink(
         current = read_snapshot(spark, snapshot_dir)
         if prepare is not None:
             batch_df = prepare(batch_df, current)
-        incoming = batch_df.withColumn("_src", F.lit(1))
-        merged = (
-            incoming
-            if current is None
-            else incoming.unionByName(current.withColumn("_src", F.lit(0)))
+        bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+        inc = (
+            batch_df.withColumn("_bucket", bucket)
+            .withColumn("_src", F.lit(1))
+            .persist()  # touched-bucket probe + merge share one compute
         )
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.desc(order_col), F.desc("_src")
-        )
-        out = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_src")
-        )
-        vdir = os.path.join(snapshot_dir, version)
-        out.write.mode("overwrite").parquet(vdir)
+        linked: list[str] = []
+        try:
+            if current is None:
+                merged = inc
+            else:
+                vdir_committed = os.path.join(snapshot_dir, committed)
+                raw = spark.read.parquet(vdir_committed)
+                touched = {
+                    r["_bucket"]
+                    for r in inc.select("_bucket").distinct().collect()
+                }
+                if "_bucket" in raw.columns:
+                    # bucketed layout: read back ONLY the touched buckets
+                    # (partition pruning) and link the rest verbatim
+                    cur = raw.filter(
+                        F.col("_bucket").isin([int(t) for t in touched])
+                        | F.col("_bucket").isNull()
+                    )
+                    for d in os.listdir(vdir_committed):
+                        if not d.startswith("_bucket="):
+                            continue
+                        val = d.split("=", 1)[1]
+                        if val.isdigit() and int(val) not in touched:
+                            linked.append(d)
+                else:
+                    # legacy flat version: migrate it wholesale this once
+                    cur = raw.withColumn("_bucket", bucket)
+                merged = inc.unionByName(cur.withColumn("_src", F.lit(0)))
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.desc(order_col), F.desc("_src")
+            )
+            out = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
+            vdir = os.path.join(snapshot_dir, version)
+            out.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+        finally:
+            inc.unpersist()
+        for d in linked:
+            sdir = os.path.join(snapshot_dir, committed, d)
+            ddir = os.path.join(vdir, d)
+            os.makedirs(ddir, exist_ok=True)
+            for fn in os.listdir(sdir):
+                sp = os.path.join(sdir, fn)
+                if os.path.isfile(sp):
+                    try:
+                        os.link(sp, os.path.join(ddir, fn))
+                    except OSError:  # cross-device / FS without links
+                        shutil.copy2(sp, os.path.join(ddir, fn))
         tmp = pointer + f".tmp{seq}"
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, pointer)  # atomic swap — the "commit"
         # prune versions older than the PREVIOUS one (kept for readers
-        # that resolved the pointer just before the swap)
+        # that resolved the pointer just before the swap); hard-linked
+        # bucket files survive until their last referencing version goes
         prev = _prev_version(snapshot_dir, seq)
         keep = {version} | ({f"v{prev}"} if prev is not None else set())
         for d in os.listdir(snapshot_dir):
@@ -280,7 +337,11 @@ def _prev_version(snapshot_dir: str, batch_id: int) -> int | None:
 
 def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
     """Current snapshot per the LATEST pointer, or None before the first
-    commit."""
+    commit.  The ``_bucket`` layout column (hash-bucketed versions) is
+    internal and dropped — the logical snapshot schema is the merged
+    rows alone; filters on the key still prune buckets when callers
+    re-derive the bucket, and the incremental merge path reads the
+    partitioned form directly."""
     import os
 
     pointer = os.path.join(snapshot_dir, "LATEST")
@@ -288,7 +349,10 @@ def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
         return None
     with open(pointer) as f:
         version = f.read().strip()
-    return spark.read.parquet(os.path.join(snapshot_dir, version))
+    df = spark.read.parquet(os.path.join(snapshot_dir, version))
+    if "_bucket" in df.columns:
+        df = df.drop("_bucket")
+    return df
 
 
 def snapshot_reader_factory(snapshot_dir: str):
@@ -311,8 +375,16 @@ def snapshot_reader_factory(snapshot_dir: str):
             return None
         with open(pointer) as f:
             version = f.read().strip()
+        # ignore_prefixes: pyarrow's default ['.', '_'] would skip the
+        # hash-bucketed '_bucket=' layout dirs entirely — keep only the
+        # genuinely-hidden prefixes (Spark's _SUCCESS/_committed markers
+        # and dotfiles).  No partitioning is passed, so the served schema
+        # is the data schema alone (the _bucket value never leaves the
+        # directory name).
         d = pads.dataset(
-            os.path.join(snapshot_dir, version), format="parquet"
+            os.path.join(snapshot_dir, version),
+            format="parquet",
+            ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
         )
         return d.scanner().to_reader()
 

@@ -413,6 +413,94 @@ def test_upsert_snapshot_second_run_merges_and_versions_pruned(spark, tmp_path):
     assert read_snapshot(spark, snap2).count() > 0
 
 
+def test_upsert_snapshot_version_write_is_o_delta(spark, tmp_path):
+    """r8 verdict #4: the version write must scale with the DELTA, not
+    the snapshot.  Seed a bucketed snapshot, then upsert a delta that
+    touches few buckets: (a) untouched bucket files in the new version
+    are HARD LINKS to the previous version's files (same inode — zero
+    data movement), (b) only the touched buckets were rewritten,
+    (c) the logical snapshot equals the unbucketed latest-wins merge,
+    and (d) pruning old versions never corrupts linked data."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value"
+    )
+    base = src.limit(400)
+    snap = str(tmp_path / "snap")
+
+    def run(df):
+        staged = str(tmp_path / f"staged{run.n}")
+        run.n += 1
+        df.coalesce(1).write.parquet(staged)
+        stream = spark.readStream.schema(df.schema).parquet(staged)
+        upsert_snapshot_sink(
+            stream, snap, key_cols=["user_id"], order_col="event_id"
+        )
+
+    run.n = 0
+    run(base)
+    with open(os.path.join(snap, "LATEST")) as f:
+        v_base = f.read().strip()
+    base_dir = os.path.join(snap, v_base)
+    inodes = {}
+    for d in os.listdir(base_dir):
+        if d.startswith("_bucket="):
+            for fn in os.listdir(os.path.join(base_dir, d)):
+                if not fn.startswith((".", "_")):
+                    inodes[(d, fn)] = os.stat(
+                        os.path.join(base_dir, d, fn)
+                    ).st_ino
+    assert len({d for d, _ in inodes}) >= 4  # really bucketed
+
+    # delta: two users — touches at most two buckets
+    delta = src.limit(2).withColumn("event_id", F.col("event_id") + 10_000_000)
+    run(delta)
+    with open(os.path.join(snap, "LATEST")) as f:
+        v_new = f.read().strip()
+    assert v_new != v_base
+    new_dir = os.path.join(snap, v_new)
+    linked = rewritten = 0
+    for d in os.listdir(new_dir):
+        if not d.startswith("_bucket="):
+            continue
+        for fn in os.listdir(os.path.join(new_dir, d)):
+            if fn.startswith((".", "_")):
+                continue
+            ino = os.stat(os.path.join(new_dir, d, fn)).st_ino
+            if inodes.get((d, fn)) == ino:
+                linked += 1
+            else:
+                rewritten += 1
+    assert linked >= 2, (linked, rewritten)   # untouched buckets linked
+    assert rewritten <= 2, (linked, rewritten)  # ≤ touched-bucket count
+
+    # logical equality with the unbucketed latest-wins merge
+    from pyspark.sql.window import Window
+
+    everything = base.unionByName(delta)
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    want = (
+        everything.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    final = read_snapshot(spark, snap)
+    assert "_bucket" not in final.columns
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+
+    # a third upsert prunes v_base; the linked files must survive in v_new
+    run(src.limit(1).withColumn("event_id", F.col("event_id") + 20_000_000))
+    assert not os.path.exists(base_dir)
+    assert read_snapshot(spark, snap).count() == want.count()
+
+
 def test_incremental_curation_sink_matches_batch_funnel(spark, tmp_path):
     """VERDICT r6 #7: the curation funnel as a daily-delta job.  Raw
     documents arrive as three doc_id-range micro-batches (mtime-ordered
