@@ -232,6 +232,55 @@ def _bucket_col(emb: F.Column) -> F.Column:
 # PARAMETER: cells scale with the corpus (k ≈ corpus/target_cell_size).
 _IVF_K = 8
 _CODEBOOK_OFFSET = 64
+_IVF_K_CONF = "spark.arrowExperimentsSpark.ivf.k"
+_IVF_TARGET_POP_CONF = "spark.arrowExperimentsSpark.ivf.targetCellPop"
+_IVF_TARGET_POP = 2000
+
+
+def _ivf_k(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Codebook cell count: the ``ivf.k`` conf when set, else derived
+    from the corpus footer count as ``max(_IVF_K, ceil(N / targetCellPop))``
+    — the cells-scale-with-the-corpus rule the codebook comment states,
+    now applied automatically (r8 verdict #7: the one remaining fixed
+    geometry in the similarity family; at 1000× natural density k=8
+    leaves ~250k vectors per cell and the cell join bends quadratic).
+    Floored at the oracle geometry so every correctness fixture derives
+    k=8; beyond the floor there is no SQL-expressible oracle (the cell
+    expression enumerates k centroids), so the derivation warns exactly
+    like the LSH-bits one."""
+    import math
+
+    raw = spark.conf.get(_IVF_K_CONF, "")
+    if raw:
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"{_IVF_K_CONF} must be an integer cell count, got {raw!r}"
+            ) from None
+    if sf_dir is None:
+        return _IVF_K
+    target_raw = spark.conf.get(_IVF_TARGET_POP_CONF, str(_IVF_TARGET_POP))
+    try:
+        target = int(target_raw)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"{_IVF_TARGET_POP_CONF} must be an integer population, "
+            f"got {target_raw!r}"
+        ) from None
+    from arrow_experiments_spark.operators.dedup import _embeddings_n
+
+    k = max(_IVF_K, math.ceil(_embeddings_n(spark, sf_dir) / target))
+    if k != _IVF_K:
+        import warnings
+
+        warnings.warn(
+            f"auto-derived IVF k = {k} exceeds the oracle-baked floor "
+            f"{_IVF_K}; an oracle comparison at this corpus size needs "
+            f"{_IVF_K_CONF}={_IVF_K} (or an oracle regenerated at k={k})",
+            stacklevel=3,
+        )
+    return k
 
 
 def _l2sq(a: F.Column, cent: F.Column) -> F.Column:
@@ -259,16 +308,28 @@ def _codebook_np(k: int):
 
 
 def _codebook_l2sq_np(emb_series, k: int):
-    """(n, k) L2^2 distances, accumulated dim-by-dim in index order — the
-    SAME left-fold (((0+d0^2)+d1^2)+...) the in-plan ``aggregate`` form and
-    the oracle's ``list_reduce`` evaluate, so every distance double (and
-    therefore every argmin/ordering decision) is bit-identical across the
-    three implementations.  np.sum is deliberately avoided: its pairwise
-    summation reorders the adds."""
+    """(n, k) L2^2 distances.  At the oracle floor (k <= _IVF_K) they are
+    accumulated dim-by-dim in index order — the SAME left-fold
+    (((0+d0^2)+d1^2)+...) the in-plan ``aggregate`` form and the oracle's
+    ``list_reduce`` evaluate, so every distance double (and therefore
+    every argmin/ordering decision) is bit-identical across the three
+    implementations (np.sum is deliberately avoided: its pairwise
+    summation reorders the adds).  Beyond the floor — derived-k corpora,
+    where no enumerated-SQL oracle exists — the per-cell fold would cost
+    k x DIM vector passes, so the distances come from one GEMM
+    (|a|² - 2a·C + |C|²) instead: same argmin up to float association,
+    and the geometry is load-bearing only through which cell wins."""
     import numpy as np
 
     cb = _codebook_np(k)
     a = np.array(emb_series.tolist(), dtype=np.float64)  # f32 -> f64 exact
+    cb = cb[:, : a.shape[1]]  # the fold below reads only the vector's dims
+    if k > _IVF_K:
+        return (
+            (a * a).sum(axis=1, keepdims=True)
+            - 2.0 * (a @ cb.T)
+            + (cb * cb).sum(axis=1)[None, :]
+        )
     out = np.empty((a.shape[0], k), dtype=np.float64)
     for c in range(k):
         acc = np.zeros(a.shape[0])
@@ -405,10 +466,11 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _ivf_k(spark, sf_dir)
     emb = _nonzero_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
-        ivf_cell_col(F.col("embedding")).alias("cell"),
+        ivf_cell_col(F.col("embedding"), k).alias("cell"),
         norm(F.col("embedding")).alias("nrm"),
     )
     q = emb.filter(F.col("vec_id") < 10).select(
@@ -521,10 +583,11 @@ def _multiprobe_cells_sql(emb: str, k: int = _IVF_K, nprobe: int = 2) -> str:
     """,
 )
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _ivf_k(spark, sf_dir)
     emb = _nonzero_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
-        ivf_cell_col(F.col("embedding")).alias("cell"),
+        ivf_cell_col(F.col("embedding"), k).alias("cell"),
         norm(F.col("embedding")).alias("nrm"),
     )
     q = (
@@ -534,7 +597,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("q_emb"),
             F.col("nrm").alias("q_norm"),
             F.explode(
-                _multiprobe_cells_col(F.col("embedding"))
+                _multiprobe_cells_col(F.col("embedding"), k)
             ).alias("p_cell"),
         )
     )
@@ -711,7 +774,8 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _recall_eval(spark, sf_dir, ivf_cell_col)
+    k = _ivf_k(spark, sf_dir)
+    return _recall_eval(spark, sf_dir, lambda e: ivf_cell_col(e, k))
 
 
 @register(
@@ -763,10 +827,11 @@ def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_recall_eval_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _ivf_k(spark, sf_dir)
     emb = _nonzero_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
-        ivf_cell_col(F.col("embedding")).alias("cell"),
+        ivf_cell_col(F.col("embedding"), k).alias("cell"),
         norm(F.col("embedding")).alias("nrm"),
     )
     probes = emb.filter(F.col("vec_id") < 10).select(
@@ -778,7 +843,7 @@ def ann_recall_eval_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "q_emb",
         "q_norm",
-        F.explode(_multiprobe_cells_col(F.col("q_emb"))).alias("p_cell"),
+        F.explode(_multiprobe_cells_col(F.col("q_emb"), k)).alias("p_cell"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),

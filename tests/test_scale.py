@@ -463,6 +463,60 @@ def test_auto_bits_beyond_oracle_floor_warns_loudly(spark):
         spark.conf.unset("spark.arrowExperimentsSpark.emb.corpusNOverride")
 
 
+def test_auto_ivf_k_derivation_and_fast_kernel(spark):
+    """r8 verdict #7: the IVF codebook cell count derives from the corpus
+    (k = max(8, ceil(N / targetCellPop))) — fixtures stay at the oracle
+    floor k=8, a large-N override derives the scaled k with the loud
+    oracle-geometry warning, and the ivf.k conf pins it.  Beyond the
+    floor the distance kernel switches to the GEMM form; its distances
+    must match the exact left-fold to float tolerance with identical
+    argmin on the fixture vectors."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from arrow_experiments_spark.operators.similarity import (
+        _IVF_K,
+        _codebook_l2sq_np,
+        _ivf_k,
+    )
+
+    assert _ivf_k(spark, SF_DIR_T2) == _IVF_K  # fixture → oracle floor
+
+    spark.conf.set(
+        "spark.arrowExperimentsSpark.emb.corpusNOverride", "2048000"
+    )
+    try:
+        with _pytest.warns(UserWarning, match="oracle-baked floor 8"):
+            assert _ivf_k(spark, SF_DIR_T2) == 1024  # ceil(2048000/2000)
+        spark.conf.set("spark.arrowExperimentsSpark.ivf.k", "8")
+        try:
+            assert _ivf_k(spark, SF_DIR_T2) == 8  # conf pins the geometry
+        finally:
+            spark.conf.unset("spark.arrowExperimentsSpark.ivf.k")
+    finally:
+        spark.conf.unset("spark.arrowExperimentsSpark.emb.corpusNOverride")
+
+    rng = np.random.default_rng(7)
+    vecs = pd.Series(list(rng.normal(size=(50, 16)).astype("float32")))
+    k = _IVF_K + 4  # above the floor → GEMM path
+    gemm = _codebook_l2sq_np(vecs, k)
+    # exact fold at the same k, forced by computing it cell-by-cell
+    cb_exact = np.empty_like(gemm)
+    a = np.array(vecs.tolist(), dtype=np.float64)
+    from arrow_experiments_spark.operators.similarity import _codebook_np
+
+    cb = _codebook_np(k)[:, : a.shape[1]]
+    for c in range(k):
+        acc = np.zeros(a.shape[0])
+        for i in range(a.shape[1]):
+            d = a[:, i] - cb[c, i]
+            acc = acc + d * d
+        cb_exact[:, c] = acc
+    assert np.allclose(gemm, cb_exact, rtol=1e-10, atol=1e-9)
+    assert (np.argmin(gemm, axis=1) == np.argmin(cb_exact, axis=1)).all()
+
+
 def test_auto_bits_large_n_reaches_the_physical_plan(spark):
     """r7 verdict #8 guardrail: under a synthetic large-N stats override
     (corpusNOverride = 2,048,000 → derived 10 bits) the bucket expression
