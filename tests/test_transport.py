@@ -887,6 +887,49 @@ def test_ipc_codec_cached_replay(server, table, codec):
     assert got.equals(table)
 
 
+@pytest.mark.bigmem
+def test_multipart_streams_gib_scale_with_bounded_client_memory():
+    """r8 verdict #8 (stretch): the incremental multipart parser at
+    reference scale — a >1 GiB Arrow part (70M rows x 16 B) streamed
+    through the live server's multipart endpoint and drained
+    batch-by-batch (collect_table=False).  Client-side decode must not
+    accumulate: the Arrow pool's net growth across the whole stream
+    stays under 64 MiB (vs the ~1.1 GiB part), which is only possible
+    if both the encoded-side feed parser and the decoded batches are
+    O(chunk)/O(batch).  The JSON meta part arrives intact first."""
+    import numpy as np
+
+    from arrow_experiments_spark.transport.client import fetch_multipart
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    rows = 70_000_000
+    big = pa.table(
+        {
+            "id": pa.array(np.arange(rows, dtype=np.int64)),
+            "v": pa.array(np.arange(rows, dtype=np.float64) * 0.5),
+        }
+    )
+    assert big.nbytes > (1 << 30)
+    registry = DatasetRegistry()
+    registry.register_table("big", big, meta={"rows": rows})
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        before = pa.total_allocated_bytes()
+        meta, none_t, m = fetch_multipart(
+            f"http://{host}:{port}/datasets/big?multipart=1",
+            collect_table=False,
+        )
+        growth = pa.total_allocated_bytes() - before
+        assert none_t is None
+        assert m.rows == rows
+        assert m.bytes_received > (1 << 30)  # the part really was >1 GiB
+        assert meta.get("rows") == rows
+        assert growth < (64 << 20), f"client accumulated {growth} bytes"
+    finally:
+        httpd.shutdown()
+
+
 def test_ipc_codec_cache_invalidated_on_reregister():
     """Re-registering a name must drop its cached IPC-codec body along
     with the other cached bytes."""
