@@ -116,6 +116,7 @@ CARTESIAN_OK = {
     "knn_bruteforce_cosine",
     "ann_recall_eval",  # exact side = knn's 10-probe broadcast scoring
     "ann_recall_eval_ivf",  # same exact-side shape
+    "ann_recall_eval_multiprobe",  # same exact-side shape
 
     "text_unigram_popularity",
     "text_tfidf_top_terms",  # 1-row broadcast corpus-total, same as unigram
