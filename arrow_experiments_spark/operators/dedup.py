@@ -187,7 +187,19 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _CURATE_CACHE.get(key)
     if hit is not None:
         prev_frame, prev_fp = hit
+        still_cached = False
         if fp is not None and fp == prev_fp:
+            # an external clearCache() (tests, bench hygiene) evicts the
+            # data but leaves this registry entry — returning the evicted
+            # frame would silently hand every caller an UNCACHED lineage
+            # (the composite funnel would re-tokenize per stage), so a
+            # hit requires the persist to still be live
+            try:
+                sl = prev_frame.storageLevel
+                still_cached = sl.useMemory or sl.useDisk
+            except Exception:
+                still_cached = False
+        if still_cached:
             return prev_frame
         # Source changed (or unstatable): release the stale frame BEFORE
         # persisting the new one — the two plans are equal, so
