@@ -2,8 +2,9 @@
 
 ``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` exposes
 every implemented operator from SURVEY.md §2.6 + §7; ``oracle_sql()`` gives
-the DuckDB-equivalent SQL per query (omitted for engine-specific sketches,
-which get a rows-only check).
+the DuckDB-equivalent SQL per query — every registered query has one (the
+HLL sketch pair emits exact counts plus a sketch-accuracy bound that the
+oracle reproduces, so even the engine-specific sketches hash-check).
 """
 
 from __future__ import annotations
