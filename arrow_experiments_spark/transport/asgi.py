@@ -276,7 +276,14 @@ def make_asgi_app(registry: DatasetRegistry, cors: bool = False, sql_runner=None
             slices = registry.ipc_codec_slices(name, strategy[9:])
             if slices is not None:
                 return 200, resp_headers, (bytes(sl) for sl in slices)
-        return 200, resp_headers, encode_ipc_chunks(reader.schema, reader, strategy)
+        chunks = encode_ipc_chunks(reader.schema, reader, strategy)
+        if plain and strategy != "identity":
+            # disk-backed encode-once replay / cache fill, threaded parity
+            slices = registry.encoded_artifact_stream(name, strategy)
+            if slices is not None:
+                return 200, resp_headers, slices
+            chunks = registry.tee_encoded(name, strategy, chunks)
+        return 200, resp_headers, chunks
 
     def _not_acceptable(why: str, headers: _Headers):
         msg = f"Not Acceptable: {why}\n"

@@ -930,6 +930,74 @@ def test_multipart_streams_gib_scale_with_bounded_client_memory():
         httpd.shutdown()
 
 
+def test_encoded_artifact_replay_for_opted_in_factory(tmp_path, table):
+    """Disk-backed encode-once (the gzip_static pattern for spill-scale
+    factory datasets): a dataset opted in via enable_encoded_artifact
+    serves its first zstd response while teeing the encoded bytes to a
+    cache file; the second response replays the file byte-identically
+    and still stream-decodes to the full table.  A dataset NOT opted in
+    never writes an artifact, and re-registering an opted-in name drops
+    the cache."""
+    import os
+
+    from arrow_experiments_spark.transport.ipc_stream import decode_body
+    from arrow_experiments_spark.transport.server import DatasetRegistry, serve
+
+    def factory():
+        return pa.RecordBatchReader.from_batches(table.schema, table.to_batches())
+
+    registry = DatasetRegistry()
+    registry.register("art", factory)
+    registry.register("no_art", factory)
+    cache_dir = registry.enable_encoded_artifact("art", str(tmp_path / "cache"))
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        def get(name):
+            req = urllib.request.Request(
+                f"http://{host}:{port}/datasets/{name}",
+                headers={"Accept-Encoding": "zstd"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                assert resp.headers["Content-Encoding"] == "zstd"
+                return resp.read()
+
+        b1 = get("art")
+        assert os.path.exists(os.path.join(cache_dir, "zstd.bin"))
+        b2 = get("art")
+        assert b1 == b2  # the artifact, replayed
+        got = decode_body(io.BytesIO(b2), "zstd").read_all()
+        assert got.equals(table)
+
+        get("no_art")
+        # nothing cached anywhere for the un-opted dataset
+        assert registry.encoded_artifact_stream("no_art", "zstd") is None
+
+        # re-registration invalidates the artifact cache
+        registry.register("art", factory)
+        assert not os.path.exists(os.path.join(cache_dir, "zstd.bin"))
+    finally:
+        httpd.shutdown()
+
+
+def test_encoded_artifact_aborted_encode_leaves_no_artifact(tmp_path, table):
+    """A consumer that stops mid-stream must not commit a truncated
+    artifact: the tee only renames into place on clean completion."""
+    import os
+
+    from arrow_experiments_spark.transport.server import DatasetRegistry
+
+    registry = DatasetRegistry()
+    registry.register("d", lambda: pa.RecordBatchReader.from_batches(
+        table.schema, table.to_batches()))
+    cache_dir = registry.enable_encoded_artifact("d", str(tmp_path / "c"))
+    chunks = registry.tee_encoded("d", "zstd", iter([b"a" * 100, b"b" * 100]))
+    next(chunks)  # consume one chunk, then abandon
+    chunks.close()
+    assert not os.path.exists(os.path.join(cache_dir, "zstd.bin"))
+    assert not [f for f in os.listdir(cache_dir) if f.endswith(".bin")]
+
+
 def test_ipc_codec_cache_invalidated_on_reregister():
     """Re-registering a name must drop its cached IPC-codec body along
     with the other cached bytes."""
