@@ -1099,15 +1099,23 @@ def agg_hll_sketch_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("(all)").alias("event_type"),
         F.hll_sketch_estimate("sk").alias("est_users"),
     )
-    # the exact anchor is ~#event_types + 1 rows of manifest JSON — a
-    # bounded broadcast by construction at any SF
-    anchor = spark.createDataFrame(
-        [(k, int(v)) for k, v in sorted(exact.items())],
-        schema="event_type string, exact_users bigint",
+    # the exact anchor is ~#event_types + 1 scalars of manifest JSON —
+    # inlined as a literal map (no extra job, no join; the rollup's only
+    # Spark work stays the kilobyte register scan)
+    anchor = F.create_map(
+        *[
+            lit
+            for k, v in sorted(exact.items())
+            for lit in (F.lit(k), F.lit(int(v)))
+        ]
     )
     return (
         per_est.unionByName(total)
-        .join(F.broadcast(anchor), "event_type")
+        .select(
+            "event_type",
+            F.element_at(anchor, F.col("event_type")).alias("exact_users"),
+            "est_users",
+        )
         .select(
             "event_type",
             "exact_users",
