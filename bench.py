@@ -599,6 +599,18 @@ def main() -> None:
     detail = {
         "spread": spread,
         "total_excludes": sorted(total_excludes),
+        # round-9 comparability notes vs earlier rounds' keys
+        "notes": [
+            "agg_hll_sketch_exchange now emits (exact_users, within_bound)"
+            " — the rollup reads the manifest's exact anchor so the sketch"
+            " family is DuckDB-oracle-checkable; ~+0.15-0.25 s vs the r8"
+            " estimate-only form, a deliberate trade",
+            "s2_serve_42m_zstd: attempt 1 encodes + fills the disk"
+            " artifact cache, attempt 2 replays it (client-decode-bound);"
+            " committed min measures the replay steady state",
+            "s2_serve_1m_ipc_zstd / ipc_lz4 serve the encode-once"
+            " IPC-codec body cache (r8 verdict #2)",
+        ],
         "floor_watch": floor_watch,
         "sentinel": {
             "name": "s2_serve_1m_identity",
