@@ -210,7 +210,14 @@ def upsert_snapshot_sink(
                 .drop("_rn", "_src")
             )
             vdir = os.path.join(snapshot_dir, version)
-            out.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+            # align the write to the bucket layout: without this, every
+            # shuffle task holding rows of a touched bucket emits its own
+            # file there (up to shuffle.partitions small files per bucket
+            # per version — file-count explosion at warehouse scale); the
+            # extra exchange is delta+touched-bucket sized
+            out.repartition("_bucket").write.mode("overwrite").partitionBy(
+                "_bucket"
+            ).parquet(vdir)
         finally:
             inc.unpersist()
         for d in linked:
