@@ -184,9 +184,10 @@ def upsert_snapshot_sink(
                     r["_bucket"]
                     for r in inc.select("_bucket").distinct().collect()
                 }
-                if "_bucket" in raw.columns:
-                    # bucketed layout: read back ONLY the touched buckets
-                    # (partition pruning) and link the rest verbatim
+                committed_buckets = _version_layout(vdir_committed)
+                if "_bucket" in raw.columns and committed_buckets == n_buckets:
+                    # same bucket geometry: read back ONLY the touched
+                    # buckets (partition pruning) and link the rest verbatim
                     cur = raw.filter(
                         F.col("_bucket").isin([int(t) for t in touched])
                         | F.col("_bucket").isNull()
@@ -198,7 +199,14 @@ def upsert_snapshot_sink(
                         if val.isdigit() and int(val) not in touched:
                             linked.append(d)
                 else:
-                    # legacy flat version: migrate it wholesale this once
+                    # legacy flat version, or the caller changed n_buckets:
+                    # migrate wholesale this once.  Pruning against a
+                    # DIFFERENT geometry would match stale bucket ids and
+                    # leave the same key alive in a linked old bucket and
+                    # a rewritten new one — silent duplicates — so a
+                    # geometry change always re-buckets everything.
+                    if "_bucket" in raw.columns:
+                        raw = raw.drop("_bucket")
                     cur = raw.withColumn("_bucket", bucket)
                 merged = inc.unionByName(cur.withColumn("_src", F.lit(0)))
             w = Window.partitionBy(*key_cols).orderBy(
@@ -231,6 +239,12 @@ def upsert_snapshot_sink(
                         os.link(sp, os.path.join(ddir, fn))
                     except OSError:  # cross-device / FS without links
                         shutil.copy2(sp, os.path.join(ddir, fn))
+        # record the bucket geometry the version was written under — the
+        # next merge prunes only when its n_buckets matches
+        import json as _json
+
+        with open(os.path.join(vdir, "_LAYOUT.json"), "w") as f:
+            _json.dump({"n_buckets": n_buckets}, f)
         tmp = pointer + f".tmp{seq}"
         with open(tmp, "w") as f:
             f.write(version)
@@ -330,6 +344,22 @@ def incremental_curation_sink(
     )
 
 
+def _version_layout(vdir: str) -> int | None:
+    """The bucket count a version directory was written under, or None
+    (pre-layout versions and flat legacy snapshots)."""
+    import json
+    import os
+
+    path = os.path.join(vdir, "_LAYOUT.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return int(json.load(f)["n_buckets"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def _prev_version(snapshot_dir: str, batch_id: int) -> int | None:
     """Largest committed version id strictly below ``batch_id``."""
     import os
@@ -391,7 +421,9 @@ def snapshot_reader_factory(snapshot_dir: str):
         d = pads.dataset(
             os.path.join(snapshot_dir, version),
             format="parquet",
-            ignore_prefixes=[".", "_SUCCESS", "_committed", "_started"],
+            ignore_prefixes=[
+                ".", "_SUCCESS", "_committed", "_started", "_LAYOUT",
+            ],
         )
         return d.scanner().to_reader()
 

@@ -501,6 +501,54 @@ def test_upsert_snapshot_version_write_is_o_delta(spark, tmp_path):
     assert read_snapshot(spark, snap).count() == want.count()
 
 
+def test_upsert_snapshot_bucket_geometry_change_migrates(spark, tmp_path):
+    """Changing n_buckets between runs on the same snapshot must migrate
+    wholesale, never prune: pruning against a different geometry matches
+    stale bucket ids and leaves the same key alive in a linked old
+    bucket AND a rewritten new one — silent duplicates.  After the
+    migration the snapshot is duplicate-free and carries the new
+    geometry."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value"
+    ).limit(300)
+    snap = str(tmp_path / "snap")
+
+    def run(df, n_buckets):
+        staged = str(tmp_path / f"staged{run.n}")
+        run.n += 1
+        df.coalesce(1).write.parquet(staged)
+        stream = spark.readStream.schema(df.schema).parquet(staged)
+        upsert_snapshot_sink(
+            stream, snap, key_cols=["user_id"], order_col="event_id",
+            n_buckets=n_buckets,
+        )
+
+    run.n = 0
+    run(src, 8)
+    n_keys = src.select("user_id").distinct().count()
+    assert read_snapshot(spark, snap).count() == n_keys
+
+    # same keys again under a DIFFERENT geometry: every key collides with
+    # an existing one, so any stale-pruning bug doubles the count
+    run(src.withColumn("event_id", F.col("event_id") + 5_000_000), 16)
+    final = read_snapshot(spark, snap)
+    assert final.count() == n_keys  # no duplicates
+    assert final.select("user_id").distinct().count() == n_keys
+    with open(os.path.join(snap, "LATEST")) as f:
+        vdir = os.path.join(snap, f.read().strip())
+    import json
+
+    with open(os.path.join(vdir, "_LAYOUT.json")) as f:
+        assert json.load(f)["n_buckets"] == 16
+
+
 def test_incremental_curation_sink_matches_batch_funnel(spark, tmp_path):
     """VERDICT r6 #7: the curation funnel as a daily-delta job.  Raw
     documents arrive as three doc_id-range micro-batches (mtime-ordered
