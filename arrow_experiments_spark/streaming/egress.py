@@ -127,6 +127,11 @@ def upsert_snapshot_sink(
     DataFrame`` hook run before the keyed merge — the seam for
     delta-vs-snapshot gating (quality filters, seen-before anti-joins)
     that must see the committed snapshot, not just the incoming rows.
+    When the committed version carries the current bucket geometry, the
+    snapshot frame handed to the hook RETAINS the ``_bucket`` layout
+    column (``pmod(xxhash64(key), n_buckets)``) so a hook that filters
+    on it gets partition-pruned reads — the bucketed-fingerprint
+    anti-join shape; hooks must not emit ``_bucket`` in their output.
     Its output defines the snapshot schema and must contain ``key_cols``
     and ``order_col``.
     """
@@ -166,7 +171,14 @@ def upsert_snapshot_sink(
         version = f"v{seq}"
         current = read_snapshot(spark, snapshot_dir)
         if prepare is not None:
-            batch_df = prepare(batch_df, current)
+            cur_prepare = current
+            if committed is not None:
+                vdir_c = os.path.join(snapshot_dir, committed)
+                if _version_layout(vdir_c) == n_buckets:
+                    # matching geometry: keep the _bucket partition column
+                    # so the hook's filters prune at the parquet read
+                    cur_prepare = spark.read.parquet(vdir_c)
+            batch_df = prepare(batch_df, cur_prepare)
         bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
         inc = (
             batch_df.withColumn("_bucket", bucket)
@@ -281,6 +293,7 @@ def incremental_curation_sink(
     snapshot_dir: str,
     timeout_sec: int = 120,
     checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
 ):
     """The curation funnel as a daily-delta job: each micro-batch of raw
     documents passes (1) the row-local quality gate (the
@@ -291,9 +304,13 @@ def incremental_curation_sink(
     (pipeline_dedup_incremental's gate), then upserts the survivors into
     the versioned snapshot.  The snapshot IS the curated corpus, and
     each micro-batch pays only delta-sized tokenize plus one anti-join
-    keyed on the hash — never a full-corpus rescan.  At 100 TB the
-    snapshot side of that anti-join is a bucketed-by-hash fingerprint
-    table, so the gate co-locates without reshuffling the corpus.
+    keyed on the hash — never a full-corpus rescan.  The snapshot side
+    of that anti-join is BUCKET-PRUNED: same hash ⇒ same bucket, so
+    only the buckets the delta's hashes land in are read back (the
+    delta's touched-bucket set comes from a cheap md5+xxhash pass over
+    the raw batch, a superset of the gated survivors' buckets) — the
+    bucketed-by-hash fingerprint-table shape a 100 TB warehouse runs,
+    made concrete by the versioned layout.
 
     Expects ``doc_id`` and ``text`` columns; the snapshot carries the
     batch columns plus ``content_hash``.  First-seen-wins across
@@ -328,9 +345,28 @@ def incremental_curation_sink(
             .drop("_rn")
         )
         if current is not None:
-            firsts = firsts.join(
-                current.select("content_hash"), "content_hash", "left_anti"
+            seen = current.select(
+                "content_hash",
+                *(["_bucket"] if "_bucket" in current.columns else []),
             )
+            if "_bucket" in seen.columns:
+                # prune the fingerprint read to the delta's buckets —
+                # sound because equal hashes share a bucket, and the
+                # touched set comes from ALL raw hashes (a superset of
+                # the gated survivors')
+                bucket = F.pmod(
+                    F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
+                ).cast("int")
+                touched = [
+                    r["b"]
+                    for r in batch_df.select(bucket.alias("b"))
+                    .distinct()
+                    .collect()
+                ]
+                seen = seen.filter(F.col("_bucket").isin(touched)).select(
+                    "content_hash"
+                )
+            firsts = firsts.join(seen, "content_hash", "left_anti")
         return firsts
 
     return upsert_snapshot_sink(
@@ -341,6 +377,7 @@ def incremental_curation_sink(
         timeout_sec=timeout_sec,
         checkpoint_dir=checkpoint_dir,
         prepare=prepare,
+        n_buckets=n_buckets,
     )
 
 

@@ -549,6 +549,55 @@ def test_upsert_snapshot_bucket_geometry_change_migrates(spark, tmp_path):
         assert json.load(f)["n_buckets"] == 16
 
 
+def test_upsert_snapshot_prepare_sees_bucketed_frame_when_geometry_matches(
+    spark, tmp_path
+):
+    """The snapshot frame handed to the ``prepare`` hook retains the
+    ``_bucket`` layout column exactly when the committed version carries
+    the CURRENT geometry — that is what lets a hook's bucket filter
+    prune at the parquet read (the seen-before anti-join shape).  On a
+    geometry change the hook must get the plain snapshot instead:
+    pruning against a foreign geometry is unsound."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value"
+    ).limit(200)
+    snap = str(tmp_path / "snap")
+    seen: list = []
+
+    def prepare(batch_df, current):
+        seen.append(None if current is None else "_bucket" in current.columns)
+        return batch_df
+
+    def run(df, n_buckets):
+        staged = str(tmp_path / f"staged{run.n}")
+        run.n += 1
+        df.coalesce(1).write.parquet(staged)
+        stream = spark.readStream.schema(df.schema).parquet(staged)
+        upsert_snapshot_sink(
+            stream, snap, key_cols=["user_id"], order_col="event_id",
+            n_buckets=n_buckets, prepare=prepare,
+        )
+
+    run.n = 0
+    run(src, 8)          # no committed version yet
+    run(src, 8)          # committed v0 carries n_buckets=8 → bucketed
+    run(src, 16)         # geometry change → plain snapshot, no _bucket
+    assert seen == [None, True, False], seen
+
+    final = read_snapshot(spark, snap)
+    assert "_bucket" not in final.columns
+    assert final.count() == src.select("user_id").distinct().count()
+    with open(os.path.join(snap, "LATEST")) as f:
+        assert f.read().strip() == "v2"
+
+
 def test_incremental_curation_sink_matches_batch_funnel(spark, tmp_path):
     """VERDICT r6 #7: the curation funnel as a daily-delta job.  Raw
     documents arrive as three doc_id-range micro-batches (mtime-ordered
