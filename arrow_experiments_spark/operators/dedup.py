@@ -296,10 +296,19 @@ def _minhash_sigs(
 
 
 def _minhash_bands(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """(doc_id, band_idx, band_val): 8 min-hash sigs → 4 bands of 2."""
-    sigs = _minhash_sigs(spark, sf_dir, corpus=corpus)
+    """(doc_id, band_idx, band_val): 8 min-hash sigs → 4 bands of 2.
+
+    ``sigs``: an already-built :func:`_minhash_sigs` frame; when given,
+    the signature stage is not recomputed (callers that need both the
+    band rows and the signatures — the agreement verify — share one
+    persisted signature pass)."""
+    if sigs is None:
+        sigs = _minhash_sigs(spark, sf_dir, corpus=corpus)
     bands = F.array(
         *[
             F.struct(

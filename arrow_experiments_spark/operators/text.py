@@ -1010,6 +1010,113 @@ def pipeline_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same ones the stage queries use: the recursive LSH-component chain from
 # dedup (_COMP_CTES), this module's tokenizer/stopword SQL.
 from arrow_experiments_spark.operators.dedup import _COMP_CTES as _DEDUP_COMP_CTES
+from arrow_experiments_spark.operators.dedup import (
+    _AGREE_SQL,
+    _minhash_bands_sql,
+)
+
+_NEARDUP_MIN_AGREE = 4  # ceil(0.5 * 8 sigs) — incremental_neardup_sink default
+
+
+@register(
+    "pipeline_neardup_incremental",
+    "text",
+    doc="incremental-ingest NEAR-dup gate — the batch twin of "
+    "streaming/egress.py's incremental_neardup_sink: the delta feed "
+    "(every 10th document) admits only documents that are (a) exact-"
+    "unseen (hash anti-join, pipeline_dedup_incremental's gate) AND "
+    "(b) not a near-duplicate of any base document — candidates from "
+    "the MinHash band equi-join (delta bands probe base bands; at "
+    "100 TB the base side is the persisted band INDEX, bucketed on the "
+    "band value so the probe prunes), verified by signature agreement "
+    ">= 4 of 8 (dedup_minhash_estimate's estimator, J_est >= 0.5) — "
+    "ZERO re-tokenization of the base corpus.  One signature pass over "
+    "all docs shared by the band and verify stages; shuffles: the hash "
+    "anti-join + the band equi-join, both delta-bounded on the probe "
+    "side.",
+    oracle=_minhash_bands_sql()
+    + f"""
+        , delta AS (
+            SELECT doc_id, md5(text) AS content_hash, n_chars
+            FROM documents WHERE doc_id % 10 = 0
+        ), base AS (
+            SELECT DISTINCT md5(text) AS content_hash
+            FROM documents WHERE doc_id % 10 <> 0
+        ), near AS (
+            SELECT DISTINCT a.doc_id
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_val = b.band_val
+                        AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+            JOIN sigs x ON x.doc_id = a.doc_id
+            JOIN sigs y ON y.doc_id = b.doc_id
+            WHERE {_AGREE_SQL} >= {_NEARDUP_MIN_AGREE}
+        )
+        SELECT d.doc_id, d.content_hash, d.n_chars
+        FROM delta d
+        WHERE NOT EXISTS (SELECT 1 FROM base b
+                          WHERE b.content_hash = d.content_hash)
+          AND NOT EXISTS (SELECT 1 FROM near n
+                          WHERE n.doc_id = d.doc_id)
+    """,
+)
+def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.functions.text import md5_str
+    from arrow_experiments_spark.operators.dedup import (
+        _N_SIGS,
+        _minhash_bands,
+        _minhash_sigs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % 10 == 0
+    delta = docs.filter(is_delta).select(
+        "doc_id", md5_str(F.col("text")).alias("content_hash"), "n_chars"
+    )
+    base_hashes = (
+        docs.filter(~is_delta)
+        .select(md5_str(F.col("text")).alias("content_hash"))
+        .distinct()
+    )
+    exact_novel = delta.join(base_hashes, "content_hash", "left_anti")
+
+    # one signature pass shared by the band join and the agreement verify
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir, sigs=sigs)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") % 10 == 0)
+            & (F.col("b.doc_id") % 10 != 0),
+        )
+        .select(F.col("a.doc_id").alias("did"), F.col("b.doc_id").alias("bid"))
+        .distinct()
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("did"),
+        *[F.col(f"s{i}").alias(f"xa{i}") for i in range(_N_SIGS)],
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("bid"),
+        *[F.col(f"s{i}").alias(f"yb{i}") for i in range(_N_SIGS)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(_N_SIGS)
+    )
+    near = (
+        cand.join(x, "did")
+        .join(y, "bid")
+        .filter(n_agree >= _NEARDUP_MIN_AGREE)
+        .select(F.col("did").alias("doc_id"))
+        .distinct()
+    )
+    return exact_novel.join(near, "doc_id", "left_anti").select(
+        "doc_id", "content_hash", "n_chars"
+    )
 
 
 @register(

@@ -71,6 +71,7 @@ def upsert_snapshot_sink(
     checkpoint_dir: str | None = None,
     prepare=None,
     n_buckets: int = 32,
+    bucket_cols: list[str] | None = None,
 ):
     """foreachBatch incremental UPSERT into a keyed parquet snapshot —
     the streaming twin of the batch ``pipeline_snapshot_upsert``
@@ -134,141 +135,44 @@ def upsert_snapshot_sink(
     anti-join shape; hooks must not emit ``_bucket`` in their output.
     Its output defines the snapshot schema and must contain ``key_cols``
     and ``order_col``.
+
+    ``bucket_cols``: the columns the ``_bucket`` hash is computed over —
+    defaults to ``key_cols``, and must be a SUBSET of them (every row of
+    one key must land in one bucket, or the pruned merge could miss live
+    rows).  A proper subset buckets the snapshot on a lookup key coarser
+    than the upsert identity — e.g. a band index keyed on
+    ``(band, value, doc_id)`` but bucketed on ``(band, value)`` so probe
+    joins prune by band value.
     """
     import os
-    import shutil
-
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     spark = stream_df.sparkSession
+    _check_bucket_cols(key_cols, bucket_cols)
     os.makedirs(snapshot_dir, exist_ok=True)
-    pointer = os.path.join(snapshot_dir, "LATEST")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        committed: str | None = None
-        if os.path.exists(pointer):
-            with open(pointer) as f:
-                committed = f.read().strip()
-        if checkpoint_dir is not None:
-            if committed == f"v{batch_id}":
-                return  # replay of an already-committed batch — idempotent skip
-            # Mode-mixing guard (ADVICE r7): a checkpointed query attached
-            # to a snapshot previously advanced without a checkpoint
-            # restarts at batch 0 while LATEST names some vN > 0; writing
-            # v{batch_id} would slot BELOW the committed version and the
-            # pruner would delete vN.  Version ids must stay monotonic, so
-            # allocate past whatever is committed.  (A crash-replay in that
-            # mixed state re-merges instead of skipping — content-idempotent
-            # under latest-wins, it just burns one version number.)
-            seq = batch_id
-            if committed is not None:
-                seq = max(batch_id, int(committed[1:]) + 1)
-        else:
-            # no durable checkpoint → batch ids are per-run; continue the
-            # snapshot's own version sequence and never skip
-            seq = int(committed[1:]) + 1 if committed else batch_id
-        version = f"v{seq}"
-        current = read_snapshot(spark, snapshot_dir)
+        committed = _committed_version(snapshot_dir)
+        seq = _alloc_seq(committed, batch_id, checkpoint_dir is not None)
+        if seq is None:
+            return  # replay of an already-committed batch — idempotent skip
         if prepare is not None:
-            cur_prepare = current
-            if committed is not None:
-                vdir_c = os.path.join(snapshot_dir, committed)
-                if _version_layout(vdir_c) == n_buckets:
-                    # matching geometry: keep the _bucket partition column
-                    # so the hook's filters prune at the parquet read
-                    cur_prepare = spark.read.parquet(vdir_c)
-            batch_df = prepare(batch_df, cur_prepare)
-        bucket = F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
-        inc = (
-            batch_df.withColumn("_bucket", bucket)
-            .withColumn("_src", F.lit(1))
-            .persist()  # touched-bucket probe + merge share one compute
+            batch_df = prepare(
+                batch_df,
+                _prepare_view(
+                    spark, snapshot_dir, committed, n_buckets, bucket_cols or key_cols
+                ),
+            )
+        _merge_batch(
+            spark,
+            batch_df,
+            snapshot_dir,
+            key_cols=key_cols,
+            order_col=order_col,
+            n_buckets=n_buckets,
+            bucket_cols=bucket_cols,
+            seq=seq,
+            committed=committed,
         )
-        linked: list[str] = []
-        try:
-            if current is None:
-                merged = inc
-            else:
-                vdir_committed = os.path.join(snapshot_dir, committed)
-                raw = spark.read.parquet(vdir_committed)
-                touched = {
-                    r["_bucket"]
-                    for r in inc.select("_bucket").distinct().collect()
-                }
-                committed_buckets = _version_layout(vdir_committed)
-                if "_bucket" in raw.columns and committed_buckets == n_buckets:
-                    # same bucket geometry: read back ONLY the touched
-                    # buckets (partition pruning) and link the rest verbatim
-                    cur = raw.filter(
-                        F.col("_bucket").isin([int(t) for t in touched])
-                        | F.col("_bucket").isNull()
-                    )
-                    for d in os.listdir(vdir_committed):
-                        if not d.startswith("_bucket="):
-                            continue
-                        val = d.split("=", 1)[1]
-                        if val.isdigit() and int(val) not in touched:
-                            linked.append(d)
-                else:
-                    # legacy flat version, or the caller changed n_buckets:
-                    # migrate wholesale this once.  Pruning against a
-                    # DIFFERENT geometry would match stale bucket ids and
-                    # leave the same key alive in a linked old bucket and
-                    # a rewritten new one — silent duplicates — so a
-                    # geometry change always re-buckets everything.
-                    if "_bucket" in raw.columns:
-                        raw = raw.drop("_bucket")
-                    cur = raw.withColumn("_bucket", bucket)
-                merged = inc.unionByName(cur.withColumn("_src", F.lit(0)))
-            w = Window.partitionBy(*key_cols).orderBy(
-                F.desc(order_col), F.desc("_src")
-            )
-            out = (
-                merged.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_src")
-            )
-            vdir = os.path.join(snapshot_dir, version)
-            # align the write to the bucket layout: without this, every
-            # shuffle task holding rows of a touched bucket emits its own
-            # file there (up to shuffle.partitions small files per bucket
-            # per version — file-count explosion at warehouse scale); the
-            # extra exchange is delta+touched-bucket sized
-            out.repartition("_bucket").write.mode("overwrite").partitionBy(
-                "_bucket"
-            ).parquet(vdir)
-        finally:
-            inc.unpersist()
-        for d in linked:
-            sdir = os.path.join(snapshot_dir, committed, d)
-            ddir = os.path.join(vdir, d)
-            os.makedirs(ddir, exist_ok=True)
-            for fn in os.listdir(sdir):
-                sp = os.path.join(sdir, fn)
-                if os.path.isfile(sp):
-                    try:
-                        os.link(sp, os.path.join(ddir, fn))
-                    except OSError:  # cross-device / FS without links
-                        shutil.copy2(sp, os.path.join(ddir, fn))
-        # record the bucket geometry the version was written under — the
-        # next merge prunes only when its n_buckets matches
-        import json as _json
-
-        with open(os.path.join(vdir, "_LAYOUT.json"), "w") as f:
-            _json.dump({"n_buckets": n_buckets}, f)
-        tmp = pointer + f".tmp{seq}"
-        with open(tmp, "w") as f:
-            f.write(version)
-        os.replace(tmp, pointer)  # atomic swap — the "commit"
-        # prune versions older than the PREVIOUS one (kept for readers
-        # that resolved the pointer just before the swap); hard-linked
-        # bucket files survive until their last referencing version goes
-        prev = _prev_version(snapshot_dir, seq)
-        keep = {version} | ({f"v{prev}"} if prev is not None else set())
-        for d in os.listdir(snapshot_dir):
-            if d.startswith("v") and d not in keep:
-                shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
 
     writer = (
         stream_df.writeStream.foreachBatch(merge)
@@ -286,6 +190,255 @@ def upsert_snapshot_sink(
             f"micro-batches"
         )
     return q
+
+
+def _check_bucket_cols(key_cols: list[str], bucket_cols: list[str] | None) -> None:
+    if bucket_cols is not None and not set(bucket_cols) <= set(key_cols):
+        raise ValueError(
+            f"bucket_cols {bucket_cols} must be a subset of key_cols "
+            f"{key_cols}: every row of one key must land in one bucket, "
+            "or the pruned merge could miss live rows"
+        )
+
+
+def _committed_version(snapshot_dir: str) -> str | None:
+    """The version the LATEST pointer names, or None before first commit."""
+    import os
+
+    pointer = os.path.join(snapshot_dir, "LATEST")
+    if not os.path.exists(pointer):
+        return None
+    with open(pointer) as f:
+        return f.read().strip()
+
+
+def _alloc_seq(
+    committed: str | None, batch_id: int, checkpointed: bool
+) -> int | None:
+    """Version id for this micro-batch, or None to skip an
+    already-committed replay.
+
+    Checkpointed queries have durable, monotonic batch ids: a replay of
+    an already-committed batch is detected by the pointer already naming
+    ``v{batch_id}`` and skipped (re-merging would lazily read the very
+    directory the rewrite deletes out from under the running job).
+    Mode-mixing guard (ADVICE r7): a checkpointed query attached to a
+    snapshot previously advanced without a checkpoint restarts at batch 0
+    while LATEST names some vN > 0; writing ``v{batch_id}`` would slot
+    BELOW the committed version and the pruner would delete vN — so ids
+    are clamped past whatever is committed.  Without a checkpoint, batch
+    ids are per-run and cannot identify replays: versions continue the
+    snapshot's own sequence and NOTHING is ever skipped."""
+    if checkpointed:
+        if committed == f"v{batch_id}":
+            return None
+        seq = batch_id
+        if committed is not None:
+            seq = max(batch_id, int(committed[1:]) + 1)
+        return seq
+    return int(committed[1:]) + 1 if committed else batch_id
+
+
+def _prepare_view(
+    spark,
+    snapshot_dir: str,
+    committed: str | None,
+    n_buckets: int,
+    bucket_cols: list[str],
+):
+    """The committed snapshot as gate/prepare hooks should see it: the
+    raw bucketed read — RETAINING the ``_bucket`` partition column so the
+    hook's filters prune at the parquet scan — when the committed version
+    carries the current bucket geometry, else the flattened snapshot
+    (pruning against a foreign geometry would match stale bucket ids),
+    else None before the first commit."""
+    import os
+
+    if committed is None:
+        return None
+    vdir = os.path.join(snapshot_dir, committed)
+    rec = _layout_record(vdir)
+    if (
+        rec.get("n_buckets") == n_buckets
+        and rec.get("bucket_cols", bucket_cols) == bucket_cols
+    ):
+        return spark.read.parquet(vdir)
+    return read_snapshot(spark, snapshot_dir)
+
+
+def _prune_buckets(frame, probe_df, probe_bucket_expr):
+    """Filter a ``_bucket``-carrying snapshot frame to the buckets the
+    probe's rows land in (sound for equi-lookups whose join key is the
+    bucket key: equal values share a bucket).  Frames without the layout
+    column — flattened snapshots, foreign geometry — pass through
+    unfiltered.  The touched set is one delta-sized distinct + collect,
+    bounded by ``n_buckets``."""
+    from pyspark.sql import functions as F
+
+    if "_bucket" not in frame.columns:
+        return frame
+    touched = [
+        r["b"]
+        for r in probe_df.select(probe_bucket_expr.alias("b")).distinct().collect()
+    ]
+    return frame.filter(F.col("_bucket").isin(touched))
+
+
+def _merge_batch(
+    spark,
+    batch_df: DataFrame,
+    snapshot_dir: str,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    n_buckets: int,
+    bucket_cols: list[str] | None,
+    seq: int,
+    committed: str | None,
+) -> str:
+    """One keyed latest-wins merge of ``batch_df`` into the bucketed
+    versioned snapshot: write ``v{seq}``, hard-link untouched buckets
+    from ``committed``, record the layout, swap the pointer, prune
+    superseded versions.  Returns the committed version name.  This is
+    the shared core of :func:`upsert_snapshot_sink` and the multi-table
+    sinks (doc snapshot + band index) that merge more than one snapshot
+    per micro-batch."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    version = f"v{seq}"
+    pointer = os.path.join(snapshot_dir, "LATEST")
+    os.makedirs(snapshot_dir, exist_ok=True)
+    bcols = bucket_cols or key_cols
+    bucket = F.pmod(F.xxhash64(*bcols), F.lit(n_buckets)).cast("int")
+    inc = (
+        batch_df.withColumn("_bucket", bucket)
+        .withColumn("_src", F.lit(1))
+        .persist()  # touched-bucket probe + merge share one compute
+    )
+    linked: list[str] = []
+    try:
+        if committed is None:
+            merged = inc
+        else:
+            vdir_committed = os.path.join(snapshot_dir, committed)
+            raw = spark.read.parquet(vdir_committed)
+            touched = {
+                r["_bucket"] for r in inc.select("_bucket").distinct().collect()
+            }
+            rec = _layout_record(vdir_committed)
+            if (
+                "_bucket" in raw.columns
+                and rec.get("n_buckets") == n_buckets
+                and rec.get("bucket_cols", bcols) == bcols
+            ):
+                # same bucket geometry: read back ONLY the touched
+                # buckets (partition pruning) and link the rest verbatim
+                cur = raw.filter(
+                    F.col("_bucket").isin([int(t) for t in touched])
+                    | F.col("_bucket").isNull()
+                )
+                for d in os.listdir(vdir_committed):
+                    if not d.startswith("_bucket="):
+                        continue
+                    val = d.split("=", 1)[1]
+                    if val.isdigit() and int(val) not in touched:
+                        linked.append(d)
+            else:
+                # legacy flat version, or the caller changed the bucket
+                # geometry (count OR columns): migrate wholesale this
+                # once.  Pruning against a DIFFERENT geometry would match
+                # stale bucket ids and leave the same key alive in a
+                # linked old bucket and a rewritten new one — silent
+                # duplicates — so a geometry change always re-buckets.
+                if "_bucket" in raw.columns:
+                    raw = raw.drop("_bucket")
+                cur = raw.withColumn("_bucket", bucket)
+            merged = inc.unionByName(cur.withColumn("_src", F.lit(0)))
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.desc(order_col), F.desc("_src")
+        )
+        out = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+        vdir = os.path.join(snapshot_dir, version)
+        # align the write to the bucket layout: without this, every
+        # shuffle task holding rows of a touched bucket emits its own
+        # file there (up to shuffle.partitions small files per bucket
+        # per version — file-count explosion at warehouse scale); the
+        # extra exchange is delta+touched-bucket sized
+        out.repartition("_bucket").write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(vdir)
+    finally:
+        inc.unpersist()
+    for d in linked:
+        sdir = os.path.join(snapshot_dir, committed, d)
+        ddir = os.path.join(vdir, d)
+        os.makedirs(ddir, exist_ok=True)
+        for fn in os.listdir(sdir):
+            sp = os.path.join(sdir, fn)
+            if os.path.isfile(sp):
+                try:
+                    os.link(sp, os.path.join(ddir, fn))
+                except OSError:  # cross-device / FS without links
+                    shutil.copy2(sp, os.path.join(ddir, fn))
+    # record the bucket geometry the version was written under — the
+    # next merge prunes only when count AND columns both match
+    with open(os.path.join(vdir, "_LAYOUT.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets, "bucket_cols": bcols}, f)
+    tmp = pointer + f".tmp{seq}"
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, pointer)  # atomic swap — the "commit"
+    # prune versions older than the PREVIOUS one (kept for readers
+    # that resolved the pointer just before the swap); hard-linked
+    # bucket files survive until their last referencing version goes
+    prev = _prev_version(snapshot_dir, seq)
+    keep = {version} | ({f"v{prev}"} if prev is not None else set())
+    for d in os.listdir(snapshot_dir):
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
+    return version
+
+
+def _gated_firsts(batch_df: DataFrame) -> DataFrame:
+    """The row-local half of the curation gate: quality thresholds
+    (>= 20 tokens, distinct ratio >= 0.4, stopword ratio >= 0.05 — the
+    pipeline_curate_end_to_end thresholds), then in-batch exact dedup
+    (first = lowest doc_id per md5 content hash).  Returns the batch
+    columns plus ``content_hash``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from arrow_experiments_spark.functions.text import (
+        EN_STOPWORDS,
+        md5_str,
+        tokens,
+    )
+
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    dr = F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n)
+    sr = F.try_divide(
+        F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast("double"),
+        n,
+    )
+    gated = batch_df.where((n >= 20) & (dr >= 0.4) & (sr >= 0.05))
+    hashed = gated.withColumn("content_hash", md5_str(F.col("text")))
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def incremental_curation_sink(
@@ -317,55 +470,22 @@ def incremental_curation_sink(
     micro-batches (arrival order), min-doc_id-wins within one batch.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
-    from arrow_experiments_spark.functions.text import (
-        EN_STOPWORDS,
-        md5_str,
-        tokens,
-    )
+    from arrow_experiments_spark.functions.text import md5_str
 
     def prepare(batch_df: DataFrame, current: DataFrame | None) -> DataFrame:
-        toks = tokens(F.col("text"))
-        n = F.size(toks)
-        sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-        dr = F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n)
-        sr = F.try_divide(
-            F.size(F.filter(toks, lambda x: F.array_contains(sw, x))).cast(
-                "double"
-            ),
-            n,
-        )
-        gated = batch_df.where((n >= 20) & (dr >= 0.4) & (sr >= 0.05))
-        hashed = gated.withColumn("content_hash", md5_str(F.col("text")))
-        w = Window.partitionBy("content_hash").orderBy("doc_id")
-        firsts = (
-            hashed.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        firsts = _gated_firsts(batch_df)
         if current is not None:
-            seen = current.select(
-                "content_hash",
-                *(["_bucket"] if "_bucket" in current.columns else []),
+            # prune the fingerprint read to the delta's buckets — sound
+            # because equal hashes share a bucket, and the touched set
+            # comes from ALL raw hashes (a superset of the gated
+            # survivors')
+            hash_bucket = F.pmod(
+                F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
+            ).cast("int")
+            seen = _prune_buckets(current, batch_df, hash_bucket).select(
+                "content_hash"
             )
-            if "_bucket" in seen.columns:
-                # prune the fingerprint read to the delta's buckets —
-                # sound because equal hashes share a bucket, and the
-                # touched set comes from ALL raw hashes (a superset of
-                # the gated survivors')
-                bucket = F.pmod(
-                    F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
-                ).cast("int")
-                touched = [
-                    r["b"]
-                    for r in batch_df.select(bucket.alias("b"))
-                    .distinct()
-                    .collect()
-                ]
-                seen = seen.filter(F.col("_bucket").isin(touched)).select(
-                    "content_hash"
-                )
             firsts = firsts.join(seen, "content_hash", "left_anti")
         return firsts
 
@@ -381,20 +501,304 @@ def incremental_curation_sink(
     )
 
 
-def _version_layout(vdir: str) -> int | None:
-    """The bucket count a version directory was written under, or None
-    (pre-layout versions and flat legacy snapshots)."""
+def incremental_neardup_sink(
+    stream_df: DataFrame,
+    base_dir: str,
+    timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
+    min_jaccard_est: float = 0.5,
+):
+    """The incremental curation sink extended with NEAR-dup gating — the
+    shape a continuously-fed 100 TB corpus actually runs, because full-
+    corpus MinHash+LSH (``dedup_minhash_lsh``) is a batch job you cannot
+    afford per delta.  Two bucketed versioned snapshots live under
+    ``base_dir``:
+
+    * ``docs/`` — the curated corpus, keyed on ``content_hash``, each
+      row carrying its 8 MinHash signatures (computed once at ingest,
+      reused forever);
+    * ``bands/`` — the LSH BAND INDEX: one posting per (band_idx,
+      band_val, doc_id) with the owner's signatures denormalized in,
+      keyed on the full posting identity but BUCKETED on
+      ``(band_idx, band_val)`` so a delta's band lookups prune to the
+      buckets its band values hash into (``bucket_cols``).
+
+    Each micro-batch pays delta-sized work only: (1) the row-local
+    quality gate + in-batch exact dedup (:func:`_gated_firsts`), (2) the
+    bucket-pruned exact seen-before anti-join, (3) ONE tokenize+shingle+
+    MinHash pass over the exact-novel docs, (4) the near-dup gate — the
+    delta's band rows probe the band index (bucket-pruned equi-join, the
+    same candidate shape as ``dedup_minhash_lsh``) and candidates are
+    verified by signature agreement (``dedup_minhash_estimate``'s
+    estimator: drop when >= ceil(min_jaccard_est * 8) of 8 signatures
+    agree — zero re-tokenization of the corpus, the index row carries
+    the signatures), plus the same estimator pairwise WITHIN the batch
+    (min-doc_id-wins per qualifying pair, the dedup_keep_canonical
+    convention), then (5) survivors merge into ``docs/`` and their band
+    postings into ``bands/``.
+
+    Semantics: exact first-seen-wins across batches; a new doc is
+    rejected iff some RETAINED earlier doc (or a lower-id doc of its own
+    batch) agrees on >= the signature threshold — the greedy/online
+    near-dup policy.  Like all greedy policies it is arrival-order
+    dependent on chains (A~B, B~C, A!~C admits A and C); that is the
+    documented behavior of every streaming near-dup gate, not a defect.
+
+    Crash contract: ``docs/`` commits before ``bands/``, and the band
+    leg derives its postings from *the committed docs snapshot joined
+    back on the batch's hashes* — NOT from in-flight frames — so a crash
+    between the two merges heals on replay (docs skips as already
+    committed, bands recomputes the identical postings), and re-upserts
+    of existing postings are idempotent by key.  The index lags the
+    corpus by at most the in-flight batch.
+
+    Batch twin: ``pipeline_neardup_incremental`` (registered, DuckDB
+    oracle) pins the gate semantics on a deterministic delta/base split.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrow_experiments_spark.functions.text import (
+        md5_str,
+        minhash_sig,
+        shingles3,
+        tokens,
+    )
+    from arrow_experiments_spark.operators.dedup import _N_BANDS, _N_SIGS
+
+    spark = stream_df.sparkSession
+    docs_dir = os.path.join(base_dir, "docs")
+    bands_dir = os.path.join(base_dir, "bands")
+    doc_keys = ["content_hash"]
+    band_keys = ["band_idx", "band_val", "doc_id"]
+    band_buckets = ["band_idx", "band_val"]
+    import math
+
+    min_agree = max(1, math.ceil(min_jaccard_est * _N_SIGS))
+    sig_cols = [f"s{i}" for i in range(_N_SIGS)]
+
+    def band_rows(frame: DataFrame, keep_sigs: bool) -> DataFrame:
+        """(doc_id, band_idx, band_val[, s0..s7]) exploded from a frame
+        carrying doc_id + signature columns."""
+        bexpr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat(
+                        F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")
+                    ).alias("band_val"),
+                )
+                for b in range(_N_BANDS)
+            ]
+        )
+        extra = sig_cols if keep_sigs else []
+        return frame.select(
+            "doc_id", *extra, F.explode(bexpr).alias("_b")
+        ).select(
+            "doc_id",
+            F.col("_b.band_idx").alias("band_idx"),
+            F.col("_b.band_val").alias("band_val"),
+            *extra,
+        )
+
+    band_probe_bucket = F.pmod(
+        F.xxhash64(F.col("band_idx"), F.col("band_val")), F.lit(n_buckets)
+    ).cast("int")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        ckpt = checkpoint_dir is not None
+        committed_docs = _committed_version(docs_dir)
+        seq_docs = _alloc_seq(committed_docs, batch_id, ckpt)
+        pinned = []
+        try:
+            if seq_docs is not None:
+                firsts = _gated_firsts(batch_df)
+                docs_view = _prepare_view(
+                    spark, docs_dir, committed_docs, n_buckets, doc_keys
+                )
+                if docs_view is not None:
+                    hash_bucket = F.pmod(
+                        F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
+                    ).cast("int")
+                    seen = _prune_buckets(
+                        docs_view, batch_df, hash_bucket
+                    ).select("content_hash")
+                    firsts = firsts.join(seen, "content_hash", "left_anti")
+                # ONE tokenize pass over the exact-novel docs; the persist
+                # barriers stop Catalyst's projection collapse from
+                # re-inlining the shingle chain into each of the 8
+                # signature lambdas (no CSE across HOF lambdas — the
+                # _minhash_sigs discipline)
+                toks = firsts.select(
+                    "doc_id", tokens(F.col("text")).alias("toks")
+                ).persist()
+                sh = toks.select(
+                    "doc_id",
+                    F.array_distinct(shingles3(F.col("toks"))).alias("sh"),
+                ).persist()
+                sigs = sh.select(
+                    "doc_id",
+                    *[
+                        minhash_sig(F.col("sh"), i).alias(f"s{i}")
+                        for i in range(_N_SIGS)
+                    ],
+                ).persist()
+                pinned += [toks, sh, sigs]
+                dbands = band_rows(sigs, keep_sigs=False).persist()
+                pinned.append(dbands)
+                n_agree = sum(
+                    F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+                    for i in range(_N_SIGS)
+                )
+                xa = sigs.select(
+                    "doc_id",
+                    *[F.col(f"s{i}").alias(f"xa{i}") for i in range(_N_SIGS)],
+                )
+                drops = None
+                # cross-batch: probe the committed band index, verify by
+                # signature agreement against the posting's denormalized
+                # signatures — no join back to the corpus
+                idx = _prepare_view(
+                    spark, bands_dir, _committed_version(bands_dir),
+                    n_buckets, band_buckets,
+                )
+                if idx is not None:
+                    idx = _prune_buckets(idx, dbands, band_probe_bucket)
+                    cand = (
+                        dbands.join(
+                            idx.select(
+                                "band_idx",
+                                "band_val",
+                                F.col("doc_id").alias("_idx_doc"),
+                                *[
+                                    F.col(f"s{i}").alias(f"yb{i}")
+                                    for i in range(_N_SIGS)
+                                ],
+                            ),
+                            ["band_idx", "band_val"],
+                        )
+                        .select("doc_id", "_idx_doc", *[f"yb{i}" for i in range(_N_SIGS)])
+                        .distinct()
+                    )
+                    drops = (
+                        cand.join(xa, "doc_id")
+                        .filter(n_agree >= min_agree)
+                        .select("doc_id")
+                    )
+                # in-batch pairwise (min-doc_id-wins per qualifying pair)
+                pairs = (
+                    dbands.alias("a")
+                    .join(
+                        dbands.alias("b"),
+                        (F.col("a.band_idx") == F.col("b.band_idx"))
+                        & (F.col("a.band_val") == F.col("b.band_val"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.col("a.doc_id").alias("ida"),
+                        F.col("b.doc_id").alias("idb"),
+                    )
+                    .distinct()
+                )
+                in_drops = (
+                    pairs.join(xa.withColumnRenamed("doc_id", "ida"), "ida")
+                    .join(
+                        sigs.select(
+                            F.col("doc_id").alias("idb"),
+                            *[
+                                F.col(f"s{i}").alias(f"yb{i}")
+                                for i in range(_N_SIGS)
+                            ],
+                        ),
+                        "idb",
+                    )
+                    .filter(n_agree >= min_agree)
+                    .select(F.col("idb").alias("doc_id"))
+                )
+                drops = in_drops if drops is None else drops.unionByName(in_drops)
+                survivors = firsts.join(
+                    drops.distinct(), "doc_id", "left_anti"
+                ).join(sigs, "doc_id")
+                _merge_batch(
+                    spark, survivors, docs_dir,
+                    key_cols=doc_keys, order_col="doc_id",
+                    n_buckets=n_buckets, bucket_cols=None,
+                    seq=seq_docs, committed=committed_docs,
+                )
+            # band-index leg — derived from the COMMITTED docs snapshot
+            # joined back on the batch's hashes, so a replay after a
+            # crash between the two merges recomputes identical postings
+            committed_bands = _committed_version(bands_dir)
+            seq_bands = _alloc_seq(committed_bands, batch_id, ckpt)
+            if seq_bands is None:
+                return
+            docs_now = _prepare_view(
+                spark, docs_dir, _committed_version(docs_dir),
+                n_buckets, doc_keys,
+            )
+            if docs_now is None:
+                return
+            hash_bucket = F.pmod(
+                F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
+            ).cast("int")
+            batch_hashes = batch_df.select(
+                md5_str(F.col("text")).alias("content_hash")
+            ).distinct()
+            mine = _prune_buckets(docs_now, batch_df, hash_bucket).join(
+                batch_hashes, "content_hash"
+            )
+            postings = band_rows(
+                mine.select("doc_id", *sig_cols), keep_sigs=True
+            )
+            _merge_batch(
+                spark, postings, bands_dir,
+                key_cols=band_keys, order_col="doc_id",
+                n_buckets=n_buckets, bucket_cols=band_buckets,
+                seq=seq_bands, committed=committed_bands,
+            )
+        finally:
+            for f in pinned:
+                f.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"neardup stream did not finish within {timeout_sec}s — the "
+            f"snapshots under {base_dir} reflect only the committed "
+            f"micro-batches"
+        )
+    return q
+
+
+def _layout_record(vdir: str) -> dict:
+    """The bucket geometry a version directory was written under
+    (``{"n_buckets": N, "bucket_cols": [...]}``), or ``{}`` for
+    pre-layout versions and flat legacy snapshots.  Records written
+    before ``bucket_cols`` existed lack that key; readers default the
+    comparison to their own columns (those versions were always
+    bucketed on ``key_cols``)."""
     import json
     import os
 
     path = os.path.join(vdir, "_LAYOUT.json")
     if not os.path.exists(path):
-        return None
+        return {}
     try:
         with open(path) as f:
-            return int(json.load(f)["n_buckets"])
-    except (OSError, ValueError, KeyError, TypeError):
-        return None
+            rec = json.load(f)
+        return rec if isinstance(rec, dict) else {}
+    except (OSError, ValueError):
+        return {}
 
 
 def _prev_version(snapshot_dir: str, batch_id: int) -> int | None:

@@ -685,6 +685,174 @@ def test_incremental_curation_sink_matches_batch_funnel(spark, tmp_path):
     )
 
 
+def test_incremental_neardup_sink_gates_exact_and_near(spark, tmp_path):
+    """The near-dup extension of the incremental curation gate: exact
+    re-ingests drop at the hash anti-join, NEAR duplicates (distinct
+    hash, same token stream -> identical MinHash signatures, 8/8
+    agreement) drop at the band-index probe, fresh docs survive, and
+    within one batch the lower doc_id of a qualifying pair wins.  The
+    band index stays consistent with the corpus: 4 postings per
+    retained doc, carrying the owner's signatures."""
+    import glob
+    import os
+    import shutil
+
+    from arrow_experiments_spark.streaming.egress import (
+        _gated_firsts,
+        incremental_neardup_sink,
+        read_snapshot,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base_texts = [
+        r["text"]
+        for r in _gated_firsts(docs).orderBy("doc_id").limit(9).collect()
+    ]
+    assert len(base_texts) == 9
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    b1 = frame([(i, base_texts[i]) for i in range(6)])
+    b2 = frame(
+        [
+            (10, base_texts[0]),          # exact dup of doc 0 -> exact gate
+            (11, base_texts[1] + " "),    # near dup of doc 1 -> band probe
+            (12, base_texts[6]),          # fresh -> retained
+        ]
+    )
+    b3 = frame(
+        [
+            (20, base_texts[7] + " "),    # in-batch near-dup pair:
+            (21, base_texts[7] + "  "),   #   lower doc_id (20) wins
+            (22, base_texts[8]),          # fresh -> retained
+        ]
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for i, b in enumerate([b1, b2, b3]):
+        wdir = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(wdir)
+        src = glob.glob(os.path.join(wdir, "part-*.parquet"))[0]
+        dst = os.path.join(staged, f"{i:03d}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    base = str(tmp_path / "neardup")
+    incremental_neardup_sink(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged),
+        base,
+        n_buckets=8,
+    )
+
+    corpus = read_snapshot(spark, os.path.join(base, "docs"))
+    got_ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    assert got_ids == [0, 1, 2, 3, 4, 5, 12, 20, 22], got_ids
+    assert "s0" in corpus.columns and "s7" in corpus.columns
+
+    index = read_snapshot(spark, os.path.join(base, "bands"))
+    assert index.count() == 4 * len(got_ids)
+    assert sorted(
+        r["doc_id"] for r in index.select("doc_id").distinct().collect()
+    ) == got_ids
+    assert {"band_idx", "band_val", "doc_id", "s0", "s7"} <= set(index.columns)
+
+    # re-delivery of every batch (fresh run, no checkpoint: nothing is
+    # skipped, everything re-merges) must add no docs and no postings
+    incremental_neardup_sink(
+        spark.readStream.schema(b1.schema).parquet(staged),
+        base,
+        n_buckets=8,
+    )
+    assert read_snapshot(spark, os.path.join(base, "docs")).count() == len(
+        got_ids
+    )
+    assert read_snapshot(spark, os.path.join(base, "bands")).count() == 4 * len(
+        got_ids
+    )
+
+
+def test_incremental_neardup_sink_band_leg_heals_after_crash(spark, tmp_path):
+    """Crash contract: docs/ commits before bands/.  If the process dies
+    between the two merges, a checkpointed replay must skip the docs
+    merge (already committed) and still rebuild the batch's band
+    postings from the committed docs snapshot — the index catches up
+    instead of silently lagging forever."""
+    import glob
+    import os
+    import shutil
+
+    from arrow_experiments_spark.streaming.egress import (
+        _gated_firsts,
+        incremental_neardup_sink,
+        read_snapshot,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    texts = [
+        r["text"]
+        for r in _gated_firsts(docs).orderBy("doc_id").limit(2).collect()
+    ]
+    b1 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    wdir = str(tmp_path / "w0")
+    b1.coalesce(1).write.parquet(wdir)
+    shutil.copy(
+        glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+        os.path.join(staged, "000.parquet"),
+    )
+    base = str(tmp_path / "neardup")
+    ckpt = str(tmp_path / "ckpt")
+    incremental_neardup_sink(
+        spark.readStream.schema(b1.schema).parquet(staged),
+        base,
+        checkpoint_dir=ckpt,
+        n_buckets=8,
+    )
+    # simulate the crash window: docs/ committed, bands/ lost, and the
+    # engine lost the commit marker so the batch replays
+    shutil.rmtree(os.path.join(base, "bands"))
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    crc = os.path.join(ckpt, "commits", ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    incremental_neardup_sink(
+        spark.readStream.schema(b1.schema).parquet(staged),
+        base,
+        checkpoint_dir=ckpt,
+        n_buckets=8,
+    )
+    assert read_snapshot(spark, os.path.join(base, "docs")).count() == 2
+    index = read_snapshot(spark, os.path.join(base, "bands"))
+    assert index.count() == 8  # 4 postings x 2 docs, rebuilt
+
+
+def test_upsert_snapshot_bucket_cols_must_be_key_subset(spark, tmp_path):
+    """bucket_cols outside key_cols would scatter one key across
+    buckets and the pruned merge could miss live rows — rejected."""
+    import pytest
+
+    from arrow_experiments_spark.streaming.egress import upsert_snapshot_sink
+
+    src = table(spark, SF_DIR, "events").select("user_id", "event_id", "value")
+    staged = str(tmp_path / "one")
+    src.limit(10).coalesce(1).write.parquet(staged)
+    stream = spark.readStream.schema(src.schema).parquet(staged)
+    with pytest.raises(ValueError, match="subset of key_cols"):
+        upsert_snapshot_sink(
+            stream,
+            str(tmp_path / "snap"),
+            key_cols=["user_id"],
+            order_col="event_id",
+            bucket_cols=["event_id"],
+        )
+
+
 def test_upsert_snapshot_checkpointed_replay_is_skipped(spark, tmp_path):
     """With a durable checkpoint, batch ids are monotonic across runs and
     a crash-after-commit replay (offsets written, commit marker lost) is
