@@ -1070,14 +1070,12 @@ def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % 10 == 0
-    delta = docs.filter(is_delta).select(
+    # one hash projection shared by both sides of the exact gate
+    hashed = docs.select(
         "doc_id", md5_str(F.col("text")).alias("content_hash"), "n_chars"
-    )
-    base_hashes = (
-        docs.filter(~is_delta)
-        .select(md5_str(F.col("text")).alias("content_hash"))
-        .distinct()
-    )
+    ).persist()
+    delta = hashed.filter(is_delta)
+    base_hashes = hashed.filter(~is_delta).select("content_hash").distinct()
     exact_novel = delta.join(base_hashes, "content_hash", "left_anti")
 
     # one signature pass shared by the band join and the agreement verify

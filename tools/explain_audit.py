@@ -90,6 +90,7 @@ AUDIT = [
     "ann_recall_eval_ivf",
     "text_dedup_chunk_exact",
     "pipeline_dedup_incremental",
+    "pipeline_neardup_incremental",
     "dedup_minhash_estimate",
     "dedup_semantic_clusters",
     "pipeline_train_split_chunks",
