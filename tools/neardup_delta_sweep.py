@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Streaming near-dup gate: delta wall vs corpus scale (round 9).
+
+``incremental_neardup_sink`` maintains two bucketed snapshots — the
+curated corpus and its LSH band INDEX (bucketed on the band value via
+``bucket_cols``).  The scale claim: a fixed-size delta pays the same
+wall against a 10x bigger corpus, because every corpus-sized structure
+it touches is bucket-pruned — the exact-hash anti-join reads only the
+delta's hash buckets, and the band probe reads only the buckets the
+delta's band values hash into.  Before bucketed indexes, the probe side
+of near-dup ingestion was a full index scan per delta.
+
+Protocol: two corpora (2M docs / 64 buckets, 20M / 640 — constant
+per-bucket size), each seeded DIRECTLY via the merge core with
+synthetic signatures (8-hex synthetic sigs; real deltas carry 32-hex
+md5 minima — disjoint value spaces, zero accidental band collisions),
+and the matching band index (4 postings/doc, 8M / 80M rows) derived
+from the same sigs.  Then the SAME 40-document delta (real sf0.01
+docs) runs the FULL sink leg — quality gate + exact anti-join +
+MinHash + band probe + verify + two version merges.  A reference
+column times the UNPRUNED band probe: the delta's band rows joined
+against the FULL flattened index (the pre-bucketing shape).  Verified
+per scale: survivors merged with 4 postings each, re-delivery adds 0.
+
+Usage: python tools/neardup_delta_sweep.py
+Appends a section to SCALE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import pyspark.sql.functions as F
+
+from arrow_experiments_spark.session import build_session
+
+WORK = "/tmp/neardup_delta_sweep"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+DELTA_DOCS = 40
+
+
+def main() -> None:
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+    # the 80M-posting seed sorts 12 wide string columns under the window;
+    # the 8g test default OOMs execution memory at 32 threads
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = build_session(app_name="neardup_delta_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from arrow_experiments_spark.functions.text import (
+        minhash_sig,
+        shingles3,
+        tokens,
+    )
+    from arrow_experiments_spark.operators.dedup import _N_BANDS, _N_SIGS
+    from arrow_experiments_spark.streaming.egress import (
+        _merge_batch,
+        incremental_neardup_sink,
+        read_snapshot,
+    )
+    from arrow_experiments_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    delta = docs.orderBy("doc_id").limit(DELTA_DOCS).persist()
+    delta.count()
+    sig_cols = [f"s{i}" for i in range(_N_SIGS)]
+
+    # the delta's band rows, for the unpruned-probe reference (same
+    # derivation the sink runs)
+    toks = delta.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
+    sh = toks.select(
+        "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
+    ).persist()
+    dsigs = sh.select(
+        "doc_id",
+        *[minhash_sig(F.col("sh"), i).alias(f"s{i}") for i in range(_N_SIGS)],
+    ).persist()
+    dsigs.count()
+
+    def band_rows(frame):
+        bexpr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias(
+                        "band_val"
+                    ),
+                )
+                for b in range(_N_BANDS)
+            ]
+        )
+        return frame.select("doc_id", F.explode(bexpr).alias("_b")).select(
+            "doc_id",
+            F.col("_b.band_idx").alias("band_idx"),
+            F.col("_b.band_val").alias("band_val"),
+        )
+
+    dbands = band_rows(dsigs).persist()
+    dbands.count()
+
+    # warm-up: one throwaway sink run so the first measured leg doesn't
+    # carry session codegen/stream-machinery warm-up
+    warm = os.path.join(WORK, "warm")
+    os.makedirs(os.path.join(warm, "staged"))
+    wdir = os.path.join(warm, "w")
+    delta.coalesce(1).write.mode("overwrite").parquet(wdir)
+    shutil.copy(
+        glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+        os.path.join(warm, "staged", "000.parquet"),
+    )
+    incremental_neardup_sink(
+        spark.readStream.schema(delta.schema).parquet(
+            os.path.join(warm, "staged")
+        ),
+        base_dir=os.path.join(warm, "base"),
+        timeout_sec=3600,
+        n_buckets=64,
+    )
+    shutil.rmtree(warm, ignore_errors=True)
+
+    results = {}
+    for scale, rows, buckets in (("1x", 2_000_000, 64), ("10x", 20_000_000, 640)):
+        base = os.path.join(WORK, scale)
+        os.makedirs(base)
+        docs_dir = os.path.join(base, "docs")
+        bands_dir = os.path.join(base, "bands")
+
+        # synthetic corpus: 8-hex sigs (disjoint from real 32-hex minima)
+        seed = spark.range(rows).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit("seed").alias("text"),
+            F.md5(F.concat(F.lit("seed-"), F.col("id")).cast("binary")).alias(
+                "content_hash"
+            ),
+            *[
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"sig{i}-"), F.col("id")).cast("binary")
+                    ),
+                    1,
+                    8,
+                ).alias(f"s{i}")
+                for i in range(_N_SIGS)
+            ],
+        )
+        t0 = time.perf_counter()
+        _merge_batch(
+            spark, seed, docs_dir,
+            key_cols=["content_hash"], order_col="doc_id",
+            n_buckets=buckets, bucket_cols=None, seq=0, committed=None,
+        )
+        bexpr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias(
+                        "band_val"
+                    ),
+                )
+                for b in range(_N_BANDS)
+            ]
+        )
+        postings = seed.select(
+            "doc_id", *sig_cols, F.explode(bexpr).alias("_b")
+        ).select(
+            "doc_id",
+            F.col("_b.band_idx").alias("band_idx"),
+            F.col("_b.band_val").alias("band_val"),
+            *sig_cols,
+        )
+        _merge_batch(
+            spark, postings, bands_dir,
+            key_cols=["band_idx", "band_val", "doc_id"], order_col="doc_id",
+            n_buckets=buckets, bucket_cols=["band_idx", "band_val"],
+            seq=0, committed=None,
+        )
+        t_seed = time.perf_counter() - t0
+        print(
+            f"{scale}: seeded {rows:,} docs + {4 * rows:,} postings / "
+            f"{buckets} buckets: {t_seed:.2f}s",
+            flush=True,
+        )
+
+        # the measured leg: the real sink end-to-end on the 40-doc delta
+        staged = os.path.join(base, "staged")
+        os.makedirs(staged)
+        wdir = os.path.join(base, "w_delta")
+        delta.coalesce(1).write.mode("overwrite").parquet(wdir)
+        shutil.copy(
+            glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+            os.path.join(staged, "000.parquet"),
+        )
+        t0 = time.perf_counter()
+        incremental_neardup_sink(
+            spark.readStream.schema(delta.schema).parquet(staged),
+            base_dir=base,
+            timeout_sec=3600,
+            n_buckets=buckets,
+        )
+        t_delta = time.perf_counter() - t0
+
+        corpus = read_snapshot(spark, docs_dir)
+        n_final = corpus.count()
+        survivors = n_final - rows
+        assert survivors > 0, survivors
+        index = read_snapshot(spark, bands_dir)
+        n_postings = index.count()
+        assert n_postings == 4 * rows + 4 * survivors, (n_postings, survivors)
+
+        # reference: the UNPRUNED band probe — delta bands vs the FULL
+        # flattened index (pre-bucketing shape)
+        t0 = time.perf_counter()
+        n_hits = (
+            dbands.join(
+                index.select("band_idx", "band_val"), ["band_idx", "band_val"]
+            ).count()
+        )
+        t_unpruned = time.perf_counter() - t0
+
+        # idempotence: re-delivering the same documents adds nothing
+        shutil.copy(
+            glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+            os.path.join(staged, "001.parquet"),
+        )
+        incremental_neardup_sink(
+            spark.readStream.schema(delta.schema).parquet(staged),
+            base_dir=base,
+            timeout_sec=3600,
+            n_buckets=buckets,
+        )
+        assert read_snapshot(spark, docs_dir).count() == n_final
+        assert read_snapshot(spark, bands_dir).count() == n_postings
+
+        print(
+            f"{scale}: delta {DELTA_DOCS} docs -> {survivors} survivors: "
+            f"{t_delta:.2f}s (unpruned full-index probe ref "
+            f"{t_unpruned:.2f}s, {n_hits} hits)",
+            flush=True,
+        )
+        results[scale] = {
+            "rows": rows,
+            "postings": 4 * rows,
+            "buckets": buckets,
+            "seed_sec": round(t_seed, 2),
+            "delta_sec": round(t_delta, 2),
+            "survivors": survivors,
+            "unpruned_probe_sec": round(t_unpruned, 2),
+        }
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
+
+    r1, r10 = results["1x"], results["10x"]
+    lines = [
+        "",
+        "## Streaming near-dup gate: delta wall vs corpus scale (round 9)",
+        "",
+        "incremental_neardup_sink maintains the curated corpus AND its LSH",
+        "band index as bucketed versioned snapshots (the index bucketed on",
+        "the band value via bucket_cols), so a delta's near-dup gate pays:",
+        "bucket-pruned exact anti-join, one delta-sized MinHash pass, a",
+        "bucket-pruned band probe verified by signature agreement against",
+        "the postings' denormalized sigs (zero corpus re-tokenization), and",
+        f"two O(delta) version merges.  The SAME {DELTA_DOCS}-document real",
+        "delta runs the full leg against synthetic corpora a decade apart.",
+        "Verified per scale: survivors merged with 4 postings each,",
+        "re-delivery adds zero rows to either snapshot.",
+        "",
+        "| corpus | band postings | buckets | delta leg (s) | unpruned index probe alone (s) |",
+        "|---|---|---|---|---|",
+        f"| {r1['rows']:,} docs | {r1['postings']:,} | {r1['buckets']} "
+        f"| {r1['delta_sec']} | {r1['unpruned_probe_sec']} |",
+        f"| {r10['rows']:,} docs (10×) | {r10['postings']:,} | {r10['buckets']} "
+        f"| **{r10['delta_sec']}** | {r10['unpruned_probe_sec']} |",
+        "",
+        f"Delta-leg ratio at 10× the corpus: "
+        f"{r10['delta_sec'] / max(r1['delta_sec'], 1e-9):.2f}× (1.0 = flat).",
+        "The unpruned column is the pre-bucketing probe: it scans all",
+        "postings per delta and grows with the corpus; the pruned probe",
+        "reads at most min(4·delta, n_buckets) index buckets regardless of",
+        "corpus size, so the gate's floor is the delta, not the index.",
+        "",
+    ]
+    with open(Path(_REPO, "SCALE.md"), "a") as fh:
+        fh.write("\n".join(lines))
+    print(json.dumps({"metric": "neardup_delta_sweep", **results}))
+
+
+if __name__ == "__main__":
+    main()
