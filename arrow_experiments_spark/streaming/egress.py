@@ -159,7 +159,7 @@ def upsert_snapshot_sink(
             batch_df = prepare(
                 batch_df,
                 _prepare_view(
-                    spark, snapshot_dir, committed, n_buckets, bucket_cols or key_cols
+                    spark, snapshot_dir, committed, n_buckets, key_cols, bucket_cols
                 ),
             )
         _merge_batch(
@@ -244,7 +244,8 @@ def _prepare_view(
     snapshot_dir: str,
     committed: str | None,
     n_buckets: int,
-    bucket_cols: list[str],
+    key_cols: list[str],
+    bucket_cols: list[str] | None = None,
 ):
     """The committed snapshot as gate/prepare hooks should see it: the
     raw bucketed read — RETAINING the ``_bucket`` partition column so the
@@ -258,9 +259,13 @@ def _prepare_view(
         return None
     vdir = os.path.join(snapshot_dir, committed)
     rec = _layout_record(vdir)
+    # layout records written before bucket_cols existed were always
+    # bucketed on key_cols — default the comparison there, NOT to the
+    # caller's bucket_cols, or a caller introducing custom bucket_cols
+    # over a legacy snapshot would prune against the wrong geometry
     if (
         rec.get("n_buckets") == n_buckets
-        and rec.get("bucket_cols", bucket_cols) == bucket_cols
+        and rec.get("bucket_cols", key_cols) == (bucket_cols or key_cols)
     ):
         return spark.read.parquet(vdir)
     return read_snapshot(spark, snapshot_dir)
@@ -331,10 +336,12 @@ def _merge_batch(
                 r["_bucket"] for r in inc.select("_bucket").distinct().collect()
             }
             rec = _layout_record(vdir_committed)
+            # pre-bucket_cols layout records were always bucketed on
+            # key_cols — default the comparison there (see _prepare_view)
             if (
                 "_bucket" in raw.columns
                 and rec.get("n_buckets") == n_buckets
-                and rec.get("bucket_cols", bcols) == bcols
+                and rec.get("bucket_cols", key_cols) == bcols
             ):
                 # same bucket geometry: read back ONLY the touched
                 # buckets (partition pruning) and link the rest verbatim
@@ -662,7 +669,7 @@ def incremental_neardup_sink(
                 # signatures — no join back to the corpus
                 idx = _prepare_view(
                     spark, bands_dir, _committed_version(bands_dir),
-                    n_buckets, band_buckets,
+                    n_buckets, band_keys, band_buckets,
                 )
                 if idx is not None:
                     idx = _prune_buckets(idx, dbands, band_probe_bucket)

@@ -832,6 +832,57 @@ def test_incremental_neardup_sink_band_leg_heals_after_crash(spark, tmp_path):
     assert index.count() == 8  # 4 postings x 2 docs, rebuilt
 
 
+def test_upsert_snapshot_legacy_layout_defaults_to_key_cols(spark, tmp_path):
+    """Layout records written before bucket_cols existed were always
+    bucketed on key_cols.  A caller introducing custom bucket_cols over
+    such a snapshot changes the geometry and MUST migrate wholesale —
+    defaulting the comparison to the caller's own bucket_cols would
+    prune against stale bucket ids and duplicate keys."""
+    import json
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "value"
+    ).limit(200)
+    snap = str(tmp_path / "snap")
+
+    def run(df, **kw):
+        staged = str(tmp_path / f"staged{run.n}")
+        run.n += 1
+        df.coalesce(1).write.parquet(staged)
+        stream = spark.readStream.schema(df.schema).parquet(staged)
+        upsert_snapshot_sink(
+            stream, snap, key_cols=["user_id", "event_id"],
+            order_col="event_id", n_buckets=8, **kw,
+        )
+
+    run.n = 0
+    run(src)
+    n_keys = src.select("user_id", "event_id").distinct().count()
+    with open(os.path.join(snap, "LATEST")) as f:
+        vdir = os.path.join(snap, f.read().strip())
+    # strip the record down to the pre-bucket_cols form
+    with open(os.path.join(vdir, "_LAYOUT.json"), "w") as f:
+        json.dump({"n_buckets": 8}, f)
+
+    # same rows again under bucket_cols=[user_id]: every key collides, so
+    # a stale prune (treating the legacy layout as already-user_id-
+    # bucketed) would leave duplicates behind in linked buckets
+    run(src, bucket_cols=["user_id"])
+    final = read_snapshot(spark, snap)
+    assert final.count() == n_keys
+    assert final.select("user_id", "event_id").distinct().count() == n_keys
+    with open(os.path.join(snap, "LATEST")) as f:
+        vdir = os.path.join(snap, f.read().strip())
+    with open(os.path.join(vdir, "_LAYOUT.json")) as f:
+        assert json.load(f)["bucket_cols"] == ["user_id"]
+
+
 def test_upsert_snapshot_bucket_cols_must_be_key_subset(spark, tmp_path):
     """bucket_cols outside key_cols would scatter one key across
     buckets and the pruned merge could miss live rows — rejected."""
