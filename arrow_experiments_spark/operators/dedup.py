@@ -1076,6 +1076,114 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_inc_cand_sql() -> str:
+    """delta-probes-base band union: candidates where the delta side
+    (vec_id % 10 = 0) shares a hyperplane-LSH cell with a base vector."""
+    from arrow_experiments_spark.operators.similarity import lsh_bucket_sql
+
+    return " UNION ".join(
+        f"SELECT a.vec_id AS did, b.vec_id AS bid "
+        f"FROM nz a JOIN nz b "
+        f"ON {lsh_bucket_sql('a.embedding', band, _EMB_LSH_BITS)}"
+        f" = {lsh_bucket_sql('b.embedding', band, _EMB_LSH_BITS)}"
+        f" AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0"
+        for band in range(_EMB_LSH_BANDS)
+    )
+
+
+@register(
+    "dedup_embedding_incremental",
+    "dedup",
+    doc="incremental-ingest embedding near-dup gate — the batch twin of "
+    "streaming/egress.py's incremental_embedding_dedup_sink: the delta "
+    "feed (every 10th vector) admits only vectors with NO base "
+    "near-duplicate at snapped cosine >= 0.3 among hyperplane-LSH "
+    f"candidates ({_EMB_LSH_BANDS} bands × {_EMB_LSH_BITS} sign-bits, "
+    "delta cells probe base cells only — never base×base).  At 100 TB "
+    "the base side is the sink's persisted CELL INDEX, bucketed on "
+    "(band, cell) so the probe reads only the delta's touched buckets; "
+    "the 0.3 threshold is dedup_embedding_cosine's test-scale gate "
+    "(production ~0.9 — a parameter, not a shape change).  Eager "
+    "pair-mass guard, same as the cosine op.",
+    oracle=f"""
+        WITH nz AS (SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0),
+        cand AS ({_emb_inc_cand_sql()}),
+        near AS (
+            SELECT DISTINCT c.did FROM cand c
+            JOIN embeddings a ON c.did = a.vec_id
+            JOIN embeddings b ON c.bid = b.vec_id
+            WHERE CAST(CAST({cosine_sql('a.embedding', 'b.embedding')} AS DECIMAL(28,6)) AS DOUBLE)
+                  >= 0.3
+        )
+        SELECT v.vec_id, v.label FROM nz v
+        WHERE v.vec_id % 10 = 0
+          AND NOT EXISTS (SELECT 1 FROM near n WHERE n.did = v.vec_id)
+    """,
+)
+def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.operators.similarity import (
+        _nonzero_embeddings,
+        lsh_bucket_col,
+    )
+
+    emb = _nonzero_embeddings(spark, sf_dir)
+    is_delta = F.col("vec_id") % 10 == 0
+    banded = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_bucket_col(
+                            F.col("embedding"), band, _EMB_LSH_BITS
+                        ).alias("bucket"),
+                    )
+                    for band in range(_EMB_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bucket").persist()
+    _guard_pair_mass(
+        spark,
+        banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n")),
+        "dedup_embedding_incremental",
+        "dedup_embedding_topk_grouped",
+    )
+    a = banded.filter(is_delta).alias("a")
+    b = banded.filter(~is_delta).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(F.col("a.vec_id").alias("did"), F.col("b.vec_id").alias("bid"))
+        .distinct()
+    )
+    scored = emb.select(
+        "vec_id", "embedding", vnorm(F.col("embedding")).alias("nrm")
+    )
+    sa = scored.alias("sa")
+    sb = scored.alias("sb")
+    cos = snap6(
+        dot(F.col("sa.embedding"), F.col("sb.embedding"))
+        / (F.col("sa.nrm") * F.col("sb.nrm"))
+    )
+    near = (
+        cand.join(sa, F.col("did") == F.col("sa.vec_id"))
+        .join(sb, F.col("bid") == F.col("sb.vec_id"))
+        .filter(cos >= 0.3)
+        .select("did")
+        .distinct()
+    )
+    return (
+        emb.filter(is_delta)
+        .join(near, F.col("vec_id") == F.col("did"), "left_anti")
+        .select("vec_id", "label")
+    )
+
+
 @register(
     "dedup_ngram_jaccard_lsh",
     "dedup",

@@ -787,6 +787,249 @@ def incremental_neardup_sink(
     return q
 
 
+def incremental_embedding_dedup_sink(
+    stream_df: DataFrame,
+    base_dir: str,
+    timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
+    bands: int = 3,
+    bits: int = 4,
+    min_cosine: float = 0.9,
+):
+    """SemDeDup at INGEST: the embedding-modality twin of
+    :func:`incremental_neardup_sink` — full-corpus embedding dedup
+    (``dedup_embedding_cosine``) is a batch job you cannot re-run per
+    delta, so the gate maintains its own index incrementally.  Two
+    bucketed versioned snapshots under ``base_dir``:
+
+    * ``vecs/`` — the retained vectors, keyed on ``vec_id``;
+    * ``cells/`` — the hyperplane-LSH CELL INDEX: one posting per
+      (band, cell, vec_id) with the owner's embedding denormalized in,
+      bucketed on ``(band, cell)`` via ``bucket_cols`` so a delta's
+      cell lookups prune to the buckets its cells hash into.
+
+    Per micro-batch: (1) direction gate — NULL/empty/zero-norm vectors
+    have no cosine and are rejected (the batch ops' ``nz`` filter), one
+    row per ``vec_id``; (2) bucket-pruned first-seen anti-join on
+    ``vec_id``; (3) the delta's band cells (``similarity.lsh_bucket_col``
+    over the deterministic LCG hyperplane family — the exact geometry of
+    the batch ops and their DuckDB oracles) probe the cell index, and
+    candidates are verified by EXACT cosine (the snapped double fold)
+    against the posting's embedding — drop at >= ``min_cosine``; plus
+    the same verify pairwise within the batch (min-``vec_id``-wins per
+    qualifying pair); (4) survivors merge into ``vecs/``, their postings
+    into ``cells/``.  Same greedy/online semantics and crash contract as
+    the MinHash sink: vecs commit first, the cell leg derives from the
+    committed vecs joined back on the batch's ids, so a crash between
+    merges heals on replay.
+
+    Batch twin: ``dedup_embedding_incremental`` (registered, DuckDB
+    oracle) pins the candidate+verify semantics on a deterministic
+    delta/base split.  ``min_cosine`` defaults to the production 0.9;
+    the registered twin gates at the fixture-scale 0.3.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrow_experiments_spark.functions.numeric import snap6
+    from arrow_experiments_spark.functions.vectors import dot, norm
+    from arrow_experiments_spark.operators.similarity import lsh_bucket_col
+
+    spark = stream_df.sparkSession
+    vecs_dir = os.path.join(base_dir, "vecs")
+    cells_dir = os.path.join(base_dir, "cells")
+    vec_keys = ["vec_id"]
+    cell_keys = ["band", "cell", "vec_id"]
+    cell_buckets = ["band", "cell"]
+
+    def cell_rows(frame: DataFrame, keep_emb: bool) -> DataFrame:
+        """(vec_id, band, cell[, embedding]) exploded from vector rows."""
+        cexpr = F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    lsh_bucket_col(F.col("embedding"), band, bits).alias(
+                        "cell"
+                    ),
+                )
+                for band in range(bands)
+            ]
+        )
+        extra = ["embedding"] if keep_emb else []
+        return frame.select(
+            "vec_id", *extra, F.explode(cexpr).alias("_c")
+        ).select(
+            "vec_id",
+            F.col("_c.band").alias("band"),
+            F.col("_c.cell").alias("cell"),
+            *extra,
+        )
+
+    cell_probe_bucket = F.pmod(
+        F.xxhash64(F.col("band"), F.col("cell")), F.lit(n_buckets)
+    ).cast("int")
+    id_bucket = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        ckpt = checkpoint_dir is not None
+        committed_vecs = _committed_version(vecs_dir)
+        seq_vecs = _alloc_seq(committed_vecs, batch_id, ckpt)
+        pinned = []
+        try:
+            if seq_vecs is not None:
+                fresh = (
+                    batch_df.filter(
+                        F.col("embedding").isNotNull()
+                        & (norm(F.col("embedding")) > 0)
+                    )
+                    .dropDuplicates(["vec_id"])
+                )
+                vecs_view = _prepare_view(
+                    spark, vecs_dir, committed_vecs, n_buckets, vec_keys
+                )
+                if vecs_view is not None:
+                    seen = _prune_buckets(
+                        vecs_view, batch_df, id_bucket
+                    ).select("vec_id")
+                    fresh = fresh.join(seen, "vec_id", "left_anti")
+                # cells materialized once behind a persist barrier — the
+                # hyperplane dot-products would otherwise re-inline per
+                # band reference (no CSE across HOF lambdas)
+                fresh = fresh.persist()
+                dcells = cell_rows(fresh, keep_emb=False).persist()
+                pinned += [fresh, dcells]
+                drops = None
+                idx = _prepare_view(
+                    spark, cells_dir, _committed_version(cells_dir),
+                    n_buckets, cell_keys, cell_buckets,
+                )
+                if idx is not None:
+                    idx = _prune_buckets(idx, dcells, cell_probe_bucket)
+                    cand = (
+                        dcells.join(
+                            idx.select(
+                                "band",
+                                "cell",
+                                F.col("vec_id").alias("_idx_vec"),
+                                F.col("embedding").alias("_idx_emb"),
+                            ),
+                            ["band", "cell"],
+                        )
+                        .select("vec_id", "_idx_vec", "_idx_emb")
+                        .distinct()
+                    )
+                    cos = snap6(
+                        dot(F.col("embedding"), F.col("_idx_emb"))
+                        / (
+                            norm(F.col("embedding"))
+                            * norm(F.col("_idx_emb"))
+                        )
+                    )
+                    drops = (
+                        cand.join(
+                            fresh.select("vec_id", "embedding"), "vec_id"
+                        )
+                        .filter(cos >= min_cosine)
+                        .select("vec_id")
+                    )
+                # in-batch pairwise (min-vec_id-wins per qualifying pair)
+                pairs = (
+                    dcells.alias("a")
+                    .join(
+                        dcells.alias("b"),
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.cell") == F.col("b.cell"))
+                        & (F.col("a.vec_id") < F.col("b.vec_id")),
+                    )
+                    .select(
+                        F.col("a.vec_id").alias("ida"),
+                        F.col("b.vec_id").alias("idb"),
+                    )
+                    .distinct()
+                )
+                cos_ab = snap6(
+                    dot(F.col("_ea"), F.col("_eb"))
+                    / (norm(F.col("_ea")) * norm(F.col("_eb")))
+                )
+                in_drops = (
+                    pairs.join(
+                        fresh.select(
+                            F.col("vec_id").alias("ida"),
+                            F.col("embedding").alias("_ea"),
+                        ),
+                        "ida",
+                    )
+                    .join(
+                        fresh.select(
+                            F.col("vec_id").alias("idb"),
+                            F.col("embedding").alias("_eb"),
+                        ),
+                        "idb",
+                    )
+                    .filter(cos_ab >= min_cosine)
+                    .select(F.col("idb").alias("vec_id"))
+                )
+                drops = in_drops if drops is None else drops.unionByName(in_drops)
+                survivors = fresh.join(
+                    drops.distinct(), "vec_id", "left_anti"
+                )
+                _merge_batch(
+                    spark, survivors, vecs_dir,
+                    key_cols=vec_keys, order_col="vec_id",
+                    n_buckets=n_buckets, bucket_cols=None,
+                    seq=seq_vecs, committed=committed_vecs,
+                )
+            # cell-index leg — from the COMMITTED vecs joined back on the
+            # batch's ids (crash-heal contract, see incremental_neardup_sink)
+            committed_cells = _committed_version(cells_dir)
+            seq_cells = _alloc_seq(committed_cells, batch_id, ckpt)
+            if seq_cells is None:
+                return
+            vecs_now = _prepare_view(
+                spark, vecs_dir, _committed_version(vecs_dir),
+                n_buckets, vec_keys,
+            )
+            if vecs_now is None:
+                return
+            batch_ids = batch_df.select("vec_id").distinct()
+            mine = _prune_buckets(vecs_now, batch_df, id_bucket).join(
+                batch_ids, "vec_id"
+            )
+            postings = cell_rows(
+                mine.select("vec_id", "embedding"), keep_emb=True
+            )
+            _merge_batch(
+                spark, postings, cells_dir,
+                key_cols=cell_keys, order_col="vec_id",
+                n_buckets=n_buckets, bucket_cols=cell_buckets,
+                seq=seq_cells, committed=committed_cells,
+            )
+        finally:
+            for f in pinned:
+                f.unpersist()
+
+    writer = (
+        stream_df.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"embedding-dedup stream did not finish within {timeout_sec}s — "
+            f"the snapshots under {base_dir} reflect only the committed "
+            f"micro-batches"
+        )
+    return q
+
+
 def _layout_record(vdir: str) -> dict:
     """The bucket geometry a version directory was written under
     (``{"n_buckets": N, "bucket_cols": [...]}``), or ``{}`` for

@@ -832,6 +832,92 @@ def test_incremental_neardup_sink_band_leg_heals_after_crash(spark, tmp_path):
     assert index.count() == 8  # 4 postings x 2 docs, rebuilt
 
 
+def test_incremental_embedding_dedup_sink_gates_by_cosine(spark, tmp_path):
+    """SemDeDup at ingest: scaled copies of a retained vector (cosine
+    exactly 1 — same direction, same LSH cells at every band) drop at
+    the cell-index probe; orthogonal basis vectors (cosine 0) are
+    retained; zero-norm vectors have no direction and are rejected;
+    a re-ingested vec_id is dropped by the first-seen anti-join even
+    with a different embedding; within one batch the lower vec_id of a
+    qualifying pair wins.  The cell index stays consistent: 3 postings
+    (bands) per retained vector, embeddings denormalized in."""
+    import glob
+    import os
+    import shutil
+
+    from arrow_experiments_spark.streaming.egress import (
+        incremental_embedding_dedup_sink,
+        read_snapshot,
+    )
+
+    def basis(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    b1 = frame([(i, basis(i)) for i in range(4)])
+    b2 = frame(
+        [
+            (10, basis(0, 2.0)),   # scaled copy of vec 0 -> cosine 1 -> drop
+            (11, basis(4)),        # orthogonal -> retained
+            (12, [0.0] * 64),      # zero norm -> direction gate
+        ]
+    )
+    b3 = frame(
+        [
+            (0, basis(7)),         # vec_id already seen -> first-seen wins
+            (20, basis(5, 3.0)),   # in-batch pair: lower vec_id (20) wins
+            (21, basis(5)),
+            (22, basis(6)),        # fresh -> retained
+        ]
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for i, b in enumerate([b1, b2, b3]):
+        wdir = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(wdir)
+        dst = os.path.join(staged, f"{i:03d}.parquet")
+        shutil.copy(glob.glob(os.path.join(wdir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    base = str(tmp_path / "embdedup")
+    incremental_embedding_dedup_sink(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged),
+        base,
+        n_buckets=8,
+    )
+
+    vecs = read_snapshot(spark, os.path.join(base, "vecs"))
+    got = sorted(r["vec_id"] for r in vecs.select("vec_id").collect())
+    assert got == [0, 1, 2, 3, 11, 20, 22], got
+    # vec 0 kept its ORIGINAL embedding (first-seen wins)
+    kept0 = vecs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    assert kept0[0] == 1.0 and kept0[7] == 0.0
+
+    cells = read_snapshot(spark, os.path.join(base, "cells"))
+    assert cells.count() == 3 * len(got)
+    assert sorted(
+        r["vec_id"] for r in cells.select("vec_id").distinct().collect()
+    ) == got
+    assert {"band", "cell", "vec_id", "embedding"} <= set(cells.columns)
+
+    # re-delivery of every batch must add nothing to either snapshot
+    incremental_embedding_dedup_sink(
+        spark.readStream.schema(b1.schema).parquet(staged),
+        base,
+        n_buckets=8,
+    )
+    assert read_snapshot(spark, os.path.join(base, "vecs")).count() == len(got)
+    assert read_snapshot(spark, os.path.join(base, "cells")).count() == 3 * len(
+        got
+    )
+
+
 def test_upsert_snapshot_legacy_layout_defaults_to_key_cols(spark, tmp_path):
     """Layout records written before bucket_cols existed were always
     bucketed on key_cols.  A caller introducing custom bucket_cols over

@@ -91,6 +91,7 @@ AUDIT = [
     "text_dedup_chunk_exact",
     "pipeline_dedup_incremental",
     "pipeline_neardup_incremental",
+    "dedup_embedding_incremental",
     "dedup_minhash_estimate",
     "dedup_semantic_clusters",
     "pipeline_train_split_chunks",
