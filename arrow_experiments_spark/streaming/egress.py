@@ -828,7 +828,17 @@ def incremental_embedding_dedup_sink(
     oracle) pins the candidate+verify semantics on a deterministic
     delta/base split.  ``min_cosine`` defaults to the production 0.9;
     the registered twin gates at the fixture-scale 0.3.
+
+    ``bands``/``bits`` are INDEX-LIFETIME parameters, like any ANN
+    index's geometry: every posting's cell value is a function of them,
+    so a sink re-attached with different values would probe a foreign
+    geometry — cells that no current vector can produce — and silently
+    stop detecting duplicates.  The first commit records them in
+    ``{base_dir}/_GEOMETRY.json``; later runs raise on mismatch instead
+    of degrading.  (``min_cosine`` is gate-only and ``n_buckets``
+    changes migrate via the layout record — both safe to vary.)
     """
+    import json
     import os
 
     from pyspark.sql import functions as F
@@ -840,6 +850,25 @@ def incremental_embedding_dedup_sink(
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
     cells_dir = os.path.join(base_dir, "cells")
+    geo_path = os.path.join(base_dir, "_GEOMETRY.json")
+    if os.path.exists(geo_path):
+        with open(geo_path) as f:
+            rec = json.load(f)
+        if rec.get("bands") != bands or rec.get("bits") != bits:
+            raise ValueError(
+                f"cell-index geometry mismatch: {base_dir} was built at "
+                f"bands={rec.get('bands')}, bits={rec.get('bits')} but this "
+                f"run asked for bands={bands}, bits={bits} — postings are a "
+                "function of the geometry, so probing with different values "
+                "silently misses duplicates.  Rebuild the index or pass the "
+                "recorded geometry."
+            )
+    else:
+        os.makedirs(base_dir, exist_ok=True)
+        tmp = geo_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"bands": bands, "bits": bits}, f)
+        os.replace(tmp, geo_path)
     vec_keys = ["vec_id"]
     cell_keys = ["band", "cell", "vec_id"]
     cell_buckets = ["band", "cell"]

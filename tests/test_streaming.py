@@ -918,6 +918,55 @@ def test_incremental_embedding_dedup_sink_gates_by_cosine(spark, tmp_path):
     )
 
 
+def test_incremental_embedding_dedup_sink_rejects_geometry_change(
+    spark, tmp_path
+):
+    """bands/bits are index-lifetime parameters: every posting's cell
+    value is a function of them, so re-attaching the sink with different
+    values would probe a foreign geometry and silently stop detecting
+    duplicates.  The recorded geometry must make that a loud error."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from arrow_experiments_spark.streaming.egress import (
+        incremental_embedding_dedup_sink,
+    )
+
+    def basis(i):
+        v = [0.0] * 64
+        v[i] = 1.0
+        return v
+
+    b1 = spark.createDataFrame(
+        [(0, basis(0)), (1, basis(1))], "vec_id bigint, embedding array<float>"
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    wdir = str(tmp_path / "w0")
+    b1.coalesce(1).write.parquet(wdir)
+    shutil.copy(
+        glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+        os.path.join(staged, "000.parquet"),
+    )
+    base = str(tmp_path / "embdedup")
+    incremental_embedding_dedup_sink(
+        spark.readStream.schema(b1.schema).parquet(staged),
+        base,
+        n_buckets=8,
+        bits=4,
+    )
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        incremental_embedding_dedup_sink(
+            spark.readStream.schema(b1.schema).parquet(staged),
+            base,
+            n_buckets=8,
+            bits=6,
+        )
+
+
 def test_upsert_snapshot_legacy_layout_defaults_to_key_cols(spark, tmp_path):
     """Layout records written before bucket_cols existed were always
     bucketed on key_cols.  A caller introducing custom bucket_cols over
