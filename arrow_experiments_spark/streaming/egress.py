@@ -562,7 +562,18 @@ def incremental_neardup_sink(
 
     Batch twin: ``pipeline_neardup_incremental`` (registered, DuckDB
     oracle) pins the gate semantics on a deterministic delta/base split.
+
+    The MinHash geometry (``_N_SIGS`` signatures, ``_N_BANDS`` bands)
+    is an INDEX-LIFETIME property: every band posting's value is a
+    function of it, so an index built under one geometry probed by code
+    with another silently misses duplicates.  The constants are
+    module-level today, but code versions change — the first commit
+    records them in ``{base_dir}/_GEOMETRY.json`` and later runs raise
+    on mismatch instead of degrading.  (``min_jaccard_est`` is
+    gate-only; ``n_buckets`` changes migrate via the layout record.)
     """
+    import json
+    import math
     import os
 
     from pyspark.sql import functions as F
@@ -578,10 +589,28 @@ def incremental_neardup_sink(
     spark = stream_df.sparkSession
     docs_dir = os.path.join(base_dir, "docs")
     bands_dir = os.path.join(base_dir, "bands")
+    geo_path = os.path.join(base_dir, "_GEOMETRY.json")
+    if os.path.exists(geo_path):
+        with open(geo_path) as f:
+            rec = json.load(f)
+        if rec.get("n_sigs") != _N_SIGS or rec.get("n_bands") != _N_BANDS:
+            raise ValueError(
+                f"band-index geometry mismatch: {base_dir} was built at "
+                f"n_sigs={rec.get('n_sigs')}, n_bands={rec.get('n_bands')} "
+                f"but this engine version runs n_sigs={_N_SIGS}, "
+                f"n_bands={_N_BANDS} — postings are a function of the "
+                "geometry, so probing with different values silently "
+                "misses duplicates.  Rebuild the index."
+            )
+    else:
+        os.makedirs(base_dir, exist_ok=True)
+        tmp = geo_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_sigs": _N_SIGS, "n_bands": _N_BANDS}, f)
+        os.replace(tmp, geo_path)
     doc_keys = ["content_hash"]
     band_keys = ["band_idx", "band_val", "doc_id"]
     band_buckets = ["band_idx", "band_val"]
-    import math
 
     min_agree = max(1, math.ceil(min_jaccard_est * _N_SIGS))
     sig_cols = [f"s{i}" for i in range(_N_SIGS)]

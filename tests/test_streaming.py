@@ -918,6 +918,56 @@ def test_incremental_embedding_dedup_sink_gates_by_cosine(spark, tmp_path):
     )
 
 
+def test_incremental_neardup_sink_rejects_geometry_change(spark, tmp_path):
+    """The MinHash band index records its signature geometry; a stale
+    record (an index built by a code version with different constants)
+    must be a loud error, not silent missed duplicates."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import pytest
+
+    from arrow_experiments_spark.streaming.egress import (
+        _gated_firsts,
+        incremental_neardup_sink,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    texts = [
+        r["text"]
+        for r in _gated_firsts(docs).orderBy("doc_id").limit(1).collect()
+    ]
+    b1 = spark.createDataFrame(
+        [(0, texts[0])], "doc_id bigint, text string"
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    wdir = str(tmp_path / "w0")
+    b1.coalesce(1).write.parquet(wdir)
+    shutil.copy(
+        glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+        os.path.join(staged, "000.parquet"),
+    )
+    base = str(tmp_path / "neardup")
+    incremental_neardup_sink(
+        spark.readStream.schema(b1.schema).parquet(staged), base, n_buckets=8
+    )
+    with open(os.path.join(base, "_GEOMETRY.json")) as f:
+        rec = json.load(f)
+    assert rec == {"n_sigs": 8, "n_bands": 4}
+    # simulate an index built by a code version with other constants
+    with open(os.path.join(base, "_GEOMETRY.json"), "w") as f:
+        json.dump({"n_sigs": 16, "n_bands": 8}, f)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        incremental_neardup_sink(
+            spark.readStream.schema(b1.schema).parquet(staged),
+            base,
+            n_buckets=8,
+        )
+
+
 def test_incremental_embedding_dedup_sink_rejects_geometry_change(
     spark, tmp_path
 ):
