@@ -87,6 +87,13 @@ HEADLINE = [
     # (DatasetRegistry.encoded_body), so those keys dropped by design.
     "dedup_minhash_containment",
     "ann_ivf_multiprobe",
+    # round-9 additions: the incremental-ingest near-dup gates' batch
+    # twins in both modalities (delta probes base candidates, verify by
+    # signature agreement / snapped cosine — the streaming sinks'
+    # registered semantics).  NOTE for total comparisons: r9 adds these
+    # two keys.
+    "pipeline_neardup_incremental",
+    "dedup_embedding_incremental",
 ]
 
 
