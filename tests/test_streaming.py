@@ -918,6 +918,66 @@ def test_incremental_embedding_dedup_sink_gates_by_cosine(spark, tmp_path):
     )
 
 
+def test_merge_batch_matches_latest_wins_model(spark, tmp_path):
+    """Randomized model check of the merge core: 20 sequential merges of
+    small random batches (seeded RNG — deterministic) must leave the
+    snapshot equal to a Python latest-wins reference with the documented
+    tie rule (equal order_col -> the INCOMING row wins, the MERGE WHEN
+    MATCHED convention), across bucket boundaries, hard-linked versions,
+    and the keep-two version pruner."""
+    import os
+    import random
+
+    from arrow_experiments_spark.streaming.egress import (
+        _merge_batch,
+        read_snapshot,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    snap = str(tmp_path / "snap")
+    model: dict[int, tuple[int, int]] = {}  # key -> (ord, val)
+    committed = None
+    for i in range(20):
+        n = rng.randint(1, 8)
+        rows, seen = [], set()
+        for _ in range(n):
+            k = rng.randint(0, 9)
+            o = rng.randint(0, 20)
+            if (k, o) in seen:  # equal (key, ord) within one batch is
+                continue  # an unordered tie — excluded by contract
+            seen.add((k, o))
+            v = i * 1000 + len(rows)
+            rows.append((k, o, v))
+        if not rows:
+            continue
+        batch = spark.createDataFrame(
+            rows, "key bigint, ord bigint, val bigint"
+        )
+        # model: keep max ord per key; on equal ord the incoming wins.
+        # Within the batch itself only the max-ord row per key competes.
+        best: dict[int, tuple[int, int]] = {}
+        for k, o, v in rows:
+            if k not in best or o > best[k][0]:
+                best[k] = (o, v)
+        for k, (o, v) in best.items():
+            if k not in model or o >= model[k][0]:
+                model[k] = (o, v)
+        _merge_batch(
+            spark, batch, snap,
+            key_cols=["key"], order_col="ord",
+            n_buckets=4, bucket_cols=None, seq=i, committed=committed,
+        )
+        committed = f"v{i}"
+        versions = [d for d in os.listdir(snap) if d.startswith("v")]
+        assert len(versions) <= 2, versions
+
+    got = {
+        r["key"]: (r["ord"], r["val"])
+        for r in read_snapshot(spark, snap).collect()
+    }
+    assert got == model
+
+
 def test_incremental_neardup_sink_rejects_geometry_change(spark, tmp_path):
     """The MinHash band index records its signature geometry; a stale
     record (an index built by a code version with different constants)
