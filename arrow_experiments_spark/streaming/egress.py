@@ -515,6 +515,7 @@ def incremental_neardup_sink(
     checkpoint_dir: str | None = None,
     n_buckets: int = 32,
     min_jaccard_est: float = 0.5,
+    max_band_pop: int = 10_000,
 ):
     """The incremental curation sink extended with NEAR-dup gating — the
     shape a continuously-fed 100 TB corpus actually runs, because full-
@@ -562,6 +563,20 @@ def incremental_neardup_sink(
 
     Batch twin: ``pipeline_neardup_incremental`` (registered, DuckDB
     oracle) pins the gate semantics on a deterministic delta/base split.
+
+    ``max_band_pop`` bounds the one term a pruned probe cannot bound on
+    its own: a SATURATED band value.  Band collision is necessary, not
+    sufficient, for near-duplication (at r=2 signatures per band,
+    documents at Jaccard ~0.3 still collide ~9% per band), so at corpus
+    scale low-similarity colliders accumulate under hot band values even
+    though the retained corpus itself is near-dup-free — and one delta
+    doc hitting such a band would pull the whole group as candidates.
+    Bands whose PRUNED-slice population exceeds the cap contribute no
+    candidates (computed on the delta's touched buckets only, so the
+    check is delta-bounded); a true near-dup still has the other
+    ``_N_BANDS - 1`` bands to be caught by — the streaming seat of the
+    batch ops' pair-mass guard, which SKIPS (a sink cannot refuse a
+    delta) where batch refuses.
 
     The MinHash geometry (``_N_SIGS`` signatures, ``_N_BANDS`` bands)
     is an INDEX-LIFETIME property: every band posting's value is a
@@ -702,6 +717,15 @@ def incremental_neardup_sink(
                 )
                 if idx is not None:
                     idx = _prune_buckets(idx, dbands, band_probe_bucket)
+                    # saturated-band skip (see docstring): group sizes are
+                    # computed over the PRUNED slice only — delta-bounded
+                    ok_bands = (
+                        idx.groupBy("band_idx", "band_val")
+                        .agg(F.count(F.lit(1)).alias("_n"))
+                        .filter(F.col("_n") <= max_band_pop)
+                        .select("band_idx", "band_val")
+                    )
+                    idx = idx.join(ok_bands, ["band_idx", "band_val"])
                     cand = (
                         dbands.join(
                             idx.select(
@@ -825,6 +849,7 @@ def incremental_embedding_dedup_sink(
     bands: int = 3,
     bits: int = 4,
     min_cosine: float = 0.9,
+    max_cell_pop: int = 10_000,
 ):
     """SemDeDup at INGEST: the embedding-modality twin of
     :func:`incremental_neardup_sink` — full-corpus embedding dedup
@@ -857,6 +882,17 @@ def incremental_embedding_dedup_sink(
     oracle) pins the candidate+verify semantics on a deterministic
     delta/base split.  ``min_cosine`` defaults to the production 0.9;
     the registered twin gates at the fixture-scale 0.3.
+
+    ``max_cell_pop`` is the saturated-cell skip (the embedding seat of
+    ``incremental_neardup_sink``'s ``max_band_pop``): sign-pattern
+    collision is necessary, not sufficient, for near-duplication, so a
+    hot cell accumulates low-cosine colliders at corpus scale and a
+    delta hitting it would pull the whole group for verification.
+    Cells whose pruned-slice population exceeds the cap contribute no
+    candidates; the other bands still catch true near-dups.  (At fixed
+    ``bits`` this cap is the backstop — the real lever is sizing
+    ``bits`` to the expected corpus as ``derive_lsh_bits`` does for the
+    batch ops.)
 
     ``bands``/``bits`` are INDEX-LIFETIME parameters, like any ANN
     index's geometry: every posting's cell value is a function of them,
@@ -967,6 +1003,15 @@ def incremental_embedding_dedup_sink(
                 )
                 if idx is not None:
                     idx = _prune_buckets(idx, dcells, cell_probe_bucket)
+                    # saturated-cell skip (see docstring): delta-bounded,
+                    # computed over the pruned slice only
+                    ok_cells = (
+                        idx.groupBy("band", "cell")
+                        .agg(F.count(F.lit(1)).alias("_n"))
+                        .filter(F.col("_n") <= max_cell_pop)
+                        .select("band", "cell")
+                    )
+                    idx = idx.join(ok_cells, ["band", "cell"])
                     cand = (
                         dcells.join(
                             idx.select(

@@ -978,6 +978,79 @@ def test_merge_batch_matches_latest_wins_model(spark, tmp_path):
     assert got == model
 
 
+def test_neardup_sinks_saturated_group_skip(spark, tmp_path):
+    """The saturated-band/cell skip must silently EXCLUDE oversized
+    index groups from candidate generation (the streaming seat of the
+    batch pair-mass guard — skip, not refuse).  With the cap at 0 every
+    group is saturated, so a text near-dup (identical token stream) and
+    an embedding near-dup (scaled copy) are ADMITTED — the documented
+    recall trade; with the default cap both are dropped (covered by the
+    gating tests above)."""
+    import glob
+    import os
+    import shutil
+
+    from arrow_experiments_spark.streaming.egress import (
+        _gated_firsts,
+        incremental_embedding_dedup_sink,
+        incremental_neardup_sink,
+        read_snapshot,
+    )
+
+    def stage_two(b1, b2, name):
+        staged = str(tmp_path / f"{name}_staged")
+        os.makedirs(staged)
+        for i, b in enumerate([b1, b2]):
+            wdir = str(tmp_path / f"{name}_w{i}")
+            b.coalesce(1).write.parquet(wdir)
+            dst = os.path.join(staged, f"{i:03d}.parquet")
+            shutil.copy(
+                glob.glob(os.path.join(wdir, "part-*.parquet"))[0], dst
+            )
+            os.utime(dst, (1_000_000 + i * 1000,) * 2)
+        return staged
+
+    # text: batch 2 is a whitespace variant (identical tokens -> all
+    # bands collide) of a batch-1 doc; cap 0 saturates every band
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    text = _gated_firsts(docs).orderBy("doc_id").limit(1).collect()[0]["text"]
+    t1 = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    t2 = spark.createDataFrame([(1, text + " ")], "doc_id bigint, text string")
+    tbase = str(tmp_path / "neardup0")
+    incremental_neardup_sink(
+        spark.readStream.schema(t1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_two(t1, t2, "t")),
+        tbase,
+        n_buckets=8,
+        max_band_pop=0,
+    )
+    assert read_snapshot(spark, os.path.join(tbase, "docs")).count() == 2
+
+    # embeddings: batch 2 is a scaled copy (cosine 1, same cells)
+    def basis(i, scale=1.0):
+        v = [0.0] * 64
+        v[i] = scale
+        return v
+
+    e1 = spark.createDataFrame(
+        [(0, basis(0))], "vec_id bigint, embedding array<float>"
+    )
+    e2 = spark.createDataFrame(
+        [(1, basis(0, 2.0))], "vec_id bigint, embedding array<float>"
+    )
+    ebase = str(tmp_path / "embdedup0")
+    incremental_embedding_dedup_sink(
+        spark.readStream.schema(e1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_two(e1, e2, "e")),
+        ebase,
+        n_buckets=8,
+        max_cell_pop=0,
+    )
+    assert read_snapshot(spark, os.path.join(ebase, "vecs")).count() == 2
+
+
 def test_incremental_neardup_sink_rejects_geometry_change(spark, tmp_path):
     """The MinHash band index records its signature geometry; a stale
     record (an index built by a code version with different constants)
