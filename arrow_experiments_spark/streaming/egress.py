@@ -124,6 +124,11 @@ def upsert_snapshot_sink(
       skipped — a second run against an existing snapshot merges its
       first micro-batch instead of silently discarding it.
 
+    One WRITER at a time per snapshot (Structured Streaming's own
+    single-active-query-per-checkpoint discipline; concurrent writers
+    would race the pointer swap).  Readers are unlimited — that is what
+    the versioned-dir contract exists for.
+
     ``prepare``: optional ``(batch_df, current_snapshot | None) ->
     DataFrame`` hook run before the keyed merge — the seam for
     delta-vs-snapshot gating (quality filters, seen-before anti-joins)
@@ -475,6 +480,10 @@ def incremental_curation_sink(
     Expects ``doc_id`` and ``text`` columns; the snapshot carries the
     batch columns plus ``content_hash``.  First-seen-wins across
     micro-batches (arrival order), min-doc_id-wins within one batch.
+    This gate is EXACT-only; :func:`incremental_neardup_sink` is the
+    same funnel extended with near-duplicate rejection over a persisted
+    band index, and :func:`incremental_embedding_dedup_sink` its
+    embedding-modality twin.
     """
     from pyspark.sql import functions as F
 
