@@ -107,6 +107,98 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_rules",
+    "text",
+    doc="published Gopher-style document quality rules (Rae et al. 2021, "
+    "'Scaling Language Models: ... Gopher', §A1.1 — public heuristics "
+    "every large-corpus curation run applies) as one row-local gate: "
+    "word count in [50, 100k], mean word length in [3, 10], >= 80% of "
+    "words contain an alphabetic character, symbol-to-word ratio "
+    "('#' and '...' occurrences per word) <= 0.1, and >= 2 stopword "
+    "hits.  Emits each rule as its own boolean plus the conjunction, so "
+    "a curation report can attribute rejections per rule.  Zero "
+    "shuffles at any scale; divisions NULL out on empty docs in both "
+    "engines (try_divide / NULLIF) instead of aborting under ANSI mode.",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lower(text) AS lt, {_TOKS_SQL} AS toks
+                   FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS mean_len,
+                   CAST(len(list_filter(toks,
+                            x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS alpha_frac,
+                   CAST((length(lt) - length(replace(lt, '#', '')))
+                        + (length(lt) - length(replace(lt, '...', ''))) / 3
+                        AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS symbol_ratio,
+                   len(list_filter(toks,
+                       x -> list_contains({_SW_SQL}, x))) AS sw_hits
+            FROM t
+        )
+        SELECT doc_id, n_words,
+               n_words BETWEEN 50 AND 100000 AS rule_word_count,
+               mean_len BETWEEN 3 AND 10 AS rule_mean_word_len,
+               alpha_frac >= 0.8 AS rule_alpha_words,
+               symbol_ratio <= 0.1 AS rule_symbol_ratio,
+               sw_hits >= 2 AS rule_stopwords,
+               COALESCE(n_words BETWEEN 50 AND 100000, FALSE)
+                   AND COALESCE(mean_len BETWEEN 3 AND 10, FALSE)
+                   AND COALESCE(alpha_frac >= 0.8, FALSE)
+                   AND COALESCE(symbol_ratio <= 0.1, FALSE)
+                   AND COALESCE(sw_hits >= 2, FALSE) AS passes
+        FROM s
+    """,
+)
+def text_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("bigint")
+    mean_len = F.try_divide(
+        F.length(F.concat_ws("", toks)).cast("double"), n_words
+    )
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    alpha_frac = F.try_divide(
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double"),
+        n_words,
+    )
+    symbol_ratio = F.try_divide(
+        (
+            (F.length(lt) - F.length(F.replace(lt, F.lit("#"), F.lit(""))))
+            + (F.length(lt) - F.length(F.replace(lt, F.lit("..."), F.lit(""))))
+            / 3
+        ).cast("double"),
+        n_words,
+    )
+    sw_hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    r_wc = n_words.between(50, 100000)
+    r_ml = mean_len.between(3, 10)
+    r_af = alpha_frac >= 0.8
+    r_sr = symbol_ratio <= 0.1
+    r_sw = sw_hits >= 2
+    passes = (
+        F.coalesce(r_wc, F.lit(False))
+        & F.coalesce(r_ml, F.lit(False))
+        & F.coalesce(r_af, F.lit(False))
+        & F.coalesce(r_sr, F.lit(False))
+        & F.coalesce(r_sw, F.lit(False))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_wc.alias("rule_word_count"),
+        r_ml.alias("rule_mean_word_len"),
+        r_af.alias("rule_alpha_words"),
+        r_sr.alias("rule_symbol_ratio"),
+        r_sw.alias("rule_stopwords"),
+        passes.alias("passes"),
+    )
+
+
+@register(
     "text_token_count",
     "text",
     doc="token counting: whitespace tokens, BPE-ish regex tokens "
