@@ -60,7 +60,11 @@ def _guard_pair_mass(
 ) -> None:
     """``buckets``: one row per candidate bucket with a count column
     ``n``.  Estimated pair mass = Σ n·(n−1)/2 — exactly the number of
-    in-bucket pairs the exact scorer is about to shuffle.
+    in-bucket pairs the exact scorer is about to shuffle.  A bucket
+    frame carrying a ``pairs`` column instead declares its own per-
+    bucket join size (asymmetric joins — e.g. delta×base probes sum
+    n_delta·n_base, severalfold below the all-pairs formula when one
+    side dominates) and is summed verbatim.
 
     NOTE: this runs an EAGER Spark action (one aggregate over the
     bucket-count frame) inside the builder — deliberately, because the
@@ -80,9 +84,12 @@ def _guard_pair_mass(
             f"{_EXACT_PAIR_LIMIT_CONF} must be an integer pair count, "
             f"got {raw_limit!r}"
         ) from None
-    est = buckets.agg(
-        F.sum(F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2)).alias("p")
-    ).first()["p"]
+    pair_expr = (
+        F.sum(F.col("pairs"))
+        if "pairs" in buckets.columns
+        else F.sum(F.col("n") * (F.col("n") - F.lit(1)) / F.lit(2))
+    )
+    est = buckets.agg(pair_expr.alias("p")).first()["p"]
     est = int(est or 0)
     if est > limit:
         raise PairMassExceeded(
@@ -1144,9 +1151,16 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("vec_id", "bb.band", "bb.bucket").persist()
+    # guard on the TRUE join mass — delta×base per cell, not all-pairs
+    # (a 10% delta makes all-pairs overestimate ~5×)
     _guard_pair_mass(
         spark,
-        banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n")),
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.sum(F.when(is_delta, 1).otherwise(0)).alias("nd"),
+            F.sum(F.when(~is_delta, 1).otherwise(0)).alias("nb"),
+        )
+        .select((F.col("nd") * F.col("nb")).alias("pairs")),
         "dedup_embedding_incremental",
         "dedup_embedding_topk_grouped",
     )

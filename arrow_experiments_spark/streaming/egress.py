@@ -179,22 +179,10 @@ def upsert_snapshot_sink(
             committed=committed,
         )
 
-    writer = (
-        stream_df.writeStream.foreachBatch(merge)
-        .outputMode("append")
-        .trigger(availableNow=True)
+    return _run_foreach_batch(
+        stream_df, merge, checkpoint_dir, timeout_sec,
+        f"upsert ({snapshot_dir})",
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"upsert stream did not finish within {timeout_sec}s — the "
-            f"snapshot at {snapshot_dir} reflects only the committed "
-            f"micro-batches"
-        )
-    return q
 
 
 def _check_bucket_cols(key_cols: list[str], bucket_cols: list[str] | None) -> None:
@@ -291,7 +279,12 @@ def _prune_buckets(frame, probe_df, probe_bucket_expr):
         r["b"]
         for r in probe_df.select(probe_bucket_expr.alias("b")).distinct().collect()
     ]
-    return frame.filter(F.col("_bucket").isin(touched))
+    # keep NULL-bucket rows, mirroring _merge_batch's pruned read: the
+    # two paths must agree on which rows exist, and NULL never matches
+    # an isin() list
+    return frame.filter(
+        F.col("_bucket").isin(touched) | F.col("_bucket").isNull()
+    )
 
 
 def _merge_batch(
@@ -333,6 +326,16 @@ def _merge_batch(
     linked: list[str] = []
     try:
         if committed is None:
+            if inc.isEmpty():
+                # nothing to commit and nothing committed: a version
+                # written from zero rows has NO parquet files (only
+                # _SUCCESS), and every later spark.read.parquet of it
+                # fails UNABLE_TO_INFER_SCHEMA — the snapshot would be
+                # permanently wedged.  Skip the commit; the snapshot
+                # simply does not exist until a batch has survivors.
+                # (With a committed version this cannot happen: the
+                # untouched buckets hard-link in real files.)
+                return None
             merged = inc
         else:
             vdir_committed = os.path.join(snapshot_dir, committed)
@@ -418,6 +421,67 @@ def _merge_batch(
         if d.startswith("v") and d not in keep:
             shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
     return version
+
+
+def _run_foreach_batch(
+    stream_df: DataFrame,
+    merge,
+    checkpoint_dir: str | None,
+    timeout_sec: int,
+    what: str,
+):
+    """availableNow foreachBatch runner shared by every snapshot sink:
+    append mode, optional checkpoint, and a stop+raise on timeout (the
+    committed micro-batches remain valid — versioned-dir atomicity)."""
+    writer = (
+        stream_df.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"{what} stream did not finish within {timeout_sec}s — the "
+            "snapshot(s) reflect only the committed micro-batches"
+        )
+    return q
+
+
+def _check_geometry(base_dir: str, record: dict, subdirs: list[str]) -> None:
+    """Record index geometry under ``base_dir`` or verify this run's
+    against the recorded one.  A mismatch is fatal ONLY when the index
+    holds live data (a committed version in any of ``subdirs``) — a
+    record left by a run that died before its first commit pins
+    nothing and is overwritten instead of bricking the directory."""
+    import json
+    import os
+
+    geo_path = os.path.join(base_dir, "_GEOMETRY.json")
+    if os.path.exists(geo_path):
+        with open(geo_path) as f:
+            rec = json.load(f)
+        if rec == record:
+            return
+        if any(
+            _committed_version(os.path.join(base_dir, d)) is not None
+            for d in subdirs
+        ):
+            raise ValueError(
+                f"index geometry mismatch: {base_dir} was built at {rec} "
+                f"but this run asked for {record} — postings are a "
+                "function of the geometry, so probing with different "
+                "values silently misses duplicates.  Rebuild the index "
+                "or pass the recorded geometry."
+            )
+        # stale record from a run that never committed — re-record
+    os.makedirs(base_dir, exist_ok=True)
+    tmp = geo_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.replace(tmp, geo_path)
 
 
 def _gated_firsts(batch_df: DataFrame) -> DataFrame:
@@ -550,17 +614,23 @@ def incremental_neardup_sink(
     verified by signature agreement (``dedup_minhash_estimate``'s
     estimator: drop when >= ceil(min_jaccard_est * 8) of 8 signatures
     agree — zero re-tokenization of the corpus, the index row carries
-    the signatures), plus the same estimator pairwise WITHIN the batch
-    (min-doc_id-wins per qualifying pair, the dedup_keep_canonical
-    convention), then (5) survivors merge into ``docs/`` and their band
-    postings into ``bands/``.
+    the signatures), plus the same estimator pairwise WITHIN the batch,
+    then (5) survivors merge into ``docs/`` and their band postings
+    into ``bands/``.
 
     Semantics: exact first-seen-wins across batches; a new doc is
-    rejected iff some RETAINED earlier doc (or a lower-id doc of its own
-    batch) agrees on >= the signature threshold — the greedy/online
-    near-dup policy.  Like all greedy policies it is arrival-order
-    dependent on chains (A~B, B~C, A!~C admits A and C); that is the
-    documented behavior of every streaming near-dup gate, not a defect.
+    rejected iff some RETAINED earlier doc agrees on >= the signature
+    threshold, or ANY lower-id doc of its own batch does — the in-batch
+    rule is the cluster-min approximation (drop every doc with a
+    qualifying lower-id partner, whether or not that partner itself
+    survives), so an in-batch chain A~B, B~C, A!~C keeps only A where a
+    sequential gate would keep A and C — one batch, one canonical per
+    chain.  ACROSS batches the policy is genuinely greedy/online and
+    arrival-order dependent: the same chain split over three batches
+    admits A and C (B is rejected against retained A; C only ever
+    compares against the RETAINED index, which no longer contains B).
+    Both behaviors are the documented ones for their scope, not
+    defects.
 
     Crash contract: ``docs/`` commits before ``bands/``, and the band
     leg derives its postings from *the committed docs snapshot joined
@@ -613,25 +683,11 @@ def incremental_neardup_sink(
     spark = stream_df.sparkSession
     docs_dir = os.path.join(base_dir, "docs")
     bands_dir = os.path.join(base_dir, "bands")
-    geo_path = os.path.join(base_dir, "_GEOMETRY.json")
-    if os.path.exists(geo_path):
-        with open(geo_path) as f:
-            rec = json.load(f)
-        if rec.get("n_sigs") != _N_SIGS or rec.get("n_bands") != _N_BANDS:
-            raise ValueError(
-                f"band-index geometry mismatch: {base_dir} was built at "
-                f"n_sigs={rec.get('n_sigs')}, n_bands={rec.get('n_bands')} "
-                f"but this engine version runs n_sigs={_N_SIGS}, "
-                f"n_bands={_N_BANDS} — postings are a function of the "
-                "geometry, so probing with different values silently "
-                "misses duplicates.  Rebuild the index."
-            )
-    else:
-        os.makedirs(base_dir, exist_ok=True)
-        tmp = geo_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"n_sigs": _N_SIGS, "n_bands": _N_BANDS}, f)
-        os.replace(tmp, geo_path)
+    _check_geometry(
+        base_dir,
+        {"n_sigs": _N_SIGS, "n_bands": _N_BANDS},
+        ["docs", "bands"],
+    )
     doc_keys = ["content_hash"]
     band_keys = ["band_idx", "band_val", "doc_id"]
     band_buckets = ["band_idx", "band_val"]
@@ -831,22 +887,10 @@ def incremental_neardup_sink(
             for f in pinned:
                 f.unpersist()
 
-    writer = (
-        stream_df.writeStream.foreachBatch(merge)
-        .outputMode("append")
-        .trigger(availableNow=True)
+    return _run_foreach_batch(
+        stream_df, merge, checkpoint_dir, timeout_sec,
+        f"neardup ({base_dir})",
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"neardup stream did not finish within {timeout_sec}s — the "
-            f"snapshots under {base_dir} reflect only the committed "
-            f"micro-batches"
-        )
-    return q
 
 
 def incremental_embedding_dedup_sink(
@@ -880,12 +924,15 @@ def incremental_embedding_dedup_sink(
     the batch ops and their DuckDB oracles) probe the cell index, and
     candidates are verified by EXACT cosine (the snapped double fold)
     against the posting's embedding — drop at >= ``min_cosine``; plus
-    the same verify pairwise within the batch (min-``vec_id``-wins per
-    qualifying pair); (4) survivors merge into ``vecs/``, their postings
-    into ``cells/``.  Same greedy/online semantics and crash contract as
-    the MinHash sink: vecs commit first, the cell leg derives from the
-    committed vecs joined back on the batch's ids, so a crash between
-    merges heals on replay.
+    the same verify pairwise within the batch (the cluster-min
+    approximation: any vector with a qualifying lower-``vec_id``
+    partner drops, whether or not that partner itself survives — see
+    :func:`incremental_neardup_sink` for the chain semantics in both
+    scopes); (4) survivors merge into ``vecs/``, their postings
+    into ``cells/``.  Same greedy/online cross-batch semantics and
+    crash contract as the MinHash sink: vecs commit first, the cell leg
+    derives from the committed vecs joined back on the batch's ids, so
+    a crash between merges heals on replay.
 
     Batch twin: ``dedup_embedding_incremental`` (registered, DuckDB
     oracle) pins the candidate+verify semantics on a deterministic
@@ -924,25 +971,9 @@ def incremental_embedding_dedup_sink(
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
     cells_dir = os.path.join(base_dir, "cells")
-    geo_path = os.path.join(base_dir, "_GEOMETRY.json")
-    if os.path.exists(geo_path):
-        with open(geo_path) as f:
-            rec = json.load(f)
-        if rec.get("bands") != bands or rec.get("bits") != bits:
-            raise ValueError(
-                f"cell-index geometry mismatch: {base_dir} was built at "
-                f"bands={rec.get('bands')}, bits={rec.get('bits')} but this "
-                f"run asked for bands={bands}, bits={bits} — postings are a "
-                "function of the geometry, so probing with different values "
-                "silently misses duplicates.  Rebuild the index or pass the "
-                "recorded geometry."
-            )
-    else:
-        os.makedirs(base_dir, exist_ok=True)
-        tmp = geo_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"bands": bands, "bits": bits}, f)
-        os.replace(tmp, geo_path)
+    _check_geometry(
+        base_dir, {"bands": bands, "bits": bits}, ["vecs", "cells"]
+    )
     vec_keys = ["vec_id"]
     cell_keys = ["band", "cell", "vec_id"]
     cell_buckets = ["band", "cell"]
@@ -1124,22 +1155,10 @@ def incremental_embedding_dedup_sink(
             for f in pinned:
                 f.unpersist()
 
-    writer = (
-        stream_df.writeStream.foreachBatch(merge)
-        .outputMode("append")
-        .trigger(availableNow=True)
+    return _run_foreach_batch(
+        stream_df, merge, checkpoint_dir, timeout_sec,
+        f"embedding-dedup ({base_dir})",
     )
-    if checkpoint_dir is not None:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    q = writer.start()
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"embedding-dedup stream did not finish within {timeout_sec}s — "
-            f"the snapshots under {base_dir} reflect only the committed "
-            f"micro-batches"
-        )
-    return q
 
 
 def _layout_record(vdir: str) -> dict:

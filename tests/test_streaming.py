@@ -1051,6 +1051,96 @@ def test_neardup_sinks_saturated_group_skip(spark, tmp_path):
     assert read_snapshot(spark, os.path.join(ebase, "vecs")).count() == 2
 
 
+def test_first_batch_with_no_survivors_does_not_wedge_snapshot(
+    spark, tmp_path
+):
+    """An all-rejected FIRST micro-batch must not commit: a version
+    written from zero rows has no parquet files, and every later read
+    of it fails schema inference — the snapshot would be permanently
+    wedged.  The commit is skipped instead, and the next batch with
+    survivors creates v-first normally."""
+    import glob
+    import os
+    import shutil
+
+    from arrow_experiments_spark.streaming.egress import (
+        _gated_firsts,
+        incremental_neardup_sink,
+        read_snapshot,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    good = _gated_firsts(docs).orderBy("doc_id").limit(1).collect()[0]["text"]
+    b1 = spark.createDataFrame(
+        [(0, "too short")], "doc_id bigint, text string"
+    )  # fails the >=20-token gate
+    b2 = spark.createDataFrame([(1, good)], "doc_id bigint, text string")
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for i, b in enumerate([b1, b2]):
+        wdir = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(wdir)
+        dst = os.path.join(staged, f"{i:03d}.parquet")
+        shutil.copy(glob.glob(os.path.join(wdir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000 + i * 1000,) * 2)
+    base = str(tmp_path / "neardup")
+    incremental_neardup_sink(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged),
+        base,
+        n_buckets=8,
+    )
+    final = read_snapshot(spark, os.path.join(base, "docs"))
+    assert final is not None and final.count() == 1
+    assert read_snapshot(spark, os.path.join(base, "bands")).count() == 4
+
+
+def test_stale_geometry_record_is_overwritten_when_index_is_empty(
+    spark, tmp_path
+):
+    """A _GEOMETRY.json left by a run that died before any commit pins
+    nothing: re-attaching with different geometry must re-record and
+    proceed, not brick the directory."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from arrow_experiments_spark.streaming.egress import (
+        incremental_embedding_dedup_sink,
+        read_snapshot,
+    )
+
+    base = str(tmp_path / "embdedup")
+    os.makedirs(base)
+    with open(os.path.join(base, "_GEOMETRY.json"), "w") as f:
+        json.dump({"bands": 7, "bits": 9}, f)  # stale — nothing committed
+
+    v = [0.0] * 64
+    v[0] = 1.0
+    b1 = spark.createDataFrame(
+        [(0, v)], "vec_id bigint, embedding array<float>"
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    wdir = str(tmp_path / "w0")
+    b1.coalesce(1).write.parquet(wdir)
+    shutil.copy(
+        glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+        os.path.join(staged, "000.parquet"),
+    )
+    incremental_embedding_dedup_sink(
+        spark.readStream.schema(b1.schema).parquet(staged),
+        base,
+        n_buckets=8,
+        bits=4,
+    )
+    assert read_snapshot(spark, os.path.join(base, "vecs")).count() == 1
+    with open(os.path.join(base, "_GEOMETRY.json")) as f:
+        assert json.load(f) == {"bands": 3, "bits": 4}
+
+
 def test_incremental_neardup_sink_rejects_geometry_change(spark, tmp_path):
     """The MinHash band index records its signature geometry; a stale
     record (an index built by a code version with different constants)

@@ -20,8 +20,9 @@ Protocol: two fingerprint snapshots (2M hashes / 64 buckets, 20M /
 under the curation schema; then the SAME 40-document delta (real
 sf0.01 documents, so the quality gate does real work) runs through
 ``incremental_curation_sink`` against each.  A reference column times
-the UNPRUNED anti-join (delta survivors vs the full flattened hash
-column — the pre-round-9 shape) on the same session.  Verified per
+the UNPRUNED anti-join (the delta's 40 hashed documents — ungated, a
+superset of the survivors — vs the full flattened hash column, the
+pre-round-9 read shape) on the same session.  Verified per
 scale: final count = seed + gated survivors, survivors all present,
 and a re-delivery of the same documents adds zero rows (the gate
 actually dedups against the big snapshot).
@@ -142,7 +143,8 @@ def main() -> None:
         )
 
         # reference: the UNPRUNED anti-join (pre-round-9 shape) — delta
-        # survivors' hashes vs the full flattened hash column
+        # the delta's hashed documents (ungated — a superset of the
+        # survivors) vs the full flattened hash column
         from arrow_experiments_spark.functions.text import md5_str
 
         hashed = delta.withColumn("content_hash", md5_str(F.col("text")))
