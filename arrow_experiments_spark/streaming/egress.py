@@ -251,40 +251,63 @@ def _prepare_view(
     if committed is None:
         return None
     vdir = os.path.join(snapshot_dir, committed)
-    rec = _layout_record(vdir)
-    # layout records written before bucket_cols existed were always
-    # bucketed on key_cols — default the comparison there, NOT to the
-    # caller's bucket_cols, or a caller introducing custom bucket_cols
-    # over a legacy snapshot would prune against the wrong geometry
-    if (
-        rec.get("n_buckets") == n_buckets
-        and rec.get("bucket_cols", key_cols) == (bucket_cols or key_cols)
-    ):
+    if _geometry_matches(_layout_record(vdir), n_buckets, key_cols, bucket_cols):
         return spark.read.parquet(vdir)
     return read_snapshot(spark, snapshot_dir)
 
 
-def _prune_buckets(frame, probe_df, probe_bucket_expr):
-    """Filter a ``_bucket``-carrying snapshot frame to the buckets the
-    probe's rows land in (sound for equi-lookups whose join key is the
+def _geometry_matches(
+    rec: dict,
+    n_buckets: int,
+    key_cols: list[str],
+    bucket_cols: list[str] | None,
+) -> bool:
+    """Whether a version's recorded bucket geometry matches the current
+    run's — the SINGLE predicate both the prepare-view and the merge
+    pruning decisions use (they must agree, or the hook prunes against a
+    geometry the merge then migrates away from).  Layout records written
+    before ``bucket_cols`` existed were always bucketed on ``key_cols``
+    — the comparison defaults there, NOT to the caller's bucket_cols, or
+    a caller introducing custom bucket_cols over a legacy snapshot would
+    prune against the wrong geometry."""
+    return rec.get("n_buckets") == n_buckets and rec.get(
+        "bucket_cols", key_cols
+    ) == (bucket_cols or key_cols)
+
+
+def _touched_list(probe_df, probe_bucket_expr) -> list:
+    """The distinct bucket values the probe's rows land in: one
+    delta-sized distinct + collect, bounded by ``n_buckets``.  Compute
+    ONCE per micro-batch when several legs prune on the same probe."""
+    return [
+        r["b"]
+        for r in probe_df.select(probe_bucket_expr.alias("b")).distinct().collect()
+    ]
+
+
+def _filter_buckets(frame, touched: list):
+    """Filter a ``_bucket``-carrying snapshot frame to a precomputed
+    touched-bucket list (sound for equi-lookups whose join key is the
     bucket key: equal values share a bucket).  Frames without the layout
     column — flattened snapshots, foreign geometry — pass through
-    unfiltered.  The touched set is one delta-sized distinct + collect,
-    bounded by ``n_buckets``."""
+    unfiltered.  NULL-bucket rows are kept, mirroring _merge_batch's
+    pruned read: the two paths must agree on which rows exist, and NULL
+    never matches an isin() list."""
     from pyspark.sql import functions as F
 
     if "_bucket" not in frame.columns:
         return frame
-    touched = [
-        r["b"]
-        for r in probe_df.select(probe_bucket_expr.alias("b")).distinct().collect()
-    ]
-    # keep NULL-bucket rows, mirroring _merge_batch's pruned read: the
-    # two paths must agree on which rows exist, and NULL never matches
-    # an isin() list
     return frame.filter(
         F.col("_bucket").isin(touched) | F.col("_bucket").isNull()
     )
+
+
+def _prune_buckets(frame, probe_df, probe_bucket_expr):
+    """:func:`_touched_list` + :func:`_filter_buckets` in one step, for
+    callers with a single pruning leg."""
+    if "_bucket" not in frame.columns:
+        return frame
+    return _filter_buckets(frame, _touched_list(probe_df, probe_bucket_expr))
 
 
 def _merge_batch(
@@ -344,12 +367,8 @@ def _merge_batch(
                 r["_bucket"] for r in inc.select("_bucket").distinct().collect()
             }
             rec = _layout_record(vdir_committed)
-            # pre-bucket_cols layout records were always bucketed on
-            # key_cols — default the comparison there (see _prepare_view)
-            if (
-                "_bucket" in raw.columns
-                and rec.get("n_buckets") == n_buckets
-                and rec.get("bucket_cols", key_cols) == bcols
+            if "_bucket" in raw.columns and _geometry_matches(
+                rec, n_buckets, key_cols, bucket_cols
             ):
                 # same bucket geometry: read back ONLY the touched
                 # buckets (partition pruning) and link the rest verbatim
@@ -722,12 +741,18 @@ def incremental_neardup_sink(
     band_probe_bucket = F.pmod(
         F.xxhash64(F.col("band_idx"), F.col("band_val")), F.lit(n_buckets)
     ).cast("int")
+    hash_bucket = F.pmod(
+        F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
+    ).cast("int")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         ckpt = checkpoint_dir is not None
         committed_docs = _committed_version(docs_dir)
         seq_docs = _alloc_seq(committed_docs, batch_id, ckpt)
         pinned = []
+        # ONE md5+xxhash pass over the raw batch serves both legs' hash
+        # pruning (the docs anti-join and the band-leg read-back)
+        hash_touched = _touched_list(batch_df, hash_bucket)
         try:
             if seq_docs is not None:
                 firsts = _gated_firsts(batch_df)
@@ -735,13 +760,14 @@ def incremental_neardup_sink(
                     spark, docs_dir, committed_docs, n_buckets, doc_keys
                 )
                 if docs_view is not None:
-                    hash_bucket = F.pmod(
-                        F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
-                    ).cast("int")
-                    seen = _prune_buckets(
-                        docs_view, batch_df, hash_bucket
-                    ).select("content_hash")
+                    seen = _filter_buckets(docs_view, hash_touched).select(
+                        "content_hash"
+                    )
                     firsts = firsts.join(seen, "content_hash", "left_anti")
+                # the gate+anti-join plan feeds BOTH the signature chain
+                # and the merge — persist it or it executes twice
+                firsts = firsts.persist()
+                pinned.append(firsts)
                 # ONE tokenize pass over the exact-novel docs; the persist
                 # barriers stop Catalyst's projection collapse from
                 # re-inlining the shingle chain into each of the 8
@@ -781,7 +807,10 @@ def incremental_neardup_sink(
                     n_buckets, band_keys, band_buckets,
                 )
                 if idx is not None:
-                    idx = _prune_buckets(idx, dbands, band_probe_bucket)
+                    # persist the pruned slice: the saturation count and
+                    # the candidate join both read it (delta-bounded)
+                    idx = _prune_buckets(idx, dbands, band_probe_bucket).persist()
+                    pinned.append(idx)
                     # saturated-band skip (see docstring): group sizes are
                     # computed over the PRUNED slice only — delta-bounded
                     ok_bands = (
@@ -812,11 +841,22 @@ def incremental_neardup_sink(
                         .filter(n_agree >= min_agree)
                         .select("doc_id")
                     )
-                # in-batch pairwise (min-doc_id-wins per qualifying pair)
+                # in-batch pairwise (cluster-min, see docstring).  The
+                # same saturation cap applies to the BATCH side: one
+                # skewed mega-batch (a clone-heavy backlog delivered as
+                # a single availableNow batch) would otherwise go
+                # quadratic in its hottest band with no bound
+                db_ok = (
+                    dbands.groupBy("band_idx", "band_val")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") <= max_band_pop)
+                    .select("band_idx", "band_val")
+                )
+                dpairs_src = dbands.join(db_ok, ["band_idx", "band_val"])
                 pairs = (
-                    dbands.alias("a")
+                    dpairs_src.alias("a")
                     .join(
-                        dbands.alias("b"),
+                        dpairs_src.alias("b"),
                         (F.col("a.band_idx") == F.col("b.band_idx"))
                         & (F.col("a.band_val") == F.col("b.band_val"))
                         & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -865,13 +905,10 @@ def incremental_neardup_sink(
             )
             if docs_now is None:
                 return
-            hash_bucket = F.pmod(
-                F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
-            ).cast("int")
             batch_hashes = batch_df.select(
                 md5_str(F.col("text")).alias("content_hash")
             ).distinct()
-            mine = _prune_buckets(docs_now, batch_df, hash_bucket).join(
+            mine = _filter_buckets(docs_now, hash_touched).join(
                 batch_hashes, "content_hash"
             )
             postings = band_rows(
@@ -1009,26 +1046,40 @@ def incremental_embedding_dedup_sink(
     )
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
         ckpt = checkpoint_dir is not None
         committed_vecs = _committed_version(vecs_dir)
         seq_vecs = _alloc_seq(committed_vecs, batch_id, ckpt)
         pinned = []
+        # one xxhash pass over the raw batch serves both legs' id pruning
+        id_touched = _touched_list(batch_df, id_bucket)
         try:
             if seq_vecs is not None:
+                # deterministic one-row-per-vec_id: a duplicated id in one
+                # batch (upstream retry with re-embedding) must pick the
+                # SAME row on a replay re-merge, or the retained embedding
+                # silently changes — order by the embedding's own hash,
+                # not dropDuplicates' arbitrary first-seen partition order
+                w_id = Window.partitionBy("vec_id").orderBy(
+                    F.xxhash64(F.col("embedding"))
+                )
                 fresh = (
                     batch_df.filter(
                         F.col("embedding").isNotNull()
                         & (norm(F.col("embedding")) > 0)
                     )
-                    .dropDuplicates(["vec_id"])
+                    .withColumn("_rn", F.row_number().over(w_id))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
                 )
                 vecs_view = _prepare_view(
                     spark, vecs_dir, committed_vecs, n_buckets, vec_keys
                 )
                 if vecs_view is not None:
-                    seen = _prune_buckets(
-                        vecs_view, batch_df, id_bucket
-                    ).select("vec_id")
+                    seen = _filter_buckets(vecs_view, id_touched).select(
+                        "vec_id"
+                    )
                     fresh = fresh.join(seen, "vec_id", "left_anti")
                 # cells materialized once behind a persist barrier — the
                 # hyperplane dot-products would otherwise re-inline per
@@ -1042,7 +1093,12 @@ def incremental_embedding_dedup_sink(
                     n_buckets, cell_keys, cell_buckets,
                 )
                 if idx is not None:
-                    idx = _prune_buckets(idx, dcells, cell_probe_bucket)
+                    # persist the pruned slice: the saturation count and
+                    # the candidate join both read it (delta-bounded)
+                    idx = _prune_buckets(
+                        idx, dcells, cell_probe_bucket
+                    ).persist()
+                    pinned.append(idx)
                     # saturated-cell skip (see docstring): delta-bounded,
                     # computed over the pruned slice only
                     ok_cells = (
@@ -1079,11 +1135,21 @@ def incremental_embedding_dedup_sink(
                         .filter(cos >= min_cosine)
                         .select("vec_id")
                     )
-                # in-batch pairwise (min-vec_id-wins per qualifying pair)
+                # in-batch pairwise (cluster-min, see docstring) with
+                # the saturation cap applied to the BATCH side too — a
+                # skewed mega-batch would otherwise go quadratic in its
+                # hottest cell with no bound
+                dc_ok = (
+                    dcells.groupBy("band", "cell")
+                    .agg(F.count(F.lit(1)).alias("_n"))
+                    .filter(F.col("_n") <= max_cell_pop)
+                    .select("band", "cell")
+                )
+                dpairs_src = dcells.join(dc_ok, ["band", "cell"])
                 pairs = (
-                    dcells.alias("a")
+                    dpairs_src.alias("a")
                     .join(
-                        dcells.alias("b"),
+                        dpairs_src.alias("b"),
                         (F.col("a.band") == F.col("b.band"))
                         & (F.col("a.cell") == F.col("b.cell"))
                         & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -1139,7 +1205,7 @@ def incremental_embedding_dedup_sink(
             if vecs_now is None:
                 return
             batch_ids = batch_df.select("vec_id").distinct()
-            mine = _prune_buckets(vecs_now, batch_df, id_bucket).join(
+            mine = _filter_buckets(vecs_now, id_touched).join(
                 batch_ids, "vec_id"
             )
             postings = cell_rows(

@@ -488,11 +488,16 @@ def _loopback_gibs(n_bytes: int = 1 * 1024**3) -> float:
             sent += len(chunk)
         c.close()
 
+    # t0 BEFORE the sender starts: connect() lands in the listen backlog
+    # and sendall() fills kernel socket buffers before accept() returns,
+    # so a post-accept t0 would credit those pre-buffered bytes to a
+    # shorter window and inflate the ceiling (~1% at 1 GiB) — the thread
+    # startup microseconds bias the other way, negligibly
     t = threading.Thread(target=sender)
+    t0 = _time.perf_counter()
     t.start()
     conn, _ = srv.accept()
     got = 0
-    t0 = _time.perf_counter()
     while got < n_bytes:
         b = conn.recv(1 << 20)
         if not b:

@@ -88,7 +88,7 @@ def main() -> None:
     ).persist()
     dsigs.count()
 
-    def band_rows(frame):
+    def band_rows(frame, keep_sigs=False):
         bexpr = F.array(
             *[
                 F.struct(
@@ -100,10 +100,14 @@ def main() -> None:
                 for b in range(_N_BANDS)
             ]
         )
-        return frame.select("doc_id", F.explode(bexpr).alias("_b")).select(
+        extra = sig_cols if keep_sigs else []
+        return frame.select(
+            "doc_id", *extra, F.explode(bexpr).alias("_b")
+        ).select(
             "doc_id",
             F.col("_b.band_idx").alias("band_idx"),
             F.col("_b.band_val").alias("band_val"),
+            *extra,
         )
 
     dbands = band_rows(dsigs).persist()
@@ -160,25 +164,7 @@ def main() -> None:
             key_cols=["content_hash"], order_col="doc_id",
             n_buckets=buckets, bucket_cols=None, seq=0, committed=None,
         )
-        bexpr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias(
-                        "band_val"
-                    ),
-                )
-                for b in range(_N_BANDS)
-            ]
-        )
-        postings = seed.select(
-            "doc_id", *sig_cols, F.explode(bexpr).alias("_b")
-        ).select(
-            "doc_id",
-            F.col("_b.band_idx").alias("band_idx"),
-            F.col("_b.band_val").alias("band_val"),
-            *sig_cols,
-        )
+        postings = band_rows(seed, keep_sigs=True)
         _merge_batch(
             spark, postings, bands_dir,
             key_cols=["band_idx", "band_val", "doc_id"], order_col="doc_id",
