@@ -807,10 +807,13 @@ def incremental_neardup_sink(
                     n_buckets, band_keys, band_buckets,
                 )
                 if idx is not None:
-                    # persist the pruned slice: the saturation count and
-                    # the candidate join both read it (delta-bounded)
-                    idx = _prune_buckets(idx, dbands, band_probe_bucket).persist()
-                    pinned.append(idx)
+                    # NOTE: deliberately NOT persisted — the saturation
+                    # count reads only (band_idx, band_val) and the
+                    # candidate join its own columns, both partition- AND
+                    # column-pruned scans; a persist would materialize
+                    # the slice full-width (every sig column of every
+                    # touched bucket), far more I/O than two narrow scans
+                    idx = _prune_buckets(idx, dbands, band_probe_bucket)
                     # saturated-band skip (see docstring): group sizes are
                     # computed over the PRUNED slice only — delta-bounded
                     ok_bands = (
@@ -1093,12 +1096,11 @@ def incremental_embedding_dedup_sink(
                     n_buckets, cell_keys, cell_buckets,
                 )
                 if idx is not None:
-                    # persist the pruned slice: the saturation count and
-                    # the candidate join both read it (delta-bounded)
-                    idx = _prune_buckets(
-                        idx, dcells, cell_probe_bucket
-                    ).persist()
-                    pinned.append(idx)
+                    # deliberately NOT persisted — see the band-index
+                    # note in incremental_neardup_sink: the count and
+                    # the join are narrow column-pruned scans; a persist
+                    # would materialize every embedding in the slice
+                    idx = _prune_buckets(idx, dcells, cell_probe_bucket)
                     # saturated-cell skip (see docstring): delta-bounded,
                     # computed over the pruned slice only
                     ok_cells = (
