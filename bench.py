@@ -672,12 +672,13 @@ def main() -> None:
             "s2_serve_1m_ipc_zstd / ipc_lz4 serve the encode-once"
             " IPC-codec body cache (r8 verdict #2)",
             "s1_replay_100m tracks loopback_gibs (r8 verdict #2 watch):"
-            " r9 floors 1.22-1.28 s = ~2.4-2.6 GiB/s effective against a"
-            " raw ceiling that itself moved 2.69-3.22 GiB/s across r9"
-            " measurements — the splice serve holds 75-97% of raw sendall"
-            " (the gap is HTTP chunk framing + client Arrow decode), so"
-            " the r7-era 0.90 s floor (3.4 GiB/s) reflects a faster-era"
-            " box state, not an engine regression",
+            " r9 floors 1.07-1.28 s = ~2.4-2.9 GiB/s effective against a"
+            " raw ceiling that itself moved 2.7-4.3 GiB/s across r9"
+            " measurements — the splice serve holds ~70-97% of raw"
+            " sendall (the gap is HTTP chunk framing + client Arrow"
+            " decode), so the r7-era 0.90 s floor reflects box state,"
+            " not an engine regression; the RATIO is the regression"
+            " signal",
         ],
         "floor_watch": floor_watch,
         "sentinel": {
