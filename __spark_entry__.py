@@ -44,6 +44,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Geometry-parametric oracles (callables) resolve against the driver's
+    # correctness corpus (sf0.01 by default; SPARK_GRAFT_ORACLE_SF_DIR
+    # overrides) using the same bits/k derivation the builders run, from
+    # parquet footer counts — no live session needed.
     return {
-        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+        name: q.oracle_sql()
+        for name, q in all_queries().items()
+        if q.oracle is not None
     }

@@ -904,12 +904,21 @@ def _parquet_num_rows(path: str) -> int | None:
     return None
 
 
-def _embeddings_n(spark: SparkSession, sf_dir: str) -> int:
+def _conf_get(spark: SparkSession | None, key: str, default: str = "") -> str:
+    """Conf lookup that tolerates ``spark=None`` — geometry derivation for
+    oracle resolution runs without a live session (footer counts only),
+    so conf overrides apply only when a session is actually given."""
+    if spark is None:
+        return default
+    return spark.conf.get(key, default)
+
+
+def _embeddings_n(spark: SparkSession | None, sf_dir: str) -> int:
     """Corpus size N for geometry derivation: the conf override when
     set, else the parquet footer count, else one Spark count."""
     import os
 
-    raw = spark.conf.get(_EMB_CORPUS_N_CONF, "")
+    raw = _conf_get(spark, _EMB_CORPUS_N_CONF)
     if raw:
         try:
             return int(raw)
@@ -921,6 +930,11 @@ def _embeddings_n(spark: SparkSession, sf_dir: str) -> int:
     n = _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet"))
     if n is not None:
         return n
+    if spark is None:
+        raise RuntimeError(
+            f"cannot derive the embeddings corpus size for {sf_dir!r} "
+            "without a live session (footer metadata unreadable)"
+        )
     return table(spark, sf_dir, "embeddings").count()
 
 
@@ -935,8 +949,16 @@ def derive_lsh_bits(n: int, target_pop: int, floor: int = 4) -> int:
     return max(floor, math.ceil(math.log2(n / target_pop)))
 
 
-def _emb_lsh_bits(spark: SparkSession, sf_dir: str | None = None) -> int:
-    raw = spark.conf.get(_EMB_LSH_BITS_CONF, "")
+def _emb_lsh_bits(
+    spark: SparkSession | None, sf_dir: str | None = None
+) -> int:
+    """Sign-bit count for the embedding LSH family: the ``emb.lshBits``
+    conf when set, else derived from the corpus footer count.  The
+    geometry-parametric oracles (r9 verdict #1) call this with the SAME
+    (spark, sf_dir) the builder sees, so the DuckDB SQL is regenerated at
+    the derived bit count and the comparison is structurally aligned at
+    every corpus size — no conf pinning, no import-time floor baking."""
+    raw = _conf_get(spark, _EMB_LSH_BITS_CONF)
     if raw:
         try:
             return int(raw)
@@ -947,8 +969,8 @@ def _emb_lsh_bits(spark: SparkSession, sf_dir: str | None = None) -> int:
             ) from None
     if sf_dir is None:
         return _EMB_LSH_BITS
-    target_raw = spark.conf.get(
-        _EMB_TARGET_CELL_POP_CONF, str(_EMB_TARGET_CELL_POP)
+    target_raw = _conf_get(
+        spark, _EMB_TARGET_CELL_POP_CONF, str(_EMB_TARGET_CELL_POP)
     )
     try:
         target = int(target_raw)
@@ -957,35 +979,19 @@ def _emb_lsh_bits(spark: SparkSession, sf_dir: str | None = None) -> int:
             f"{_EMB_TARGET_CELL_POP_CONF} must be an integer population, "
             f"got {target_raw!r}"
         ) from None
-    bits = derive_lsh_bits(
+    return derive_lsh_bits(
         _embeddings_n(spark, sf_dir), target, floor=_EMB_LSH_BITS
     )
-    if bits != _EMB_LSH_BITS:
-        # ADVICE r8: the registered DuckDB oracle bakes the floor
-        # geometry ({_EMB_LSH_BITS} bits) at module import; a derived
-        # geometry is correct for production but will hash-mismatch an
-        # oracle-checked run — say so loudly instead of silently
-        # comparing different bucketings.
-        import warnings
-
-        warnings.warn(
-            f"auto-derived LSH bits = {bits} exceed the oracle-baked "
-            f"floor {_EMB_LSH_BITS}; an oracle comparison at this corpus "
-            f"size needs {_EMB_LSH_BITS_CONF}={_EMB_LSH_BITS} (or an "
-            f"oracle regenerated at {bits} bits)",
-            stacklevel=3,
-        )
-    return bits
 
 
-def _emb_band_union_sql() -> str:
+def _emb_band_union_sql(bits: int = _EMB_LSH_BITS) -> str:
     from arrow_experiments_spark.operators.similarity import lsh_bucket_sql
 
     return " UNION ".join(
         f"SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b "
         f"FROM nz a JOIN nz b "
-        f"ON {lsh_bucket_sql('a.embedding', band, _EMB_LSH_BITS)}"
-        f" = {lsh_bucket_sql('b.embedding', band, _EMB_LSH_BITS)}"
+        f"ON {lsh_bucket_sql('a.embedding', band, bits)}"
+        f" = {lsh_bucket_sql('b.embedding', band, bits)}"
         f" AND a.vec_id < b.vec_id"
         for band in range(_EMB_LSH_BANDS)
     )
@@ -1083,7 +1089,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _emb_inc_cand_sql() -> str:
+def _emb_inc_cand_sql(bits: int = _EMB_LSH_BITS) -> str:
     """delta-probes-base band union: candidates where the delta side
     (vec_id % 10 = 0) shares a hyperplane-LSH cell with a base vector."""
     from arrow_experiments_spark.operators.similarity import lsh_bucket_sql
@@ -1091,30 +1097,18 @@ def _emb_inc_cand_sql() -> str:
     return " UNION ".join(
         f"SELECT a.vec_id AS did, b.vec_id AS bid "
         f"FROM nz a JOIN nz b "
-        f"ON {lsh_bucket_sql('a.embedding', band, _EMB_LSH_BITS)}"
-        f" = {lsh_bucket_sql('b.embedding', band, _EMB_LSH_BITS)}"
+        f"ON {lsh_bucket_sql('a.embedding', band, bits)}"
+        f" = {lsh_bucket_sql('b.embedding', band, bits)}"
         f" AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0"
         for band in range(_EMB_LSH_BANDS)
     )
 
 
-@register(
-    "dedup_embedding_incremental",
-    "dedup",
-    doc="incremental-ingest embedding near-dup gate — the batch twin of "
-    "streaming/egress.py's incremental_embedding_dedup_sink: the delta "
-    "feed (every 10th vector) admits only vectors with NO base "
-    "near-duplicate at snapped cosine >= 0.3 among hyperplane-LSH "
-    f"candidates ({_EMB_LSH_BANDS} bands × {_EMB_LSH_BITS} sign-bits, "
-    "delta cells probe base cells only — never base×base).  At 100 TB "
-    "the base side is the sink's persisted CELL INDEX, bucketed on "
-    "(band, cell) so the probe reads only the delta's touched buckets; "
-    "the 0.3 threshold is dedup_embedding_cosine's test-scale gate "
-    "(production ~0.9 — a parameter, not a shape change).  Eager "
-    "pair-mass guard, same as the cosine op.",
-    oracle=f"""
+def _emb_inc_oracle(spark: SparkSession | None, sf_dir: str) -> str:
+    bits = _emb_lsh_bits(spark, sf_dir)
+    return f"""
         WITH nz AS (SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0),
-        cand AS ({_emb_inc_cand_sql()}),
+        cand AS ({_emb_inc_cand_sql(bits)}),
         near AS (
             SELECT DISTINCT c.did FROM cand c
             JOIN embeddings a ON c.did = a.vec_id
@@ -1125,7 +1119,26 @@ def _emb_inc_cand_sql() -> str:
         SELECT v.vec_id, v.label FROM nz v
         WHERE v.vec_id % 10 = 0
           AND NOT EXISTS (SELECT 1 FROM near n WHERE n.did = v.vec_id)
-    """,
+    """
+
+
+@register(
+    "dedup_embedding_incremental",
+    "dedup",
+    doc="incremental-ingest embedding near-dup gate — the batch twin of "
+    "streaming/egress.py's incremental_embedding_dedup_sink: the delta "
+    "feed (every 10th vector) admits only vectors with NO base "
+    "near-duplicate at snapped cosine >= 0.3 among hyperplane-LSH "
+    f"candidates ({_EMB_LSH_BANDS} bands × auto-derived sign-bits, "
+    "delta cells probe base cells only — never base×base).  At 100 TB "
+    "the base side is the sink's persisted CELL INDEX, bucketed on "
+    "(band, cell) so the probe reads only the delta's touched buckets; "
+    "the 0.3 threshold is dedup_embedding_cosine's test-scale gate "
+    "(production ~0.9 — a parameter, not a shape change).  Eager "
+    "pair-mass guard, same as the cosine op.  Bit count derives from "
+    "the corpus footer count exactly like dedup_embedding_topk_grouped; "
+    "the oracle is geometry-parametric, regenerated at the same bits.",
+    oracle=_emb_inc_oracle,
 )
 def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_experiments_spark.operators.similarity import (
@@ -1134,6 +1147,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _nonzero_embeddings(spark, sf_dir)
+    bits = _emb_lsh_bits(spark, sf_dir)
     is_delta = F.col("vec_id") % 10 == 0
     banded = emb.select(
         "vec_id",
@@ -1143,7 +1157,7 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(band).alias("band"),
                         lsh_bucket_col(
-                            F.col("embedding"), band, _EMB_LSH_BITS
+                            F.col("embedding"), band, bits
                         ).alias("bucket"),
                     )
                     for band in range(_EMB_LSH_BANDS)
@@ -1349,9 +1363,14 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle for both physical forms of the per-vector top-k near-dup
 # (windowed pair list vs bucket-local numpy) — identical declared result.
-_EMB_TOPK_ORACLE = f"""
+# Geometry-parametric (r9 verdict #1): the registered oracle is a callable
+# that re-derives the bit count from the corpus the check runs against,
+# exactly as the builder does, so derived-geometry corpora compare the
+# same bucketing on both sides.
+def _emb_topk_oracle_sql(bits: int = _EMB_LSH_BITS) -> str:
+    return f"""
         WITH nz AS (SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0),
-        half AS ({_emb_band_union_sql()}),
+        half AS ({_emb_band_union_sql(bits)}),
         cand AS (
             SELECT vec_id_a AS vec_id, vec_id_b AS nbr_id FROM half
             UNION
@@ -1373,6 +1392,10 @@ _EMB_TOPK_ORACLE = f"""
     """
 
 
+def _emb_topk_oracle(spark: SparkSession | None, sf_dir: str) -> str:
+    return _emb_topk_oracle_sql(_emb_lsh_bits(spark, sf_dir))
+
+
 @register(
     "dedup_embedding_topk",
     "dedup",
@@ -1387,7 +1410,7 @@ _EMB_TOPK_ORACLE = f"""
     "grouped form completed in 56 s.  Keeping the registration (rather "
     "than deleting the name) preserves both bench series and records "
     "the decision in the registry.",
-    oracle=_EMB_TOPK_ORACLE,
+    oracle=_emb_topk_oracle,
 )
 def dedup_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_topk_grouped(spark, sf_dir)
@@ -1543,7 +1566,7 @@ def _bucket_topk_pdf(pdf):
     "#2) — the 100 TB run gets linear total in-cell work without "
     "remembering a conf, and every oracle fixture derives the floor 4, "
     "the geometry the shared oracle describes.",
-    oracle=_EMB_TOPK_ORACLE,
+    oracle=_emb_topk_oracle,
 )
 def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1612,8 +1635,14 @@ _SEMDEDUP_TARGET_POP = 25000
 _SEMDEDUP_FIXTURE_K = 10  # the fixture's fixed label vocabulary
 
 
-def _semdedup_cluster_bits(spark: SparkSession, sf_dir: str | None = None) -> int:
-    raw = spark.conf.get(_SEMDEDUP_BITS_CONF, "")
+def _semdedup_cluster_bits(
+    spark: SparkSession | None, sf_dir: str | None = None
+) -> int:
+    """Sub-split bit count for SemDeDup clusters — same derivation seam
+    as :func:`_emb_lsh_bits`; the registered oracle is regenerated at the
+    same bit count (r9 verdict #1), so no geometry pinning is needed for
+    an oracle comparison at any corpus size."""
+    raw = _conf_get(spark, _SEMDEDUP_BITS_CONF)
     if raw:
         try:
             return int(raw)
@@ -1624,8 +1653,8 @@ def _semdedup_cluster_bits(spark: SparkSession, sf_dir: str | None = None) -> in
             ) from None
     if sf_dir is None:
         return 0
-    target_raw = spark.conf.get(
-        _SEMDEDUP_TARGET_POP_CONF, str(_SEMDEDUP_TARGET_POP)
+    target_raw = _conf_get(
+        spark, _SEMDEDUP_TARGET_POP_CONF, str(_SEMDEDUP_TARGET_POP)
     )
     try:
         target = int(target_raw)
@@ -1638,20 +1667,7 @@ def _semdedup_cluster_bits(spark: SparkSession, sf_dir: str | None = None) -> in
     # The fixture assignment is a fixed k=10 label vocabulary; production
     # SemDeDup grows k with N instead, making this sub-split a no-op there.
     pop = n // _SEMDEDUP_FIXTURE_K
-    bits = derive_lsh_bits(pop, target, floor=0)
-    if bits != 0:
-        # ADVICE r8: same oracle-geometry hazard as _emb_lsh_bits — the
-        # registered oracle bakes clusterBits=0.
-        import warnings
-
-        warnings.warn(
-            f"auto-derived SemDeDup cluster bits = {bits} exceed the "
-            f"oracle-baked 0; an oracle comparison at this corpus size "
-            f"needs {_SEMDEDUP_BITS_CONF}=0 (or an oracle regenerated "
-            f"at {bits} bits)",
-            stacklevel=3,
-        )
-    return bits
+    return derive_lsh_bits(pop, target, floor=0)
 
 
 def _cluster_semantic_pdf(pdf):
@@ -1712,6 +1728,58 @@ def _cluster_semantic_pdf(pdf):
     )
 
 
+def _semdedup_oracle_sql(bits: int = 0) -> str:
+    """Geometry-parametric SemDeDup oracle: with ``bits`` > 0 the cluster
+    key is (label, subcluster) — centroids and dominance verdicts become
+    subcluster-scoped, mirroring the builder's groupBy — where subcluster
+    is the same deterministic hyperplane sign-bit bucket.  ``bits`` = 0
+    (every small fixture) reduces the key to the bare label."""
+    from arrow_experiments_spark.operators.similarity import lsh_bucket_sql
+
+    sub_expr = lsh_bucket_sql("embedding", 0, bits) if bits > 0 else "0"
+    return f"""
+        WITH nz AS (
+            SELECT vec_id, embedding, label, {sub_expr} AS sub
+            FROM embeddings
+            WHERE {norm_sql('embedding')} > 0
+        ), e AS (
+            SELECT label, sub, embedding[i] AS v, i - 1 AS pos
+            FROM nz, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
+        ), cent AS (
+            SELECT label, sub, pos,
+                   SUM(CAST(floor(CAST(v AS DOUBLE) * {_SEMDEDUP_SCALE}) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM e GROUP BY 1, 2, 3
+        ), cvec AS (
+            SELECT label, sub,
+                   LIST(CAST(s AS DOUBLE) / CAST(n * {_SEMDEDUP_SCALE} AS DOUBLE)
+                        ORDER BY pos) AS c
+            FROM cent GROUP BY label, sub
+        ), scored AS (
+            SELECT nz.vec_id, nz.label, nz.sub, nz.embedding,
+                   CASE WHEN {norm_sql('cvec.c')} > 0
+                        THEN CAST(CAST({cosine_sql('nz.embedding', 'cvec.c')}
+                                  AS DECIMAL(28,6)) AS DOUBLE)
+                        ELSE 0.0 END AS cos_centroid
+            FROM nz JOIN cvec ON nz.label = cvec.label AND nz.sub = cvec.sub
+        )
+        SELECT s.vec_id,
+               CAST(s.label AS INT) AS cluster,
+               s.cos_centroid,
+               NOT EXISTS (
+                   SELECT 1 FROM scored u
+                   WHERE u.label = s.label AND u.sub = s.sub
+                     AND u.vec_id <> s.vec_id
+                     AND CAST(CAST({cosine_sql('u.embedding', 's.embedding')}
+                              AS DECIMAL(28,6)) AS DOUBLE) >= {_SEMDEDUP_TAU}
+                     AND (u.cos_centroid < s.cos_centroid
+                          OR (u.cos_centroid = s.cos_centroid
+                              AND u.vec_id < s.vec_id))
+               ) AS kept
+        FROM scored s
+    """
+
+
 @register(
     "dedup_semantic_clusters",
     "dedup",
@@ -1744,47 +1812,12 @@ def _cluster_semantic_pdf(pdf):
     "verdicts and centroids become subcluster-scoped, as they would at "
     "higher k).  When the conf is UNSET, bits are AUTO-DERIVED as "
     "max(0, ceil(log2(pop / targetClusterPop))) from a footer-metadata "
-    "corpus count (r7 verdict #2); every oracle fixture derives 0, the "
-    "geometry the shared oracle describes.",
-    oracle=f"""
-        WITH nz AS (
-            SELECT vec_id, embedding, label FROM embeddings
-            WHERE {norm_sql('embedding')} > 0
-        ), e AS (
-            SELECT label, embedding[i] AS v, i - 1 AS pos
-            FROM nz, LATERAL unnest(generate_series(1, len(embedding))) AS t(i)
-        ), cent AS (
-            SELECT label, pos,
-                   SUM(CAST(floor(CAST(v AS DOUBLE) * {_SEMDEDUP_SCALE}) AS BIGINT)) AS s,
-                   COUNT(*) AS n
-            FROM e GROUP BY 1, 2
-        ), cvec AS (
-            SELECT label,
-                   LIST(CAST(s AS DOUBLE) / CAST(n * {_SEMDEDUP_SCALE} AS DOUBLE)
-                        ORDER BY pos) AS c
-            FROM cent GROUP BY label
-        ), scored AS (
-            SELECT nz.vec_id, nz.label, nz.embedding,
-                   CASE WHEN {norm_sql('cvec.c')} > 0
-                        THEN CAST(CAST({cosine_sql('nz.embedding', 'cvec.c')}
-                                  AS DECIMAL(28,6)) AS DOUBLE)
-                        ELSE 0.0 END AS cos_centroid
-            FROM nz JOIN cvec ON nz.label = cvec.label
-        )
-        SELECT s.vec_id,
-               CAST(s.label AS INT) AS cluster,
-               s.cos_centroid,
-               NOT EXISTS (
-                   SELECT 1 FROM scored u
-                   WHERE u.label = s.label AND u.vec_id <> s.vec_id
-                     AND CAST(CAST({cosine_sql('u.embedding', 's.embedding')}
-                              AS DECIMAL(28,6)) AS DOUBLE) >= {_SEMDEDUP_TAU}
-                     AND (u.cos_centroid < s.cos_centroid
-                          OR (u.cos_centroid = s.cos_centroid
-                              AND u.vec_id < s.vec_id))
-               ) AS kept
-        FROM scored s
-    """,
+    "corpus count (r7 verdict #2); the oracle is geometry-parametric — "
+    "regenerated at the same derived bit count, with centroids and "
+    "verdicts subcluster-scoped exactly like the builder's.",
+    oracle=lambda spark, sf_dir: _semdedup_oracle_sql(
+        _semdedup_cluster_bits(spark, sf_dir)
+    ),
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_experiments_spark.operators.similarity import (

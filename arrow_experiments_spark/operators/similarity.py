@@ -237,7 +237,7 @@ _IVF_TARGET_POP_CONF = "spark.arrowExperimentsSpark.ivf.targetCellPop"
 _IVF_TARGET_POP = 2000
 
 
-def _ivf_k(spark: SparkSession, sf_dir: str | None = None) -> int:
+def _ivf_k(spark: SparkSession | None, sf_dir: str | None = None) -> int:
     """Codebook cell count: the ``ivf.k`` conf when set, else derived
     from the corpus footer count as ``max(_IVF_K, ceil(N / targetCellPop))``
     — the cells-scale-with-the-corpus rule the codebook comment states,
@@ -245,12 +245,14 @@ def _ivf_k(spark: SparkSession, sf_dir: str | None = None) -> int:
     geometry in the similarity family; at 1000× natural density k=8
     leaves ~250k vectors per cell and the cell join bends quadratic).
     Floored at the oracle geometry so every correctness fixture derives
-    k=8; beyond the floor there is no SQL-expressible oracle (the cell
-    expression enumerates k centroids), so the derivation warns exactly
-    like the LSH-bits one."""
+    k=8.  The registered IVF oracles are geometry-parametric (r9 verdict
+    #1): they enumerate the SAME derived k's centroids at check time, so
+    a derived-k corpus oracle-checks without pinning a conf."""
     import math
 
-    raw = spark.conf.get(_IVF_K_CONF, "")
+    from arrow_experiments_spark.operators.dedup import _conf_get
+
+    raw = _conf_get(spark, _IVF_K_CONF)
     if raw:
         try:
             return int(raw)
@@ -260,7 +262,7 @@ def _ivf_k(spark: SparkSession, sf_dir: str | None = None) -> int:
             ) from None
     if sf_dir is None:
         return _IVF_K
-    target_raw = spark.conf.get(_IVF_TARGET_POP_CONF, str(_IVF_TARGET_POP))
+    target_raw = _conf_get(spark, _IVF_TARGET_POP_CONF, str(_IVF_TARGET_POP))
     try:
         target = int(target_raw)
     except (TypeError, ValueError):
@@ -270,17 +272,7 @@ def _ivf_k(spark: SparkSession, sf_dir: str | None = None) -> int:
         ) from None
     from arrow_experiments_spark.operators.dedup import _embeddings_n
 
-    k = max(_IVF_K, math.ceil(_embeddings_n(spark, sf_dir) / target))
-    if k != _IVF_K:
-        import warnings
-
-        warnings.warn(
-            f"auto-derived IVF k = {k} exceeds the oracle-baked floor "
-            f"{_IVF_K}; an oracle comparison at this corpus size needs "
-            f"{_IVF_K_CONF}={_IVF_K} (or an oracle regenerated at k={k})",
-            stacklevel=3,
-        )
-    return k
+    return max(_IVF_K, math.ceil(_embeddings_n(spark, sf_dir) / target))
 
 
 def _l2sq(a: F.Column, cent: F.Column) -> F.Column:
@@ -448,10 +440,13 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codebook drops in without changing the plan), candidates restricted "
     "to the probe's cell, top-3 by snapped cosine.  Fixes the fixed-"
     "vocabulary caveat of label cells: cell count is a parameter, so cell "
-    "population stays bounded as the corpus grows.",
-    oracle=f"""
+    "population stays bounded as the corpus grows.  The oracle is "
+    "geometry-parametric: it enumerates the same auto-derived k centroids "
+    "the builder assigns with (r9 verdict #1).",
+    oracle=lambda spark, sf_dir: f"""
         WITH nz AS ({_NZ_SQL}), cells AS (
-            SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
+            SELECT vec_id, embedding,
+                   {ivf_cell_sql("embedding", _ivf_k(spark, sf_dir))} AS cell
             FROM nz
         )
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
@@ -563,14 +558,17 @@ def _multiprobe_cells_sql(emb: str, k: int = _IVF_K, nprobe: int = 2) -> str:
     "Plan shape: probe→cells is a broadcastable nprobe-row expansion of "
     "the probe set; candidates join on cell exactly like "
     "ann_ivf_codebook, so the shuffle stays bounded by nprobe × cell "
-    "population.  Top-3 per probe across both probed cells.",
-    oracle=f"""
+    "population.  Top-3 per probe across both probed cells.  Geometry-"
+    "parametric oracle: cells and probe ranking regenerate at the same "
+    "auto-derived k (r9 verdict #1).",
+    oracle=lambda spark, sf_dir: f"""
         WITH nz AS ({_NZ_SQL}),
         probes AS (SELECT vec_id, embedding FROM nz WHERE vec_id < 10),
         cells AS (
-            SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
+            SELECT vec_id, embedding,
+                   {ivf_cell_sql("embedding", _ivf_k(spark, sf_dir))} AS cell
             FROM nz
-        ), {_multiprobe_cells_sql("embedding")}
+        ), {_multiprobe_cells_sql("embedding", _ivf_k(spark, sf_dir))}
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    {_COS_SNAP_SQL} AS cos_sim,
@@ -769,8 +767,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "retriever-on-a-sample step: k (cell count) trades recall against "
     "cell population exactly as LSH bits do, and this query is how that "
     "trade is measured before committing the full-corpus cell join.",
-    oracle=_RECALL_ORACLE.format(
-        nz=_NZ_SQL, cell_expr=ivf_cell_sql("embedding"), cos=_COS_SNAP_SQL
+    oracle=lambda spark, sf_dir: _RECALL_ORACLE.format(
+        nz=_NZ_SQL,
+        cell_expr=ivf_cell_sql("embedding", _ivf_k(spark, sf_dir)),
+        cos=_COS_SNAP_SQL,
     ),
 )
 def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,14 +788,16 @@ def ann_recall_eval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on a sample at each candidate setting and the knee picked; the "
     "per-query recall here can only be >= the single-probe eval's "
     "(tests assert the dominance).  Same exact-side shape and bit-"
-    "identical tie-breaks as the other recall evals.",
-    oracle=f"""
+    "identical tie-breaks as the other recall evals.  Geometry-"
+    "parametric oracle, regenerated at the auto-derived k.",
+    oracle=lambda spark, sf_dir: f"""
         WITH nz AS ({_NZ_SQL}),
         probes AS (SELECT vec_id, embedding FROM nz WHERE vec_id < 10),
         cells AS (
-            SELECT vec_id, embedding, {ivf_cell_sql("embedding")} AS cell
+            SELECT vec_id, embedding,
+                   {ivf_cell_sql("embedding", _ivf_k(spark, sf_dir))} AS cell
             FROM nz
-        ), {_multiprobe_cells_sql("embedding")},
+        ), {_multiprobe_cells_sql("embedding", _ivf_k(spark, sf_dir))},
         exact AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -27,6 +27,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# Oracle SQL is either a static string or — for queries whose builders
+# derive geometry from corpus size (LSH bits, SemDeDup cluster bits,
+# IVF k) — a callable ``(spark | None, sf_dir) -> str`` that regenerates
+# the SQL from the SAME derived parameters at check time (r9 verdict #1:
+# a floor-geometry string baked at import silently compares different
+# bucketings once the corpus crosses the derivation threshold).
+OracleFn = Callable[[SparkSession | None, str], str]
+
+# Default corpus the driver's correctness gate compares against; callable
+# oracles resolve here when no sf_dir is given (``__spark_entry__
+# .oracle_sql()`` takes no arguments by contract).
+DRIVER_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 @dataclass(frozen=True)
 class Query:
@@ -34,7 +47,27 @@ class Query:
     category: str
     doc: str
     build: QueryFn
-    oracle: str | None = None
+    oracle: str | OracleFn | None = None
+
+    def oracle_sql(
+        self, spark: SparkSession | None = None, sf_dir: str | None = None
+    ) -> str | None:
+        """The DuckDB oracle SQL for this query against ``sf_dir`` —
+        resolves geometry-parametric oracles with the same derivation
+        the builder runs (conf overrides honored when ``spark`` is
+        given; footer-count derivation otherwise)."""
+        if self.oracle is None:
+            return None
+        if callable(self.oracle):
+            import os
+
+            return self.oracle(
+                spark,
+                sf_dir
+                or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+                or DRIVER_ORACLE_SF_DIR,
+            )
+        return self.oracle
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -73,63 +106,46 @@ def _load_operators() -> None:
         importlib.import_module(mod)
 
 
-# Queries that already earned a green driver-side CORRECTNESS row
-# (union of CORRECTNESS_r01..r04.json greens).  If the driver harness
-# verifies a bounded prefix of the registry per round, never-verified
-# queries must surface first so every query earns a hard row across rounds.
-# Excluded on purpose: `embedding_label_centroids` (reshaped to scalar
-# columns after its r4 driver-canonicalizer failure) — it re-earns a row
-# before anything else is re-checked.
-_DRIVER_VERIFIED = frozenset({
-    # r4 additions
-    "agg_pivot", "asof_join", "dedup_embedding_cosine", "dedup_embedding_topk",
-    # dedup_ngram_jaccard_lsh: REMOVED from the verified set in round 5 —
-    # its verify stage gained the exact scorer's language block (making
-    # the documented subset relation literal), so the driver must re-earn
-    # its row before re-checking anything already green.
-    "events_funnel", "events_interval_join",
-    "events_retention_cohort", "events_rollup_gapfill",
-    "events_transition_matrix", "map_functions", "pipeline_importance_sample",
-    "stateful_user_stats", "udf_grouped_map_normalize",
-    "udf_pandas_grouped_agg", "udf_pandas_scalar",
-    "agg_approx", "agg_basic", "agg_count_distinct", "agg_cube",
-    "agg_grouping_sets", "agg_percentile", "agg_rollup", "agg_stats",
-    "ann_ivf_codebook", "ann_ivf_label", "ann_lsh_hyperplane",
-    "decontaminate_ngram_overlap", "dedup_clusters", "dedup_clusters_twophase",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "events_dedup_first", "events_session_window", "events_sliding_window",
-    "events_tumbling_window", "explode_wordcount", "join_broadcast_dims",
-    "join_full_outer", "join_left_anti", "join_left_outer", "join_left_semi",
-    "join_range_band", "join_right_outer", "join_salted_skew",
-    "knn_bruteforce_cosine", "multimodal_binary_meta",
-    "multimodal_frame_sample", "multimodal_image_features",
-    "multimodal_resize", "pipeline_global_shuffle", "pipeline_pack_shards",
-    "pipeline_stratified_sample", "pipeline_training_select",
-    "q10_returned_items", "q11_part_value_concentration",
-    "q12_late_shipment_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-    "q17_small_quantity_revenue", "q18_large_volume_customer",
-    "q19_discounted_revenue", "q1_pricing_summary", "q20_red_part_shippers",
-    "q21_last_shipper_waiting", "q22_idle_rich_customers",
-    "q2_best_supplier_per_part", "q3_shipping_priority", "q4_order_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_profit_by_nation_year", "scalar_array",
-    "scalar_conditional", "scalar_date", "scalar_json", "scalar_math",
-    "scalar_string", "scalar_to_json", "set_except", "set_intersect",
-    "set_union_all", "set_union_distinct", "slice_offset_limit",
-    "sort_multi_key", "text_fingerprint", "text_language_id",
-    "text_quality_score", "text_repetition_signals", "text_tfidf_top_terms",
-    "text_token_count", "text_unigram_popularity", "topk_per_group",
-    "window_lag_lead", "window_ntile_dist", "window_range_frame",
-    "window_rank", "window_running_sum",
-})
+# Driver-verification rotation (r9 verdict #3): the driver harness checks a
+# bounded prefix of the registry per round, so the registry orders queries
+# least-recently-verified first.  The ledger is derived from the committed
+# CORRECTNESS_r*.json files (name -> last round a driver row exists for,
+# 0 for never-checked), so the sample rotates the whole registry every few
+# rounds instead of re-checking the same frozen prefix.  Heavily-refactored
+# long-green queries (the r4-era TPC-H / join / window rows) re-earn fresh
+# rows this way.
+
+
+def _verification_ledger() -> dict[str, int]:
+    import glob
+    import json
+    import os
+    import re
+
+    ledger: dict[str, int] = {}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            ledger[name] = max(ledger.get(name, 0), rnd)
+    return ledger
 
 
 def all_queries() -> dict[str, Query]:
     _load_operators()
-    pending = {n: q for n, q in _REGISTRY.items() if n not in _DRIVER_VERIFIED}
-    verified = {n: q for n, q in _REGISTRY.items() if n in _DRIVER_VERIFIED}
-    return {**pending, **verified}
+    ledger = _verification_ledger()
+    ordered = sorted(_REGISTRY, key=lambda n: (ledger.get(n, 0), n))
+    return {n: _REGISTRY[n] for n in ordered}
 
 
 def get_query(name: str) -> Query:

@@ -30,6 +30,6 @@ def test_query_matches_oracle(spark, duck, name):
         assert rows >= 0
         assert len(df.columns) > 0
         return
-    res = compare(name, df, duck, q.oracle)
+    res = compare(name, df, duck, q.oracle_sql(spark, SF_DIR_T2))
     assert res.ok, f"{name}: {res.detail}"
     assert res.spark_rows > 0, f"{name}: empty result — weak test"

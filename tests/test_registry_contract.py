@@ -39,7 +39,10 @@ def test_output_schema_is_scalar_only(spark, name):
 
 
 def test_oracle_entries_cover_queries():
-    """Every oracle string belongs to a registered query and is non-empty."""
+    """Every oracle belongs to a registered query and resolves to
+    non-empty SQL — geometry-parametric (callable) oracles resolve at
+    the fixture corpus without a live session."""
     for name, q in _QUERIES.items():
         if q.oracle is not None:
-            assert q.oracle.strip(), f"{name}: empty oracle SQL"
+            sql = q.oracle_sql(None, SF_DIR)
+            assert sql and sql.strip(), f"{name}: empty oracle SQL"

@@ -570,3 +570,71 @@ def test_auto_cluster_bits_large_n_subsplits(spark):
         assert "THEN 4 ELSE" in plan, plan[:2000]  # 3rd bit (1 << 2)
     finally:
         spark.conf.unset("spark.arrowExperimentsSpark.emb.corpusNOverride")
+
+
+def test_auto_geometry_oracle_green_above_threshold(spark, tmp_path):
+    """r9 verdict #1 'done' criterion: an auto-geometry query oracle-checks
+    GREEN on a corpus above the derivation threshold (>32,768 embeddings)
+    with NO conf pinned — the registered oracle is a callable that
+    regenerates the DuckDB SQL at the same derived bit count the builder
+    uses, so both sides compare the same bucketing instead of the
+    pre-r10 floor-baked string.
+
+    The corpus carries 40,960 rows (the parquet FOOTER count drives the
+    derivation: ceil(log2(40960/2000)) = 5 bits, above the 4-bit floor)
+    of which 2,048 are nonzero payload vectors; both engines apply the
+    same nonzero-norm entry filter, so the zero rows exist only to set
+    the derived geometry.  What's under test is geometry ALIGNMENT —
+    pair throughput at this scale is covered by the SCALE.md decade
+    sweeps.  256 of the payload vectors are scaled copies (cosine
+    exactly 1, identical sign buckets) so the result is non-trivially
+    populated."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arrow_experiments_spark.operators.dedup import _emb_lsh_bits
+    from arrow_experiments_spark.oracle import compare
+    from arrow_experiments_spark.registry import all_queries
+
+    n_total, n_payload, dim = 40_960, 2_048, 64
+    rng = np.random.default_rng(7)
+    vecs = np.zeros((n_total, dim), dtype=np.float32)
+    vecs[:n_payload] = rng.standard_normal((n_payload, dim)).astype(np.float32)
+    # planted near-dups: scaled copies bucket identically, cosine = 1
+    vecs[n_payload - 256 : n_payload] = 0.5 * vecs[: 256]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_total), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 10 for i in range(n_total)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    # no conf set: derivation must leave the floor on its own
+    assert spark.conf.get("spark.arrowExperimentsSpark.emb.lshBits", "") == ""
+    assert _emb_lsh_bits(spark, str(tmp_path)) == 5
+
+    q = all_queries()["dedup_embedding_topk_grouped"]
+    sql = q.oracle_sql(spark, str(tmp_path))
+    # the 5th sign-bit term (1 << 4 = 16) proves the resolved SQL carries
+    # the derived geometry, not the floor
+    assert "THEN 16 ELSE" in sql
+    assert "THEN 16 ELSE" not in q.oracle_sql(None, SF_DIR_T2)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    try:
+        df = q.build(spark, str(tmp_path))
+        res = compare("dedup_embedding_topk_grouped@40k", df, con, sql)
+        assert res.ok, res.detail
+        assert res.spark_rows >= 256, res.spark_rows
+    finally:
+        con.close()

@@ -70,7 +70,7 @@ def main() -> None:
         if q.oracle:
             t0 = time.monotonic()
             try:
-                con.execute(q.oracle).fetchall()
+                con.execute(q.oracle_sql(spark, sf_dir)).fetchall()
                 d = time.monotonic() - t0
             except Exception as e:  # noqa: BLE001
                 rows.append((name, s, None, f"ORACLE ERROR {e}"))
