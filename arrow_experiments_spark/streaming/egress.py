@@ -124,10 +124,14 @@ def upsert_snapshot_sink(
       skipped — a second run against an existing snapshot merges its
       first micro-batch instead of silently discarding it.
 
-    One WRITER at a time per snapshot (Structured Streaming's own
-    single-active-query-per-checkpoint discipline; concurrent writers
-    would race the pointer swap).  Readers are unlimited — that is what
-    the versioned-dir contract exists for.
+    One WRITER at a time per snapshot — ENFORCED by :class:`WriterLease`
+    (create-exclusive ``_LEASE.json`` with heartbeat + fencing token;
+    a second concurrent writer raises :class:`WriterLeaseHeld` at
+    attach, and a writer whose lease was taken over after a stall
+    raises :class:`WriterFenced` at its next commit, before the pointer
+    swap).  A crashed writer's lease expires after its TTL and the next
+    writer takes over with a higher token.  Readers are unlimited —
+    that is what the versioned-dir contract exists for.
 
     ``prepare``: optional ``(batch_df, current_snapshot | None) ->
     DataFrame`` hook run before the keyed merge — the seam for
@@ -154,8 +158,10 @@ def upsert_snapshot_sink(
     spark = stream_df.sparkSession
     _check_bucket_cols(key_cols, bucket_cols)
     os.makedirs(snapshot_dir, exist_ok=True)
+    lease = WriterLease.acquire(snapshot_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        lease.heartbeat()
         committed = _committed_version(snapshot_dir)
         seq = _alloc_seq(committed, batch_id, checkpoint_dir is not None)
         if seq is None:
@@ -177,12 +183,16 @@ def upsert_snapshot_sink(
             bucket_cols=bucket_cols,
             seq=seq,
             committed=committed,
+            lease=lease,
         )
 
-    return _run_foreach_batch(
-        stream_df, merge, checkpoint_dir, timeout_sec,
-        f"upsert ({snapshot_dir})",
-    )
+    try:
+        return _run_foreach_batch(
+            stream_df, merge, checkpoint_dir, timeout_sec,
+            f"upsert ({snapshot_dir})",
+        )
+    finally:
+        lease.release()
 
 
 def _check_bucket_cols(key_cols: list[str], bucket_cols: list[str] | None) -> None:
@@ -321,6 +331,7 @@ def _merge_batch(
     bucket_cols: list[str] | None,
     seq: int,
     committed: str | None,
+    lease: "WriterLease | None" = None,
 ) -> str:
     """One keyed latest-wins merge of ``batch_df`` into the bucketed
     versioned snapshot: write ``v{seq}``, hard-link untouched buckets
@@ -328,7 +339,9 @@ def _merge_batch(
     superseded versions.  Returns the committed version name.  This is
     the shared core of :func:`upsert_snapshot_sink` and the multi-table
     sinks (doc snapshot + band index) that merge more than one snapshot
-    per micro-batch."""
+    per micro-batch.  ``lease``: the caller's :class:`WriterLease`,
+    fence-checked immediately before the pointer swap so a taken-over
+    writer aborts instead of committing."""
     import json
     import os
     import shutil
@@ -427,6 +440,8 @@ def _merge_batch(
     # next merge prunes only when count AND columns both match
     with open(os.path.join(vdir, "_LAYOUT.json"), "w") as f:
         json.dump({"n_buckets": n_buckets, "bucket_cols": bcols}, f)
+    if lease is not None:
+        lease.check()  # fence: a taken-over writer must not swap the pointer
     tmp = pointer + f".tmp{seq}"
     with open(tmp, "w") as f:
         f.write(version)
@@ -467,6 +482,149 @@ def _run_foreach_batch(
             "snapshot(s) reflect only the committed micro-batches"
         )
     return q
+
+
+class WriterLeaseHeld(RuntimeError):
+    """A live writer already holds the lease on this snapshot directory."""
+
+
+class WriterFenced(RuntimeError):
+    """This writer's lease was taken over (its fencing token is stale) —
+    committing would interleave with the new owner's versions."""
+
+
+class WriterLease:
+    """Single-writer enforcement for the versioned-snapshot sinks (r9
+    verdict #2 — the contract used to be documentation-only).
+
+    Mechanics (single-host / POSIX-rename semantics; the object-store
+    seat of the same contract is a conditional-PUT on the lease object):
+
+    * acquire: ``O_CREAT|O_EXCL`` on ``{dir}/_LEASE.json`` — exactly one
+      creator wins.  An existing lease blocks acquisition with
+      :class:`WriterLeaseHeld` unless its heartbeat is older than
+      ``ttl_sec`` (a crashed writer never unlinks); stale takeover
+      atomically replaces the file and re-reads it to confirm the race
+      winner.
+    * fencing: every acquisition increments a monotonic ``token``
+      (carried in the lease file itself).  :meth:`check` re-reads the
+      file and raises :class:`WriterFenced` when the nonce no longer
+      matches — and :func:`_merge_batch` runs that check immediately
+      before the LATEST pointer swap, so a fenced-off writer cannot
+      commit a version that interleaves with the new owner's.
+    * heartbeat: each micro-batch refreshes the file (verify-then-
+      replace).  A writer stalled past the TTL can lose the lease
+      mid-batch; its next commit then fails the fence check instead of
+      corrupting the snapshot — fencing at commit granularity.
+    """
+
+    def __init__(self, path: str, nonce: str, token: int):
+        self.path = path
+        self.nonce = nonce
+        self.token = token
+
+    @staticmethod
+    def _payload(nonce: str, token: int) -> dict:
+        import os
+        import socket
+        import time
+
+        return {
+            "nonce": nonce,
+            "token": token,
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "heartbeat": time.time(),
+        }
+
+    @classmethod
+    def acquire(cls, base_dir: str, ttl_sec: float = 60.0) -> "WriterLease":
+        import errno
+        import json
+        import os
+        import time
+        import uuid
+
+        os.makedirs(base_dir, exist_ok=True)
+        path = os.path.join(base_dir, "_LEASE.json")
+        nonce = uuid.uuid4().hex
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except OSError as e:
+            if e.errno != errno.EEXIST:
+                raise
+            # lease exists — live writer, or a crashed one past its TTL
+            try:
+                with open(path) as f:
+                    cur = json.load(f)
+            except (OSError, ValueError):
+                cur = {}
+            age = time.time() - float(cur.get("heartbeat", 0))
+            if age <= ttl_sec:
+                raise WriterLeaseHeld(
+                    f"snapshot writer lease on {base_dir} is held by "
+                    f"pid {cur.get('pid')}@{cur.get('host')} "
+                    f"(heartbeat {age:.1f}s ago, ttl {ttl_sec}s): one "
+                    "writer at a time per snapshot — a second writer's "
+                    "interleaved commits could strand a LATEST pointer "
+                    "on a version mixing both writers' buckets"
+                ) from None
+            # stale takeover with a HIGHER fencing token; atomic replace,
+            # then read back to confirm this process won a concurrent race
+            token = int(cur.get("token", 0)) + 1
+            tmp = path + f".tmp.{nonce}"
+            with open(tmp, "w") as f:
+                json.dump(cls._payload(nonce, token), f)
+            os.replace(tmp, path)
+            with open(path) as f:
+                now = json.load(f)
+            if now.get("nonce") != nonce:
+                raise WriterLeaseHeld(
+                    f"lost the stale-lease takeover race on {base_dir} "
+                    f"to pid {now.get('pid')}@{now.get('host')}"
+                ) from None
+            return cls(path, nonce, token)
+        with os.fdopen(fd, "w") as f:
+            json.dump(cls._payload(nonce, 1), f)
+        return cls(path, nonce, 1)
+
+    def _current(self) -> dict:
+        import json
+
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def check(self) -> None:
+        cur = self._current()
+        if cur.get("nonce") != self.nonce or int(cur.get("token", -1)) != self.token:
+            raise WriterFenced(
+                f"writer lease on {self.path} was taken over "
+                f"(token {cur.get('token')} > ours {self.token}); "
+                "refusing to commit — the new owner's versions would "
+                "interleave with this writer's"
+            )
+
+    def heartbeat(self) -> None:
+        import json
+        import os
+
+        self.check()
+        tmp = self.path + f".tmp.{self.nonce}"
+        with open(tmp, "w") as f:
+            json.dump(self._payload(self.nonce, self.token), f)
+        os.replace(tmp, self.path)
+
+    def release(self) -> None:
+        import contextlib
+        import os
+
+        cur = self._current()
+        if cur.get("nonce") == self.nonce:
+            with contextlib.suppress(OSError):
+                os.remove(self.path)
 
 
 def _check_geometry(base_dir: str, record: dict, subdirs: list[str]) -> None:
@@ -702,11 +860,19 @@ def incremental_neardup_sink(
     spark = stream_df.sparkSession
     docs_dir = os.path.join(base_dir, "docs")
     bands_dir = os.path.join(base_dir, "bands")
-    _check_geometry(
-        base_dir,
-        {"n_sigs": _N_SIGS, "n_bands": _N_BANDS},
-        ["docs", "bands"],
-    )
+    # ONE lease over base_dir covers BOTH snapshots: the hazard is two
+    # writers interleaving docs/ and bands/ commits (a LATEST pointer
+    # mixing writers' buckets), which per-subdir leases would not stop
+    lease = WriterLease.acquire(base_dir)
+    try:
+        _check_geometry(
+            base_dir,
+            {"n_sigs": _N_SIGS, "n_bands": _N_BANDS},
+            ["docs", "bands"],
+        )
+    except Exception:
+        lease.release()
+        raise
     doc_keys = ["content_hash"]
     band_keys = ["band_idx", "band_val", "doc_id"]
     band_buckets = ["band_idx", "band_val"]
@@ -746,6 +912,7 @@ def incremental_neardup_sink(
     ).cast("int")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        lease.heartbeat()
         ckpt = checkpoint_dir is not None
         committed_docs = _committed_version(docs_dir)
         seq_docs = _alloc_seq(committed_docs, batch_id, ckpt)
@@ -894,6 +1061,7 @@ def incremental_neardup_sink(
                     key_cols=doc_keys, order_col="doc_id",
                     n_buckets=n_buckets, bucket_cols=None,
                     seq=seq_docs, committed=committed_docs,
+                    lease=lease,
                 )
             # band-index leg — derived from the COMMITTED docs snapshot
             # joined back on the batch's hashes, so a replay after a
@@ -922,15 +1090,19 @@ def incremental_neardup_sink(
                 key_cols=band_keys, order_col="doc_id",
                 n_buckets=n_buckets, bucket_cols=band_buckets,
                 seq=seq_bands, committed=committed_bands,
+                lease=lease,
             )
         finally:
             for f in pinned:
                 f.unpersist()
 
-    return _run_foreach_batch(
-        stream_df, merge, checkpoint_dir, timeout_sec,
-        f"neardup ({base_dir})",
-    )
+    try:
+        return _run_foreach_batch(
+            stream_df, merge, checkpoint_dir, timeout_sec,
+            f"neardup ({base_dir})",
+        )
+    finally:
+        lease.release()
 
 
 def incremental_embedding_dedup_sink(
@@ -1011,9 +1183,17 @@ def incremental_embedding_dedup_sink(
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
     cells_dir = os.path.join(base_dir, "cells")
-    _check_geometry(
-        base_dir, {"bands": bands, "bits": bits}, ["vecs", "cells"]
-    )
+    # one lease over base_dir covers both snapshots (see
+    # incremental_neardup_sink: interleaved vecs/cells commits are the
+    # hazard per-subdir leases would miss)
+    lease = WriterLease.acquire(base_dir)
+    try:
+        _check_geometry(
+            base_dir, {"bands": bands, "bits": bits}, ["vecs", "cells"]
+        )
+    except Exception:
+        lease.release()
+        raise
     vec_keys = ["vec_id"]
     cell_keys = ["band", "cell", "vec_id"]
     cell_buckets = ["band", "cell"]
@@ -1051,6 +1231,7 @@ def incremental_embedding_dedup_sink(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
+        lease.heartbeat()
         ckpt = checkpoint_dir is not None
         committed_vecs = _committed_version(vecs_dir)
         seq_vecs = _alloc_seq(committed_vecs, batch_id, ckpt)
@@ -1193,6 +1374,7 @@ def incremental_embedding_dedup_sink(
                     key_cols=vec_keys, order_col="vec_id",
                     n_buckets=n_buckets, bucket_cols=None,
                     seq=seq_vecs, committed=committed_vecs,
+                    lease=lease,
                 )
             # cell-index leg — from the COMMITTED vecs joined back on the
             # batch's ids (crash-heal contract, see incremental_neardup_sink)
@@ -1218,15 +1400,19 @@ def incremental_embedding_dedup_sink(
                 key_cols=cell_keys, order_col="vec_id",
                 n_buckets=n_buckets, bucket_cols=cell_buckets,
                 seq=seq_cells, committed=committed_cells,
+                lease=lease,
             )
         finally:
             for f in pinned:
                 f.unpersist()
 
-    return _run_foreach_batch(
-        stream_df, merge, checkpoint_dir, timeout_sec,
-        f"embedding-dedup ({base_dir})",
-    )
+    try:
+        return _run_foreach_batch(
+            stream_df, merge, checkpoint_dir, timeout_sec,
+            f"embedding-dedup ({base_dir})",
+        )
+    finally:
+        lease.release()
 
 
 def _layout_record(vdir: str) -> dict:

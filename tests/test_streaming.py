@@ -1498,3 +1498,136 @@ def test_curated_snapshot_served_through_catalog(spark, tmp_path):
             assert e.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_second_writer_fails_loudly_while_lease_held(spark, tmp_path):
+    """r9 verdict #2: the single-writer contract is ENFORCED, not
+    documentation — while one writer holds the snapshot lease (as it
+    does for the whole run, heartbeating per micro-batch), a second
+    concurrent writer raises WriterLeaseHeld at attach instead of
+    interleaving commits; after the holder releases, the survivor's
+    snapshot passes the same parity asserts as a lone writer's."""
+    import pytest as _pytest
+
+    from arrow_experiments_spark.streaming.egress import (
+        WriterLease,
+        WriterLeaseHeld,
+        read_snapshot,
+        upsert_snapshot_sink,
+    )
+
+    src = table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    staged = str(tmp_path / "staged")
+    src.limit(200).repartition(2).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    snap = str(tmp_path / "snapshot")
+
+    holder = WriterLease.acquire(snap)  # writer A, mid-merge
+    with _pytest.raises(WriterLeaseHeld, match="one\\s+writer at a time"):
+        upsert_snapshot_sink(
+            stream, snap, key_cols=["user_id"], order_col="event_id"
+        )
+    holder.release()
+
+    # survivor: a lone writer now succeeds and the snapshot is correct
+    upsert_snapshot_sink(
+        stream, snap, key_cols=["user_id"], order_col="event_id"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+    want = (
+        spark.read.parquet(staged)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    final = read_snapshot(spark, snap)
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
+
+
+def test_fenced_writer_cannot_commit_after_takeover(spark, tmp_path):
+    """A writer stalled past the lease TTL loses the lease to a
+    higher-fencing-token successor; its next commit must abort BEFORE
+    the LATEST pointer swap, leaving the successor's snapshot alone."""
+    import json
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from arrow_experiments_spark.streaming.egress import (
+        WriterFenced,
+        WriterLease,
+        _merge_batch,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    stalled = WriterLease.acquire(snap)
+
+    # simulate the stall: backdate the heartbeat past the TTL, then a
+    # second writer takes over with token+1
+    with open(stalled.path) as f:
+        rec = json.load(f)
+    rec["heartbeat"] = time.time() - 3600
+    with open(stalled.path, "w") as f:
+        json.dump(rec, f)
+    successor = WriterLease.acquire(snap)
+    assert successor.token == stalled.token + 1
+
+    batch = spark.createDataFrame(
+        [(1, 10, "a")], "user_id int, event_id int, event_type string"
+    )
+    with _pytest.raises(WriterFenced, match="taken over"):
+        _merge_batch(
+            spark, batch, snap,
+            key_cols=["user_id"], order_col="event_id",
+            n_buckets=4, bucket_cols=None,
+            seq=0, committed=None, lease=stalled,
+        )
+    # the fenced writer swapped nothing: no LATEST pointer exists yet
+    assert not os.path.exists(os.path.join(snap, "LATEST"))
+    # the successor commits fine
+    _merge_batch(
+        spark, batch, snap,
+        key_cols=["user_id"], order_col="event_id",
+        n_buckets=4, bucket_cols=None,
+        seq=0, committed=None, lease=successor,
+    )
+    assert os.path.exists(os.path.join(snap, "LATEST"))
+    successor.release()
+
+
+def test_multi_table_sinks_hold_one_lease_over_base_dir(spark, tmp_path):
+    """The near-dup sinks' hazard is INTERLEAVED docs/bands (vecs/cells)
+    commits — so the lease covers base_dir, and a second sink attach on
+    the same index fails loudly while the first would be mid-run."""
+    import pytest as _pytest
+
+    from arrow_experiments_spark.streaming.egress import (
+        WriterLease,
+        WriterLeaseHeld,
+        incremental_neardup_sink,
+    )
+
+    base = str(tmp_path / "ndidx")
+    holder = WriterLease.acquire(base)
+
+    src = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    staged = str(tmp_path / "staged")
+    src.limit(50).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    with _pytest.raises(WriterLeaseHeld):
+        incremental_neardup_sink(stream, base)
+    holder.release()
