@@ -213,6 +213,46 @@ def lsh_bucket_col(emb: F.Column, band: int = 0, bits: int = _LSH_BITS) -> F.Col
     return out
 
 
+def lsh_cells_np(emb_series, bands: int, bits: int):
+    """(n, bands) int32 per-band LSH cells — the SAME left-fold dot
+    products and sign rule as :func:`lsh_bucket_col`, accumulated
+    dim-by-dim in index order so every sign decision is bit-identical
+    to the in-plan form (the _codebook_l2sq_np discipline: np.sum's
+    pairwise reordering is deliberately avoided)."""
+    import numpy as np
+
+    a = np.array(emb_series.tolist(), dtype=np.float64)  # f32 -> f64 exact
+    out = np.zeros((a.shape[0], bands), dtype=np.int32)
+    for band in range(bands):
+        for k in range(bits):
+            h = _hyperplane_values(band * bits + k)[: a.shape[1]]
+            acc = np.zeros(a.shape[0])
+            for i in range(a.shape[1]):
+                acc = acc + a[:, i] * h[i]
+            out[:, band] |= np.where(acc >= 0, 1 << k, 0).astype(np.int32)
+    return out
+
+
+def lsh_cells_col(emb: F.Column, bands: int, bits: int) -> F.Column:
+    """All bands' LSH cells as ONE Arrow-batched kernel returning
+    ``array<int>`` (index = band).  Bit-identical to
+    ``[lsh_bucket_col(emb, b, bits) for b in range(bands)]`` — same
+    folds, same sign rule — but the plan node is a single PythonUDF:
+    the in-plan form's tree (bands × bits zip_with/aggregate folds over
+    64-double literals) costs seconds of Catalyst ANALYSIS per plan
+    that embeds it at derived bit counts (measured 2-3 s at 10 bits
+    against 0.5 s of execution), and a streaming gate's micro-batch
+    embeds it in several actions.  Batch queries keep the in-plan form
+    — they pay analysis once and stay whole-stage-codegen'd."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _cells(e: pd.Series) -> pd.Series:
+        return pd.Series(list(lsh_cells_np(e, bands, bits)))
+
+    return _cells(emb)
+
+
 def _bucket_sql(emb: str) -> str:
     return lsh_bucket_sql(emb, 0)
 
@@ -432,21 +472,15 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_codebook",
-    "similarity",
-    doc="ANN via IVF with a parametric codebook: cell = argmin L2 distance "
-    "to k=8 deterministic LCG centroids (broadcast; a trained k-means "
-    "codebook drops in without changing the plan), candidates restricted "
-    "to the probe's cell, top-3 by snapped cosine.  Fixes the fixed-"
-    "vocabulary caveat of label cells: cell count is a parameter, so cell "
-    "population stays bounded as the corpus grows.  The oracle is "
-    "geometry-parametric: it enumerates the same auto-derived k centroids "
-    "the builder assigns with (r9 verdict #1).",
-    oracle=lambda spark, sf_dir: f"""
+def _ivf_codebook_oracle_sql(k: int) -> str:
+    """Shared declared result of cell-restricted IVF top-3: used by
+    ``ann_ivf_codebook`` (per-query assignment) and
+    ``ann_ivf_index_probe`` (the maintained index artifact) — one
+    oracle, two physical forms, geometry-parametric in k."""
+    return f"""
         WITH nz AS ({_NZ_SQL}), cells AS (
             SELECT vec_id, embedding,
-                   {ivf_cell_sql("embedding", _ivf_k(spark, sf_dir))} AS cell
+                   {ivf_cell_sql("embedding", k)} AS cell
             FROM nz
         )
         SELECT query_id, neighbor_id, cos_sim, rnk FROM (
@@ -458,7 +492,23 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN cells c ON q.cell = c.cell AND q.vec_id <> c.vec_id
             WHERE q.vec_id < 10
         ) WHERE rnk <= 3
-    """,
+    """
+
+
+@register(
+    "ann_ivf_codebook",
+    "similarity",
+    doc="ANN via IVF with a parametric codebook: cell = argmin L2 distance "
+    "to k=8 deterministic LCG centroids (broadcast; a trained k-means "
+    "codebook drops in without changing the plan), candidates restricted "
+    "to the probe's cell, top-3 by snapped cosine.  Fixes the fixed-"
+    "vocabulary caveat of label cells: cell count is a parameter, so cell "
+    "population stays bounded as the corpus grows.  The oracle is "
+    "geometry-parametric: it enumerates the same auto-derived k centroids "
+    "the builder assigns with (r9 verdict #1).",
+    oracle=lambda spark, sf_dir: _ivf_codebook_oracle_sql(
+        _ivf_k(spark, sf_dir)
+    ),
 )
 def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _ivf_k(spark, sf_dir)
@@ -896,4 +946,220 @@ def ann_recall_eval_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
             / F.count("*")
         ).alias("recall"),
+    )
+
+
+# ---- maintained IVF index artifact ------------------------------------------
+
+# Where index artifacts live: the conf (production — a named warehouse
+# path) or a per-corpus tempdir; namespaced per corpus like the HLL
+# sketch shards (analytics.sketch_table_dir) so two corpora sharing one
+# session never clobber each other's artifacts.
+_IVF_INDEX_DIR_CONF = "spark.arrowExperimentsSpark.ivf.indexDir"
+_IVF_INDEX_BUCKETS = 32
+
+
+def ivf_index_dir(sf_dir: str, spark: SparkSession | None = None) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    if spark is not None:
+        conf = spark.conf.get(_IVF_INDEX_DIR_CONF, "")
+        if conf:
+            return os.path.join(conf, f"corpus_{tag}")
+    return os.path.join(tempfile.gettempdir(), f"aes_ivf_index_{tag}")
+
+
+def _ivf_source_fingerprint(sf_dir: str, k: int, n_buckets: int) -> str | None:
+    """Freshness token for the embeddings source + index geometry —
+    (relpath, size, mtime) of every source file plus (k, n_buckets).
+    None when nothing is statable: fail OPEN (always rebuild), the
+    ADVICE-r8 empty-walk rule."""
+    import hashlib
+    import os
+
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    entries: list[str] = []
+    if os.path.isfile(root):
+        st = os.stat(root)
+        entries.append(f"embeddings.parquet:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, root)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    if not entries:
+        return None
+    token = f"k={k};n_buckets={n_buckets};" + ";".join(sorted(entries))
+    return hashlib.sha256(token.encode()).hexdigest()
+
+
+def ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, n_buckets: int = _IVF_INDEX_BUCKETS
+) -> tuple[str, int]:
+    """BUILD-IF-ABSENT the maintained IVF index artifact for ``sf_dir``
+    (r9 verdict #5): the same ``cells/`` layout
+    ``incremental_ivf_index_sink`` maintains — (cell, vec_id, embedding)
+    postings bucketed on cell, versioned snapshot, ``_GEOMETRY.json``
+    guard — built once per (corpus fingerprint, geometry) and replayed
+    by every later probe, the reference's pre-materialize-once
+    discipline.  A live sink delta-maintains the same directory; this
+    builder only rebuilds when the SOURCE or geometry changed.  Returns
+    ``(base_dir, k)``."""
+    import json
+    import os
+    import shutil
+    import time
+
+    from arrow_experiments_spark.streaming.egress import (
+        WriterLease,
+        WriterLeaseHeld,
+        _check_geometry,
+        _committed_version,
+        _merge_batch,
+    )
+
+    k = _ivf_k(spark, sf_dir)
+    base = ivf_index_dir(sf_dir, spark)
+    cells_dir = os.path.join(base, "cells")
+    manifest_path = os.path.join(base, "_INDEX_MANIFEST.json")
+    fp = _ivf_source_fingerprint(sf_dir, k, n_buckets)
+
+    def fresh() -> bool:
+        if fp is None or _committed_version(cells_dir) is None:
+            return False
+        try:
+            with open(manifest_path) as f:
+                return json.load(f).get("fingerprint") == fp
+        except (OSError, ValueError):
+            return False
+
+    if fresh():
+        return base, k
+    # (re)build under the writer lease — the single-writer contract the
+    # sink itself enforces.  If another process is mid-build, wait for
+    # its manifest instead of racing it.
+    deadline = time.monotonic() + 120
+    while True:
+        try:
+            lease = WriterLease.acquire(base)
+            break
+        except WriterLeaseHeld:
+            if time.monotonic() > deadline:
+                raise
+            time.sleep(0.5)
+            if fresh():
+                return base, k
+    try:
+        if fresh():  # another builder finished while we acquired
+            return base, k
+        shutil.rmtree(cells_dir, ignore_errors=True)
+        for stale in ("_GEOMETRY.json", "_INDEX_MANIFEST.json"):
+            try:
+                os.remove(os.path.join(base, stale))
+            except OSError:
+                pass
+        _check_geometry(base, {"ivf_k": k}, ["cells"])
+        nz = _nonzero_embeddings(spark, sf_dir)
+        postings = nz.select(
+            ivf_cell_col(F.col("embedding"), k).alias("cell"),
+            "vec_id",
+            "embedding",
+        )
+        _merge_batch(
+            spark, postings, cells_dir,
+            key_cols=["cell", "vec_id"], order_col="vec_id",
+            n_buckets=n_buckets, bucket_cols=["cell"],
+            seq=0, committed=None, lease=lease,
+        )
+        if fp is not None:
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"fingerprint": fp, "k": k}, f)
+            os.replace(tmp, manifest_path)
+        return base, k
+    finally:
+        lease.release()
+
+
+@register(
+    "ann_ivf_index_probe",
+    "similarity",
+    doc="IVF retrieval against the MAINTAINED index artifact: the same "
+    "declared result as ann_ivf_codebook (cell-restricted top-3 by "
+    "snapped cosine, shared geometry-parametric oracle), but the cell "
+    "assignments come from the persisted (cell, vec_id, embedding) "
+    "posting snapshot that incremental_ivf_index_sink delta-maintains — "
+    "built once per corpus fingerprint (ensure_ivf_index), probed "
+    "many times.  The probe reads ONLY the index buckets its query "
+    "cells hash into (the bucketed layout's partition pruning), so at "
+    "100 TB a 10-probe lookup touches ~10 buckets of the index, not "
+    "the corpus: this is the operational form of the IVF family — "
+    "ann_ivf_codebook re-assigns the whole corpus per query and exists "
+    "to pin the semantics.",
+    oracle=lambda spark, sf_dir: _ivf_codebook_oracle_sql(
+        _ivf_k(spark, sf_dir)
+    ),
+)
+def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from arrow_experiments_spark.streaming.egress import (
+        _committed_version,
+        _prepare_view,
+        _prune_buckets,
+    )
+
+    base, k = ensure_ivf_index(spark, sf_dir)
+    import os
+
+    cells_dir = os.path.join(base, "cells")
+    idx = _prepare_view(
+        spark, cells_dir, _committed_version(cells_dir),
+        _IVF_INDEX_BUCKETS, ["cell", "vec_id"], ["cell"],
+    )
+    probes = (
+        _nonzero_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            ivf_cell_col(F.col("embedding"), k).alias("q_cell"),
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    probe_bucket = F.pmod(
+        F.xxhash64(F.col("q_cell")), F.lit(_IVF_INDEX_BUCKETS)
+    ).cast("int")
+    idx = _prune_buckets(idx, probes, probe_bucket)
+    c = idx.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            c,
+            (F.col("q_cell") == F.col("c_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            snap6(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 3
     )

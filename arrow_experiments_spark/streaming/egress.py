@@ -72,6 +72,7 @@ def upsert_snapshot_sink(
     prepare=None,
     n_buckets: int = 32,
     bucket_cols: list[str] | None = None,
+    insert_only: bool = False,
 ):
     """foreachBatch incremental UPSERT into a keyed parquet snapshot —
     the streaming twin of the batch ``pipeline_snapshot_upsert``
@@ -152,6 +153,14 @@ def upsert_snapshot_sink(
     than the upsert identity — e.g. a band index keyed on
     ``(band, value, doc_id)`` but bucketed on ``(band, value)`` so probe
     joins prune by band value.
+
+    ``insert_only``: declares the snapshot FIRST-SEEN-WINS (re-inserted
+    keys keep the committed row) and switches the merge to the append
+    path — delta-sized writes with every committed file hard-linked
+    forward, instead of rewriting each touched bucket in full (see
+    :func:`_merge_batch`).  Only set it when the caller guarantees that
+    semantics (the dedup gates do, via their seen-before anti-joins);
+    latest-wins updates need the default rewrite.
     """
     import os
 
@@ -184,6 +193,7 @@ def upsert_snapshot_sink(
             seq=seq,
             committed=committed,
             lease=lease,
+            insert_only=insert_only,
         )
 
     try:
@@ -242,6 +252,132 @@ def _alloc_seq(
     return int(committed[1:]) + 1 if committed else batch_id
 
 
+# Committed version directories are IMMUTABLE (files and hard-links land
+# before the pointer swap; afterwards a version is only ever deleted
+# wholesale), so their reads — the file listing, the schema, the layout
+# record — are cached per (session, directory).  Re-listing a 640-bucket
+# hive layout on every _prepare_view/_merge_batch call was the dominant
+# fixed per-batch cost of the streaming gates (r9 verdict #4): past the
+# parallelPartitionDiscovery threshold each spark.read.parquet(dir)
+# launches a DISTRIBUTED listing job, and one micro-batch paid it up to
+# five times.
+_VERSION_READ_CACHE: dict[tuple, object] = {}
+_LAYOUT_CACHE: dict[tuple, dict] = {}
+
+
+def _write_manifest(vdir: str) -> None:
+    """Record the version's parquet files in ``_MANIFEST.json`` so
+    readers list the version by manifest instead of walking the bucket
+    directories (r9 verdict #4; the object-store seat of the same idea
+    is the table-format manifest this layout stands in for)."""
+    import json
+    import os
+
+    files = []
+    for dirpath, _dirs, fns in os.walk(vdir):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                files.append(
+                    os.path.relpath(os.path.join(dirpath, fn), vdir)
+                )
+    tmp = os.path.join(vdir, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"files": sorted(files)}, f)
+    os.replace(tmp, os.path.join(vdir, "_MANIFEST.json"))
+
+
+def _anti_join_small_left(small, big, cols: list[str]):
+    """``small LEFT ANTI big`` on ``cols`` without shuffling ``big``:
+    the delta-vs-snapshot shape of every seen-before gate.  A plain
+    left_anti sort-merge-joins BOTH sides — the snapshot side is
+    millions of keys repartitioned per micro-batch for a 40-row delta.
+    Instead ``big`` is LEFT SEMI-joined against the broadcast delta key
+    set (one map-side pass over the pruned scan, output ≤ |small|), and
+    ``small`` anti-joins the broadcast match set — two broadcast hash
+    joins, zero exchanges of the big side."""
+    from pyspark.sql import functions as F
+
+    keys = small.select(*cols).distinct()
+    matched = (
+        big.join(F.broadcast(keys), cols, "left_semi").select(*cols).distinct()
+    )
+    return small.join(F.broadcast(matched), cols, "left_anti")
+
+
+def _bucket_file_counts(vdir: str) -> dict[int, int]:
+    """Parquet files per ``_bucket=k`` partition of a committed version —
+    the insert-only compaction trigger's input.  Read from the manifest
+    when present (no directory walk), else one walk."""
+    import json
+    import os
+
+    counts: dict[int, int] = {}
+
+    def _add(rel: str) -> None:
+        head = rel.split(os.sep, 1)[0]
+        if head.startswith("_bucket="):
+            val = head.split("=", 1)[1]
+            if val.isdigit():
+                counts[int(val)] = counts.get(int(val), 0) + 1
+
+    manifest = os.path.join(vdir, "_MANIFEST.json")
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as f:
+                for rel in json.load(f)["files"]:
+                    _add(rel)
+            return counts
+        except (OSError, ValueError, KeyError):
+            counts.clear()
+    for dirpath, _dirs, fns in os.walk(vdir):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                _add(os.path.relpath(os.path.join(dirpath, fn), vdir))
+    return counts
+
+
+def _read_version(spark, vdir: str):
+    """One cached DataFrame per committed version directory.  With a
+    manifest the read binds an EXPLICIT file list under ``basePath``
+    (no directory walk at all — hive ``_bucket=`` partition parsing
+    still applies); legacy versions fall back to the directory read.
+    Sound because committed versions never change in place."""
+    import json
+    import os
+
+    # inode + mtime in the key: a version dir deleted and re-created at
+    # the same path (fresh run over a cleaned workspace) can never be
+    # served a stale file list
+    st = os.stat(vdir)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(vdir),
+        st.st_ino,
+        st.st_mtime_ns,
+    )
+    hit = _VERSION_READ_CACHE.get(key)
+    if hit is not None:
+        return hit
+    manifest = os.path.join(vdir, "_MANIFEST.json")
+    df = None
+    if os.path.exists(manifest):
+        try:
+            with open(manifest) as f:
+                files = json.load(f)["files"]
+        except (OSError, ValueError, KeyError):
+            files = None
+        if files:
+            df = spark.read.option("basePath", vdir).parquet(
+                *[os.path.join(vdir, p) for p in files]
+            )
+    if df is None:
+        df = spark.read.parquet(vdir)
+    if len(_VERSION_READ_CACHE) > 128:
+        _VERSION_READ_CACHE.clear()
+    _VERSION_READ_CACHE[key] = df
+    return df
+
+
 def _prepare_view(
     spark,
     snapshot_dir: str,
@@ -262,7 +398,7 @@ def _prepare_view(
         return None
     vdir = os.path.join(snapshot_dir, committed)
     if _geometry_matches(_layout_record(vdir), n_buckets, key_cols, bucket_cols):
-        return spark.read.parquet(vdir)
+        return _read_version(spark, vdir)
     return read_snapshot(spark, snapshot_dir)
 
 
@@ -332,16 +468,41 @@ def _merge_batch(
     seq: int,
     committed: str | None,
     lease: "WriterLease | None" = None,
+    insert_only: bool = False,
+    max_files_per_bucket: int = 32,
 ) -> str:
-    """One keyed latest-wins merge of ``batch_df`` into the bucketed
-    versioned snapshot: write ``v{seq}``, hard-link untouched buckets
-    from ``committed``, record the layout, swap the pointer, prune
+    """One keyed merge of ``batch_df`` into the bucketed versioned
+    snapshot: write ``v{seq}``, hard-link unchanged files from
+    ``committed``, record the layout + manifest, swap the pointer, prune
     superseded versions.  Returns the committed version name.  This is
     the shared core of :func:`upsert_snapshot_sink` and the multi-table
     sinks (doc snapshot + band index) that merge more than one snapshot
     per micro-batch.  ``lease``: the caller's :class:`WriterLease`,
     fence-checked immediately before the pointer swap so a taken-over
-    writer aborts instead of committing."""
+    writer aborts instead of committing.
+
+    Two merge modes (r9 verdict #4):
+
+    * default (latest-wins UPSERT): every touched bucket is read back in
+      full, merged with the delta under the (order_col desc, incoming
+      wins) window, and REWRITTEN.  Correct for genuine updates, but a
+      small delta touching a hot bucket pays a full-bucket rewrite —
+      the measured dominant term of the streaming gates' per-batch wall
+      (a 40-row delta's 120 cells touch most of a 64-bucket index, so
+      every commit rewrote ~85% of the postings).
+    * ``insert_only`` (first-wins APPEND): for snapshots whose contract
+      is first-seen-wins (the dedup gates' doc/posting legs, the IVF
+      index), re-inserted keys are dropped by an anti-join against a
+      NARROW key-column scan of the touched buckets (column- and
+      partition-pruned — no full-width read), only the genuinely-new
+      rows are written as fresh files, and EVERY committed file — in
+      touched buckets too — is hard-linked forward.  Per-batch I/O is
+      O(delta + touched key columns) instead of O(touched bucket rows).
+      Buckets whose file count would exceed ``max_files_per_bucket``
+      are COMPACTED (that bucket alone takes the rewrite path), which
+      bounds read amplification: steady state is ≤ max_files+1 files
+      per bucket.  Replays are idempotent (the anti-join drops every
+      re-inserted key; the version is then pure links)."""
     import json
     import os
     import shutil
@@ -361,6 +522,7 @@ def _merge_batch(
     )
     linked: list[str] = []
     try:
+        out = None
         if committed is None:
             if inc.isEmpty():
                 # nothing to commit and nothing committed: a version
@@ -375,7 +537,7 @@ def _merge_batch(
             merged = inc
         else:
             vdir_committed = os.path.join(snapshot_dir, committed)
-            raw = spark.read.parquet(vdir_committed)
+            raw = _read_version(spark, vdir_committed)
             touched = {
                 r["_bucket"] for r in inc.select("_bucket").distinct().collect()
             }
@@ -383,18 +545,59 @@ def _merge_batch(
             if "_bucket" in raw.columns and _geometry_matches(
                 rec, n_buckets, key_cols, bucket_cols
             ):
-                # same bucket geometry: read back ONLY the touched
-                # buckets (partition pruning) and link the rest verbatim
-                cur = raw.filter(
-                    F.col("_bucket").isin([int(t) for t in touched])
-                    | F.col("_bucket").isNull()
-                )
-                for d in os.listdir(vdir_committed):
-                    if not d.startswith("_bucket="):
-                        continue
-                    val = d.split("=", 1)[1]
-                    if val.isdigit() and int(val) not in touched:
-                        linked.append(d)
+                if insert_only:
+                    # first-wins append: drop re-inserted keys against a
+                    # narrow pruned key scan, rewrite only buckets past
+                    # the compaction threshold, link every other file
+                    per_bucket = _bucket_file_counts(vdir_committed)
+                    compact = {
+                        int(t)
+                        for t in touched
+                        if t is not None
+                        and per_bucket.get(int(t), 0) + 1
+                        > max_files_per_bucket
+                    }
+                    seen = raw.filter(
+                        F.col("_bucket").isin([int(t) for t in touched])
+                        | F.col("_bucket").isNull()
+                    ).select(*key_cols)
+                    w_in = Window.partitionBy(*key_cols).orderBy(
+                        F.desc(order_col)
+                    )
+                    fresh = _anti_join_small_left(
+                        inc.drop("_src")
+                        .withColumn("_rn", F.row_number().over(w_in))
+                        .filter(F.col("_rn") == 1)
+                        .drop("_rn"),
+                        seen,
+                        key_cols,
+                    )
+                    # committed rows are key-unique by invariant and
+                    # fresh is anti-joined against them — no window
+                    # needed over the union
+                    out = fresh.unionByName(
+                        raw.filter(F.col("_bucket").isin(list(compact)))
+                    )
+                    for d in os.listdir(vdir_committed):
+                        if not d.startswith("_bucket="):
+                            continue
+                        val = d.split("=", 1)[1]
+                        if not (val.isdigit() and int(val) in compact):
+                            linked.append(d)
+                else:
+                    # same bucket geometry: read back ONLY the touched
+                    # buckets (partition pruning), link the rest verbatim
+                    cur = raw.filter(
+                        F.col("_bucket").isin([int(t) for t in touched])
+                        | F.col("_bucket").isNull()
+                    )
+                    for d in os.listdir(vdir_committed):
+                        if not d.startswith("_bucket="):
+                            continue
+                        val = d.split("=", 1)[1]
+                        if val.isdigit() and int(val) not in touched:
+                            linked.append(d)
+                    merged = inc.unionByName(cur.withColumn("_src", F.lit(0)))
             else:
                 # legacy flat version, or the caller changed the bucket
                 # geometry (count OR columns): migrate wholesale this
@@ -405,15 +608,16 @@ def _merge_batch(
                 if "_bucket" in raw.columns:
                     raw = raw.drop("_bucket")
                 cur = raw.withColumn("_bucket", bucket)
-            merged = inc.unionByName(cur.withColumn("_src", F.lit(0)))
-        w = Window.partitionBy(*key_cols).orderBy(
-            F.desc(order_col), F.desc("_src")
-        )
-        out = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_src")
-        )
+                merged = inc.unionByName(cur.withColumn("_src", F.lit(0)))
+        if out is None:
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.desc(order_col), F.desc("_src")
+            )
+            out = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_src")
+            )
         vdir = os.path.join(snapshot_dir, version)
         # align the write to the bucket layout: without this, every
         # shuffle task holding rows of a touched bucket emits its own
@@ -440,6 +644,8 @@ def _merge_batch(
     # next merge prunes only when count AND columns both match
     with open(os.path.join(vdir, "_LAYOUT.json"), "w") as f:
         json.dump({"n_buckets": n_buckets, "bucket_cols": bcols}, f)
+    # one Python walk now saves every reader a directory walk later
+    _write_manifest(vdir)
     if lease is not None:
         lease.check()  # fence: a taken-over writer must not swap the pointer
     tmp = pointer + f".tmp{seq}"
@@ -743,7 +949,7 @@ def incremental_curation_sink(
             seen = _prune_buckets(current, batch_df, hash_bucket).select(
                 "content_hash"
             )
-            firsts = firsts.join(seen, "content_hash", "left_anti")
+            firsts = _anti_join_small_left(firsts, seen, ["content_hash"])
         return firsts
 
     return upsert_snapshot_sink(
@@ -755,6 +961,9 @@ def incremental_curation_sink(
         checkpoint_dir=checkpoint_dir,
         prepare=prepare,
         n_buckets=n_buckets,
+        # first-seen-wins is this gate's documented contract — the
+        # insert-only append merge writes O(delta), not O(touched bucket)
+        insert_only=True,
     )
 
 
@@ -930,7 +1139,9 @@ def incremental_neardup_sink(
                     seen = _filter_buckets(docs_view, hash_touched).select(
                         "content_hash"
                     )
-                    firsts = firsts.join(seen, "content_hash", "left_anti")
+                    firsts = _anti_join_small_left(
+                        firsts, seen, ["content_hash"]
+                    )
                 # the gate+anti-join plan feeds BOTH the signature chain
                 # and the merge — persist it or it executes twice
                 firsts = firsts.persist()
@@ -1061,7 +1272,7 @@ def incremental_neardup_sink(
                     key_cols=doc_keys, order_col="doc_id",
                     n_buckets=n_buckets, bucket_cols=None,
                     seq=seq_docs, committed=committed_docs,
-                    lease=lease,
+                    lease=lease, insert_only=True,
                 )
             # band-index leg — derived from the COMMITTED docs snapshot
             # joined back on the batch's hashes, so a replay after a
@@ -1090,7 +1301,7 @@ def incremental_neardup_sink(
                 key_cols=band_keys, order_col="doc_id",
                 n_buckets=n_buckets, bucket_cols=band_buckets,
                 seq=seq_bands, committed=committed_bands,
-                lease=lease,
+                lease=lease, insert_only=True,
             )
         finally:
             for f in pinned:
@@ -1131,7 +1342,8 @@ def incremental_embedding_dedup_sink(
     Per micro-batch: (1) direction gate — NULL/empty/zero-norm vectors
     have no cosine and are rejected (the batch ops' ``nz`` filter), one
     row per ``vec_id``; (2) bucket-pruned first-seen anti-join on
-    ``vec_id``; (3) the delta's band cells (``similarity.lsh_bucket_col``
+    ``vec_id``; (3) the delta's band cells (``similarity.lsh_cells_col``, the
+    Arrow-batched bit-identical twin of ``lsh_bucket_col``,
     over the deterministic LCG hyperplane family — the exact geometry of
     the batch ops and their DuckDB oracles) probe the cell index, and
     candidates are verified by EXACT cosine (the snapped double fold)
@@ -1178,7 +1390,7 @@ def incremental_embedding_dedup_sink(
 
     from arrow_experiments_spark.functions.numeric import snap6
     from arrow_experiments_spark.functions.vectors import dot, norm
-    from arrow_experiments_spark.operators.similarity import lsh_bucket_col
+    from arrow_experiments_spark.operators.similarity import lsh_cells_col
 
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
@@ -1199,27 +1411,21 @@ def incremental_embedding_dedup_sink(
     cell_buckets = ["band", "cell"]
 
     def cell_rows(frame: DataFrame, keep_emb: bool) -> DataFrame:
-        """(vec_id, band, cell[, embedding]) exploded from vector rows."""
-        cexpr = F.array(
-            *[
-                F.struct(
-                    F.lit(band).alias("band"),
-                    lsh_bucket_col(F.col("embedding"), band, bits).alias(
-                        "cell"
-                    ),
-                )
-                for band in range(bands)
-            ]
-        )
+        """(vec_id, band, cell[, embedding]) exploded from vector rows.
+        Cells come from the Arrow-batched lsh_cells_col kernel —
+        bit-identical to the in-plan lsh_bucket_col folds, but ONE tiny
+        PythonUDF plan node instead of bands x bits literal-array folds
+        whose Catalyst analysis cost (~2-3 s at derived bit counts) was
+        the dominant fixed term of the gate's per-batch wall, paid by
+        every action embedding the tree (r9 verdict #4)."""
         extra = ["embedding"] if keep_emb else []
         return frame.select(
-            "vec_id", *extra, F.explode(cexpr).alias("_c")
-        ).select(
             "vec_id",
-            F.col("_c.band").alias("band"),
-            F.col("_c.cell").alias("cell"),
             *extra,
-        )
+            F.posexplode(
+                lsh_cells_col(F.col("embedding"), bands, bits)
+            ).alias("band", "cell"),
+        ).select("vec_id", "band", "cell", *extra)
 
     cell_probe_bucket = F.pmod(
         F.xxhash64(F.col("band"), F.col("cell")), F.lit(n_buckets)
@@ -1264,7 +1470,7 @@ def incremental_embedding_dedup_sink(
                     seen = _filter_buckets(vecs_view, id_touched).select(
                         "vec_id"
                     )
-                    fresh = fresh.join(seen, "vec_id", "left_anti")
+                    fresh = _anti_join_small_left(fresh, seen, ["vec_id"])
                 # cells materialized once behind a persist barrier — the
                 # hyperplane dot-products would otherwise re-inline per
                 # band reference (no CSE across HOF lambdas)
@@ -1291,33 +1497,60 @@ def incremental_embedding_dedup_sink(
                         .select("band", "cell")
                     )
                     idx = idx.join(ok_cells, ["band", "cell"])
-                    cand = (
+                    # candidate match NARROW-first: the (band, cell,
+                    # vec_id) join scans 3 int columns of the pruned
+                    # slice; the 64-float embedding column — an order of
+                    # magnitude more bytes — is fetched ONLY for the
+                    # matched postings (delta-bounded), and not at all
+                    # when nothing collides
+                    cand_keys = (
                         dcells.join(
                             idx.select(
                                 "band",
                                 "cell",
                                 F.col("vec_id").alias("_idx_vec"),
-                                F.col("embedding").alias("_idx_emb"),
                             ),
                             ["band", "cell"],
                         )
-                        .select("vec_id", "_idx_vec", "_idx_emb")
+                        .select("vec_id", "band", "cell", "_idx_vec")
                         .distinct()
+                        .persist()
                     )
-                    cos = snap6(
-                        dot(F.col("embedding"), F.col("_idx_emb"))
-                        / (
-                            norm(F.col("embedding"))
-                            * norm(F.col("_idx_emb"))
+                    pinned.append(cand_keys)
+                    if cand_keys.isEmpty():
+                        drops = None
+                    else:
+                        matched = idx.join(
+                            F.broadcast(
+                                cand_keys.select(
+                                    "band",
+                                    "cell",
+                                    F.col("_idx_vec").alias("vec_id"),
+                                ).distinct()
+                            ),
+                            ["band", "cell", "vec_id"],
+                            "left_semi",
+                        ).select(
+                            F.col("vec_id").alias("_idx_vec"),
+                            F.col("embedding").alias("_idx_emb"),
+                        ).dropDuplicates(["_idx_vec"])
+                        cos = snap6(
+                            dot(F.col("embedding"), F.col("_idx_emb"))
+                            / (
+                                norm(F.col("embedding"))
+                                * norm(F.col("_idx_emb"))
+                            )
                         )
-                    )
-                    drops = (
-                        cand.join(
-                            fresh.select("vec_id", "embedding"), "vec_id"
+                        drops = (
+                            cand_keys.select("vec_id", "_idx_vec")
+                            .distinct()
+                            .join(matched, "_idx_vec")
+                            .join(
+                                fresh.select("vec_id", "embedding"), "vec_id"
+                            )
+                            .filter(cos >= min_cosine)
+                            .select("vec_id")
                         )
-                        .filter(cos >= min_cosine)
-                        .select("vec_id")
-                    )
                 # in-batch pairwise (cluster-min, see docstring) with
                 # the saturation cap applied to the BATCH side too — a
                 # skewed mega-batch would otherwise go quadratic in its
@@ -1374,7 +1607,7 @@ def incremental_embedding_dedup_sink(
                     key_cols=vec_keys, order_col="vec_id",
                     n_buckets=n_buckets, bucket_cols=None,
                     seq=seq_vecs, committed=committed_vecs,
-                    lease=lease,
+                    lease=lease, insert_only=True,
                 )
             # cell-index leg — from the COMMITTED vecs joined back on the
             # batch's ids (crash-heal contract, see incremental_neardup_sink)
@@ -1400,7 +1633,7 @@ def incremental_embedding_dedup_sink(
                 key_cols=cell_keys, order_col="vec_id",
                 n_buckets=n_buckets, bucket_cols=cell_buckets,
                 seq=seq_cells, committed=committed_cells,
-                lease=lease,
+                lease=lease, insert_only=True,
             )
         finally:
             for f in pinned:
@@ -1415,25 +1648,119 @@ def incremental_embedding_dedup_sink(
         lease.release()
 
 
+def incremental_ivf_index_sink(
+    stream_df: DataFrame,
+    base_dir: str,
+    timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
+    k: int = 8,
+):
+    """Maintained IVF index ARTIFACT (r9 verdict #5): ``ann_ivf_*``
+    re-derived the codebook assignment per query, where the 100 TB
+    posture — and the reference's own pre-materialize-once-serve-many
+    discipline (http/get_simple/python/server/http.server/server.py:144)
+    — is an index built once, delta-maintained by a sink, probed by the
+    retrieval queries.  One bucketed versioned snapshot under
+    ``base_dir``:
+
+    * ``cells/`` — one posting per vector: (cell, vec_id, embedding),
+      keyed on ``(cell, vec_id)`` and BUCKETED on ``(cell,)`` so a
+      probe's cell lookups prune to the buckets its cells hash into —
+      the same pruned-probe shape as the near-dup gates' indexes.
+
+    Per micro-batch the work is delta-sized: assign each vector's cell
+    with the SAME Arrow-batched kernel the batch ops use
+    (``similarity.ivf_cell_col`` — bit-identical distances, so the
+    artifact agrees with ``ann_ivf_codebook`` and its oracle), then one
+    O(delta) version merge.  Re-delivered vectors are idempotent (same
+    embedding → same cell → same key, latest-wins).  The index serves
+    APPEND-style corpora: mutating a vector's embedding moves its cell,
+    which upsert-by-(cell, vec_id) cannot retire — reindex for that,
+    exactly as any deployed IVF index would.
+
+    ``k`` is an INDEX-LIFETIME parameter (the codebook): recorded in
+    ``{base_dir}/_GEOMETRY.json`` on first commit; re-attaching with a
+    different k raises rather than probing a foreign codebook's cells.
+    Callers size it from the EXPECTED corpus (``similarity._ivf_k``'s
+    N/targetCellPop rule); zero-norm vectors are the caller's gate, as
+    in the batch ops' ``nz`` entry filter.  Single writer enforced by
+    :class:`WriterLease`; readers resolve versions through the LATEST
+    pointer as with every snapshot in this module.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from arrow_experiments_spark.operators.similarity import ivf_cell_col
+
+    spark = stream_df.sparkSession
+    cells_dir = os.path.join(base_dir, "cells")
+    lease = WriterLease.acquire(base_dir)
+    try:
+        _check_geometry(base_dir, {"ivf_k": k}, ["cells"])
+    except Exception:
+        lease.release()
+        raise
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        lease.heartbeat()
+        committed = _committed_version(cells_dir)
+        seq = _alloc_seq(committed, batch_id, checkpoint_dir is not None)
+        if seq is None:
+            return
+        postings = batch_df.select(
+            ivf_cell_col(F.col("embedding"), k).alias("cell"),
+            "vec_id",
+            "embedding",
+        )
+        _merge_batch(
+            spark, postings, cells_dir,
+            key_cols=["cell", "vec_id"], order_col="vec_id",
+            n_buckets=n_buckets, bucket_cols=["cell"],
+            seq=seq, committed=committed, lease=lease,
+            insert_only=True,
+        )
+
+    try:
+        return _run_foreach_batch(
+            stream_df, merge, checkpoint_dir, timeout_sec,
+            f"ivf-index ({base_dir})",
+        )
+    finally:
+        lease.release()
+
+
 def _layout_record(vdir: str) -> dict:
     """The bucket geometry a version directory was written under
     (``{"n_buckets": N, "bucket_cols": [...]}``), or ``{}`` for
     pre-layout versions and flat legacy snapshots.  Records written
     before ``bucket_cols`` existed lack that key; readers default the
     comparison to their own columns (those versions were always
-    bucketed on ``key_cols``)."""
+    bucketed on ``key_cols``).  Cached per version directory — the
+    record is written once before the pointer swap and never changes."""
     import json
     import os
 
     path = os.path.join(vdir, "_LAYOUT.json")
-    if not os.path.exists(path):
-        return {}
+    try:
+        st = os.stat(path)
+    except OSError:
+        return {}  # uncached: the record may still be written this run
+    key = (os.path.realpath(vdir), st.st_ino, st.st_mtime_ns)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
     try:
         with open(path) as f:
             rec = json.load(f)
-        return rec if isinstance(rec, dict) else {}
+        rec = rec if isinstance(rec, dict) else {}
     except (OSError, ValueError):
-        return {}
+        rec = {}
+    if len(_LAYOUT_CACHE) > 512:
+        _LAYOUT_CACHE.clear()
+    _LAYOUT_CACHE[key] = rec
+    return rec
 
 
 def _prev_version(snapshot_dir: str, batch_id: int) -> int | None:
@@ -1462,7 +1789,7 @@ def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
         return None
     with open(pointer) as f:
         version = f.read().strip()
-    df = spark.read.parquet(os.path.join(snapshot_dir, version))
+    df = _read_version(spark, os.path.join(snapshot_dir, version))
     if "_bucket" in df.columns:
         df = df.drop("_bucket")
     return df
@@ -1499,6 +1826,7 @@ def snapshot_reader_factory(snapshot_dir: str):
             format="parquet",
             ignore_prefixes=[
                 ".", "_SUCCESS", "_committed", "_started", "_LAYOUT",
+                "_MANIFEST",
             ],
         )
         return d.scanner().to_reader()

@@ -437,43 +437,57 @@ def test_auto_bits_fixture_scale_is_oracle_geometry(spark):
         assert _semdedup_cluster_bits(spark, d) == 0
 
 
-def test_auto_bits_beyond_oracle_floor_warns_loudly(spark):
-    """ADVICE r8: the registered oracles bake the floor geometry (4 emb
-    bits / 0 cluster bits) at module import; when the corpus is big
-    enough that derivation exceeds the floor, an oracle-checked run
-    would silently compare different bucketings — the derivation must
-    warn, naming the conf that pins the oracle geometry."""
-    import pytest as _pytest
+def test_auto_bits_beyond_floor_resolve_matching_oracles(spark):
+    """r9 verdict #1 replaced the ADVICE-r8 warnings with STRUCTURAL
+    alignment: when derivation exceeds the floor, the registered oracle
+    (now a callable) resolves to SQL regenerated at the SAME derived
+    geometry — no warning fires, because there is no longer a baked
+    floor to diverge from."""
+    import warnings as _warnings
 
     from arrow_experiments_spark.operators.dedup import (
         _emb_lsh_bits,
         _semdedup_cluster_bits,
     )
+    from arrow_experiments_spark.registry import all_queries
 
     spark.conf.set(
         "spark.arrowExperimentsSpark.emb.corpusNOverride", "2048000"
     )
     try:
-        with _pytest.warns(UserWarning, match="oracle-baked floor 4"):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # any warning = failure
             assert _emb_lsh_bits(spark, SF_DIR_T2) == 10
-        # pop = 2,048,000 / 10 = 204,800 → ceil(log2(204800/25000)) = 4
-        with _pytest.warns(UserWarning, match="oracle-baked 0"):
+            # pop = 2,048,000 / 10 = 204,800 → ceil(log2(204800/25000)) = 4
             assert _semdedup_cluster_bits(spark, SF_DIR_T2) == 4
+        qs = all_queries()
+        topk_sql = qs["dedup_embedding_topk_grouped"].oracle_sql(
+            spark, SF_DIR_T2
+        )
+        # the 10th sign-bit term (1 << 9 = 512) proves derived geometry
+        assert "THEN 512 ELSE" in topk_sql
+        sem_sql = qs["dedup_semantic_clusters"].oracle_sql(spark, SF_DIR_T2)
+        assert "THEN 8 ELSE" in sem_sql  # 4th sub-split bit (1 << 3)
     finally:
         spark.conf.unset("spark.arrowExperimentsSpark.emb.corpusNOverride")
+    # floor corpus: same callables resolve the floor geometry
+    assert "THEN 512 ELSE" not in qs[
+        "dedup_embedding_topk_grouped"
+    ].oracle_sql(spark, SF_DIR_T2)
 
 
 def test_auto_ivf_k_derivation_and_fast_kernel(spark):
     """r8 verdict #7: the IVF codebook cell count derives from the corpus
     (k = max(8, ceil(N / targetCellPop))) — fixtures stay at the oracle
-    floor k=8, a large-N override derives the scaled k with the loud
-    oracle-geometry warning, and the ivf.k conf pins it.  Beyond the
-    floor the distance kernel switches to the GEMM form; its distances
-    must match the exact left-fold to float tolerance with identical
-    argmin on the fixture vectors."""
+    floor k=8, a large-N override derives the scaled k (the oracle is
+    geometry-parametric since r10, so no warning fires), and the ivf.k
+    conf pins it.  Beyond the floor the distance kernel switches to the
+    GEMM form; its distances must match the exact left-fold to float
+    tolerance with identical argmin on the fixture vectors."""
+    import warnings as _warnings
+
     import numpy as np
     import pandas as pd
-    import pytest as _pytest
 
     from arrow_experiments_spark.operators.similarity import (
         _IVF_K,
@@ -487,7 +501,8 @@ def test_auto_ivf_k_derivation_and_fast_kernel(spark):
         "spark.arrowExperimentsSpark.emb.corpusNOverride", "2048000"
     )
     try:
-        with _pytest.warns(UserWarning, match="oracle-baked floor 8"):
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
             assert _ivf_k(spark, SF_DIR_T2) == 1024  # ceil(2048000/2000)
         spark.conf.set("spark.arrowExperimentsSpark.ivf.k", "8")
         try:
@@ -638,3 +653,30 @@ def test_auto_geometry_oracle_green_above_threshold(spark, tmp_path):
         assert res.spark_rows >= 256, res.spark_rows
     finally:
         con.close()
+
+
+def test_lsh_cells_kernel_matches_in_plan_buckets(spark):
+    """lsh_cells_col (the streaming gates' Arrow-batched cell kernel)
+    must be bit-identical to the in-plan lsh_bucket_col folds at a
+    derived-scale bit count — same left-fold order, same sign rule —
+    or the sink's index would silently diverge from the batch ops'
+    geometry."""
+    from arrow_experiments_spark.operators.similarity import (
+        lsh_bucket_col,
+        lsh_cells_col,
+    )
+    from arrow_experiments_spark.tables import table
+
+    emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
+    bands, bits = 3, 10
+    got = emb.select(
+        "vec_id", lsh_cells_col(F.col("embedding"), bands, bits).alias("c")
+    )
+    want = emb.select(
+        "vec_id",
+        F.array(
+            *[lsh_bucket_col(F.col("embedding"), b, bits) for b in range(bands)]
+        ).alias("c"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

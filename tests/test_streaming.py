@@ -1631,3 +1631,173 @@ def test_multi_table_sinks_hold_one_lease_over_base_dir(spark, tmp_path):
     with _pytest.raises(WriterLeaseHeld):
         incremental_neardup_sink(stream, base)
     holder.release()
+
+
+def test_insert_only_merge_appends_and_compacts(spark, tmp_path):
+    """r9 verdict #4: the insert-only merge writes O(delta), not
+    O(touched bucket) — committed files in TOUCHED buckets are
+    hard-linked forward (inode-asserted), re-inserted keys keep the
+    committed row (first-wins), and a bucket crossing the file-count
+    threshold is compacted back to one rewrite."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        _merge_batch,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k int, seq int, val string")
+
+    # v0: keys 0..9, all in ONE bucket (n_buckets=1 isolates the claim)
+    _merge_batch(
+        spark, batch([(i, 0, f"base{i}") for i in range(10)]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=0, committed=None, insert_only=True,
+    )
+    v0_files = {
+        f: os.stat(os.path.join(snap, "v0", "_bucket=0", f)).st_ino
+        for f in os.listdir(os.path.join(snap, "v0", "_bucket=0"))
+        if f.endswith(".parquet")
+    }
+    assert v0_files
+
+    # v1: one new key + one RE-inserted key with a newer seq and value
+    _merge_batch(
+        spark, batch([(10, 1, "new"), (3, 1, "clobber")]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=1, committed="v0", insert_only=True,
+    )
+    v1_dir = os.path.join(snap, "v1", "_bucket=0")
+    v1_files = {
+        f: os.stat(os.path.join(v1_dir, f)).st_ino
+        for f in os.listdir(v1_dir)
+        if f.endswith(".parquet")
+    }
+    # every v0 file is hard-linked into v1 (same inode), plus new file(s)
+    for f, ino in v0_files.items():
+        assert v1_files.get(f) == ino, f"{f} was rewritten, not linked"
+    assert len(v1_files) > len(v0_files)
+
+    final = {r["k"]: (r["seq"], r["val"]) for r in read_snapshot(spark, snap).collect()}
+    assert final[10] == (1, "new")
+    assert final[3] == (0, "base3"), "insert-only must be first-wins"
+    assert len(final) == 11
+
+    # compaction: with the threshold at the current file count, the next
+    # append must REWRITE bucket 0 down to a bounded file set
+    _merge_batch(
+        spark, batch([(11, 2, "trigger")]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=2, committed="v1", insert_only=True,
+        max_files_per_bucket=len(v1_files),
+    )
+    v2_dir = os.path.join(snap, "v2", "_bucket=0")
+    v2_files = [f for f in os.listdir(v2_dir) if f.endswith(".parquet")]
+    v2_inos = {os.stat(os.path.join(v2_dir, f)).st_ino for f in v2_files}
+    assert v2_inos.isdisjoint(set(v1_files.values())), "compaction must rewrite"
+    assert len(v2_files) <= len(v1_files)
+    final2 = {r["k"] for r in read_snapshot(spark, snap).collect()}
+    assert final2 == set(range(12))
+
+
+def test_incremental_ivf_index_sink_and_probe(spark, tmp_path):
+    """r9 verdict #5: the IVF index is a MAINTAINED artifact — a sink
+    delta-maintains the (cell, vec_id, embedding) posting snapshot, the
+    registered probe reads it, and after deltas the probe's result
+    equals ann_ivf_codebook's per-query assignment (same kernel, same
+    declared result).  The geometry guard raises on a k mismatch."""
+    import os
+
+    import pytest as _pytest
+
+    from arrow_experiments_spark.operators.similarity import (
+        _ivf_k,
+        ann_ivf_codebook,
+    )
+    from arrow_experiments_spark.streaming.egress import (
+        incremental_ivf_index_sink,
+        read_snapshot,
+    )
+    from arrow_experiments_spark.tables import table
+    from arrow_experiments_spark.functions.vectors import norm as vnorm
+
+    src = (
+        table(spark, SF_DIR, "embeddings")
+        .filter(vnorm(F.col("embedding")) > 0)
+        .select("vec_id", "embedding")
+    )
+    n = src.count()
+    k = _ivf_k(spark, SF_DIR)
+    staged = str(tmp_path / "staged")
+    # three micro-batches
+    src.repartition(3).write.mode("overwrite").parquet(staged)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    base = str(tmp_path / "ivf")
+    incremental_ivf_index_sink(stream, base, k=k)
+
+    cells = read_snapshot(spark, os.path.join(base, "cells"))
+    assert cells.count() == n  # one posting per vector, dedup across batches
+    assert set(cells.columns) == {"cell", "vec_id", "embedding"}
+
+    # probe the maintained artifact directly and compare against the
+    # per-query assignment form on the same corpus
+    import arrow_experiments_spark.operators.similarity as sim
+
+    monkey_base = base
+
+    def fake_ensure(spark_, sf_dir_, n_buckets=sim._IVF_INDEX_BUCKETS):
+        return monkey_base, k
+
+    orig = sim.ensure_ivf_index
+    sim.ensure_ivf_index = fake_ensure
+    try:
+        got = sim.ann_ivf_index_probe(spark, SF_DIR)
+        want = ann_ivf_codebook(spark, SF_DIR)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+    finally:
+        sim.ensure_ivf_index = orig
+
+    # re-attach with a different codebook size: postings are a function
+    # of k, probing a foreign codebook must raise, not degrade
+    stream2 = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    with _pytest.raises(ValueError, match="geometry mismatch"):
+        incremental_ivf_index_sink(stream2, base, k=k + 1)
+
+
+def test_ensure_ivf_index_build_if_absent(spark, tmp_path):
+    """ensure_ivf_index builds once per (corpus fingerprint, geometry)
+    and replays the committed artifact afterwards — the LATEST pointer
+    must not move on a second call."""
+    import os
+
+    from arrow_experiments_spark.operators.similarity import (
+        _IVF_INDEX_DIR_CONF,
+        ensure_ivf_index,
+    )
+
+    spark.conf.set(_IVF_INDEX_DIR_CONF, str(tmp_path))
+    try:
+        base, k = ensure_ivf_index(spark, SF_DIR)
+        pointer = os.path.join(base, "cells", "LATEST")
+        with open(pointer) as f:
+            v1 = f.read()
+        mtime1 = os.stat(pointer).st_mtime_ns
+        base2, k2 = ensure_ivf_index(spark, SF_DIR)
+        assert (base2, k2) == (base, k)
+        assert os.stat(pointer).st_mtime_ns == mtime1
+        with open(pointer) as f:
+            assert f.read() == v1
+    finally:
+        spark.conf.unset(_IVF_INDEX_DIR_CONF)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Streaming embedding dedup gate: delta wall vs corpus scale (round 9).
+"""Streaming embedding dedup gate: delta wall vs corpus scale.
 
 ``incremental_embedding_dedup_sink``'s scale terms mirror the MinHash
 sink's: bucket-pruned first-seen anti-join on ``vec_id``, delta-sized
@@ -240,7 +240,7 @@ def main() -> None:
     r1, r10 = results["1x"], results["10x"]
     lines = [
         "",
-        "## Streaming embedding dedup gate: delta wall vs corpus scale (round 9)",
+        "## Streaming embedding dedup gate: delta wall vs corpus scale (round 10)",
         "",
         "incremental_embedding_dedup_sink under the same protocol as the",
         "MinHash sweep: vectors + their (band, cell)-bucketed LSH cell",
@@ -248,7 +248,7 @@ def main() -> None:
         "the full leg (direction gate, pruned id anti-join, cell",
         "assignment at corpus-derived bits — 10 at 2M, 14 at 20M, the",
         "derive_lsh_bits geometry — pruned index probe, in-batch cosine",
-        "verify, two O(delta) merges).  Seed cells are disjoint from any",
+        "verify, two insert-only append merges).  Seed cells are disjoint from any",
         "real sign pattern, so the survivor set is identical at both",
         "scales (asserted) and the corpus-scaling term isolated is the",
         "probe/merge machinery.  Re-delivery adds zero rows.",
