@@ -155,6 +155,9 @@ BOUNDED_BROADCAST_OK = {
     # vec_id < 10 probe set exploded to nprobe=2 cells — still ≤ 20 rows
     "ann_ivf_multiprobe": {"embeddings"},
     "ann_recall_eval_multiprobe": {"embeddings"},  # same probe-set pattern
+    # vec_id < 10 probe set against the maintained index artifact; the
+    # broadcast anti-join match set inside _prune_buckets is delta-bounded
+    "ann_ivf_index_probe": {"embeddings"},
 }
 
 
