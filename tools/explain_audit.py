@@ -101,6 +101,7 @@ AUDIT = [
     "dedup_minhash_containment",
     "ann_ivf_multiprobe",
     "ann_recall_eval_multiprobe",
+    "ann_ivf_index_probe",
     "join_cross_small",
     "agg_unpivot",
     "embedding_label_centroids",
