@@ -561,8 +561,11 @@ def _merge_batch(
                         F.col("_bucket").isin([int(t) for t in touched])
                         | F.col("_bucket").isNull()
                     ).select(*key_cols)
+                    # in-batch first-wins: the LOWEST order_col per key
+                    # (current callers pre-dedupe, so this is the
+                    # defensive contract, not a behavior change)
                     w_in = Window.partitionBy(*key_cols).orderBy(
-                        F.desc(order_col)
+                        F.asc(order_col)
                     )
                     fresh = _anti_join_small_left(
                         inc.drop("_src")
@@ -610,9 +613,18 @@ def _merge_batch(
                 cur = raw.withColumn("_bucket", bucket)
                 merged = inc.unionByName(cur.withColumn("_src", F.lit(0)))
         if out is None:
-            w = Window.partitionBy(*key_cols).orderBy(
-                F.desc(order_col), F.desc("_src")
-            )
+            # first-wins callers reach this window only on the FIRST
+            # commit or a geometry migration; there the committed row
+            # (_src=0, or the lowest order_col within one batch) must
+            # win, the mirror image of the upsert's latest-wins
+            if insert_only:
+                w = Window.partitionBy(*key_cols).orderBy(
+                    F.asc("_src"), F.asc(order_col)
+                )
+            else:
+                w = Window.partitionBy(*key_cols).orderBy(
+                    F.desc(order_col), F.desc("_src")
+                )
             out = (
                 merged.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
@@ -975,6 +987,8 @@ def incremental_neardup_sink(
     n_buckets: int = 32,
     min_jaccard_est: float = 0.5,
     max_band_pop: int = 10_000,
+    eval_docs: DataFrame | None = None,
+    min_shared_shingles: int = 3,
 ):
     """The incremental curation sink extended with NEAR-dup gating — the
     shape a continuously-fed 100 TB corpus actually runs, because full-
@@ -1051,6 +1065,21 @@ def incremental_neardup_sink(
     records them in ``{base_dir}/_GEOMETRY.json`` and later runs raise
     on mismatch instead of degrading.  (``min_jaccard_est`` is
     gate-only; ``n_buckets`` changes migrate via the layout record.)
+
+    ``eval_docs`` composes the FOURTH funnel stage — benchmark
+    DECONTAMINATION — into the same sink (quality → exact → near-dup →
+    decontaminate, the full ``pipeline_curate_end_to_end`` funnel as a
+    daily-delta job): a (doc_id, text) benchmark frame whose 3-word
+    shingles form a broadcast inverted index (built once at attach —
+    benchmark sets are KBs against TBs of stream), and any delta doc
+    sharing >= ``min_shared_shingles`` distinct shingles with any
+    single eval doc is rejected.  The check reuses the batch's one
+    shingle pass; cost is delta × broadcast, zero index maintenance.
+    ONLINE-order caveat (same scope rule as the chain semantics above):
+    the batch funnel decontaminates AFTER full-corpus near-dup, so a
+    contaminated doc still suppresses its near-dups there; this sink
+    rejects contaminated docs at ingest, so they are never retained and
+    never suppress anything — the documented greedy/online behavior.
     """
     import json
     import math
@@ -1085,6 +1114,22 @@ def incremental_neardup_sink(
     doc_keys = ["content_hash"]
     band_keys = ["band_idx", "band_val", "doc_id"]
     band_buckets = ["band_idx", "band_val"]
+
+    ev_pairs = None
+    if eval_docs is not None:
+        # (shingle, eval_id) broadcast inverted index, built once: the
+        # decontaminate_ngram_overlap eval-side shape
+        ev_pairs = (
+            eval_docs.select(
+                F.col("doc_id").alias("eval_id"),
+                F.array_distinct(
+                    shingles3(tokens(F.col("text")))
+                ).alias("_sh"),
+            )
+            .select("eval_id", F.explode("_sh").alias("s"))
+            .persist()
+        )
+        ev_pairs.count()  # materialize once, not per micro-batch
 
     min_agree = max(1, math.ceil(min_jaccard_est * _N_SIGS))
     sig_cols = [f"s{i}" for i in range(_N_SIGS)]
@@ -1158,6 +1203,25 @@ def incremental_neardup_sink(
                     "doc_id",
                     F.array_distinct(shingles3(F.col("toks"))).alias("sh"),
                 ).persist()
+                if ev_pairs is not None:
+                    # decontamination: delta shingles vs the broadcast
+                    # eval index, >= min_shared_shingles per (doc, eval)
+                    # pair rejects.  Filtering sh BEFORE signatures keeps
+                    # contaminated docs out of survivors AND the band
+                    # index (postings derive from committed docs).
+                    contaminated = (
+                        sh.select("doc_id", F.explode("sh").alias("s"))
+                        .join(F.broadcast(ev_pairs), "s")
+                        .groupBy("doc_id", "eval_id")
+                        .agg(F.count(F.lit(1)).alias("_n"))
+                        .filter(F.col("_n") >= min_shared_shingles)
+                        .select("doc_id")
+                        .distinct()
+                    )
+                    sh = sh.join(
+                        F.broadcast(contaminated), "doc_id", "left_anti"
+                    ).persist()
+                    pinned.append(sh)
                 sigs = sh.select(
                     "doc_id",
                     *[
@@ -1313,6 +1377,8 @@ def incremental_neardup_sink(
             f"neardup ({base_dir})",
         )
     finally:
+        if ev_pairs is not None:
+            ev_pairs.unpersist()
         lease.release()
 
 

@@ -672,13 +672,23 @@ def main() -> None:
             "s2_serve_1m_ipc_zstd / ipc_lz4 serve the encode-once"
             " IPC-codec body cache (r8 verdict #2)",
             "s1_replay_100m tracks loopback_gibs (r8 verdict #2 watch):"
-            " r9 floors 1.07-1.28 s = ~2.4-2.9 GiB/s effective against a"
-            " raw ceiling that itself moved 2.7-4.3 GiB/s across r9"
-            " measurements — the splice serve holds ~70-97% of raw"
-            " sendall (the gap is HTTP chunk framing + client Arrow"
-            " decode), so the r7-era 0.90 s floor reflects box state,"
-            " not an engine regression; the RATIO is the regression"
-            " signal",
+            " the committed r9 final attempts were 0.914-0.965 s"
+            " = ~3.1-3.3 GiB/s effective against a raw ceiling measured"
+            " 3.6-3.87 GiB/s on the same code — the splice serve holds"
+            " ~70-97% of raw sendall (the gap is HTTP chunk framing +"
+            " client Arrow decode), so absolute floors track box state;"
+            " the RATIO vs loopback_gibs is the regression signal",
+            "s2_serve_42m_zstd COLD leg decomposition (r9 verdict #6,"
+            " measured r10 in one window): reader-chain drain alone"
+            " (spill read + per-batch append-only dict encode,"
+            " prefetch-overlapped) 2.89-3.0 s; chain + parallel-zstd"
+            " encode 5.01 s at the default 4 workers and 5.32 s at 8 —"
+            " the fill already routes through _encode_parallel_frames"
+            " and is chain-bound, not compression-bound; full HTTP"
+            " attempt-1 (encode+tee+serve) 5.03 s == encode alone;"
+            " attempt-2 artifact replay 1.65 s.  The ~3 s floor is the"
+            " 6,836-batch dict-encode loop at the reference's 6144-row"
+            " serve shape; both attempts stay in floor_watch",
         ],
         "floor_watch": floor_watch,
         "sentinel": {

@@ -1801,3 +1801,67 @@ def test_ensure_ivf_index_build_if_absent(spark, tmp_path):
             assert f.read() == v1
     finally:
         spark.conf.unset(_IVF_INDEX_DIR_CONF)
+
+
+def test_incremental_neardup_sink_composed_with_decontamination(spark, tmp_path):
+    """r9 verdict #8 (stretch): the FULL curation funnel as one sink —
+    quality → exact → near-dup → benchmark decontamination — with every
+    rejection attributable to its gate.  The eval set is a broadcast
+    shingle index built once at attach; a contaminated doc is rejected
+    at ingest and enters neither the corpus nor the band index."""
+    import glob
+    import os
+    import shutil
+
+    from arrow_experiments_spark.streaming.egress import (
+        _gated_firsts,
+        incremental_neardup_sink,
+        read_snapshot,
+    )
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base_texts = [
+        r["text"]
+        for r in _gated_firsts(docs).orderBy("doc_id").limit(6).collect()
+    ]
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    eval_docs = frame([(900, base_texts[4])])  # the benchmark doc
+
+    b1 = frame([(i, base_texts[i]) for i in range(3)])
+    b2 = frame(
+        [
+            (10, "too short"),             # quality gate
+            (11, base_texts[0]),           # exact dup of doc 0
+            (12, base_texts[1] + " "),     # near dup of doc 1
+            (13, base_texts[4]),           # shares all shingles w/ eval 900
+            (14, base_texts[5]),           # clean -> retained
+        ]
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    for i, b in enumerate([b1, b2]):
+        wdir = str(tmp_path / f"w{i}")
+        b.coalesce(1).write.parquet(wdir)
+        dst = os.path.join(staged, f"{i:03d}.parquet")
+        shutil.copy(glob.glob(os.path.join(wdir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    base = str(tmp_path / "full_funnel")
+    incremental_neardup_sink(
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged),
+        base,
+        n_buckets=8,
+        eval_docs=eval_docs,
+    )
+    corpus = read_snapshot(spark, os.path.join(base, "docs"))
+    got_ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    assert got_ids == [0, 1, 2, 14], got_ids
+    index = read_snapshot(spark, os.path.join(base, "bands"))
+    assert sorted(
+        r["doc_id"] for r in index.select("doc_id").distinct().collect()
+    ) == got_ids  # contaminated doc 13 indexed NOTHING

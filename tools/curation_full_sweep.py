@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Composed curation sink: the FULL funnel (quality -> exact -> near-dup
+-> benchmark decontamination) as one delta job, delta wall vs corpus
+scale (round 10, r9 verdict #8 stretch).
+
+Same protocol as the neardup sweep — synthetic 2M/20M-doc corpora with
+their band indexes seeded a decade apart, the SAME 40-document real
+delta runs the full sink leg — but with ALL FOUR gates active:
+``incremental_neardup_sink(eval_docs=...)`` adds the benchmark
+decontamination stage (broadcast eval shingle index, built once at
+attach).  One delta doc's text is planted in the eval set, so exactly
+one contamination rejection fires at BOTH scales (survivor equality
+asserted); the decontamination cost is delta x broadcast — zero
+corpus-sized structure is touched, so the decade ratio stays the
+near-dup sink's.
+
+Usage: python tools/curation_full_sweep.py
+Appends a section to SCALE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import pyspark.sql.functions as F
+
+from arrow_experiments_spark.session import build_session
+
+WORK = "/tmp/curation_full_sweep"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+DELTA_DOCS = 40
+
+
+def main() -> None:
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = build_session(app_name="curation_full_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from arrow_experiments_spark.operators.dedup import _N_BANDS, _N_SIGS
+    from arrow_experiments_spark.streaming.egress import (
+        _merge_batch,
+        incremental_neardup_sink,
+        read_snapshot,
+    )
+    from arrow_experiments_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    delta = docs.orderBy("doc_id").limit(DELTA_DOCS).persist()
+    delta.count()
+    sig_cols = [f"s{i}" for i in range(_N_SIGS)]
+
+    # benchmark set: 20 real docs outside the delta, PLUS one delta
+    # doc's text (the planted contamination — exactly one rejection)
+    planted = delta.orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"), "text"
+    )
+    eval_docs = (
+        docs.orderBy(F.desc("doc_id")).limit(20).unionByName(planted).persist()
+    )
+    eval_docs.count()
+
+    def band_rows(frame, keep_sigs=False):
+        bexpr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias(
+                        "band_val"
+                    ),
+                )
+                for b in range(_N_BANDS)
+            ]
+        )
+        extra = sig_cols if keep_sigs else []
+        return frame.select(
+            "doc_id", *extra, F.explode(bexpr).alias("_b")
+        ).select(
+            "doc_id",
+            F.col("_b.band_idx").alias("band_idx"),
+            F.col("_b.band_val").alias("band_val"),
+            *extra,
+        )
+
+    # warm-up: throwaway sink run with the eval gate active
+    warm = os.path.join(WORK, "warm")
+    os.makedirs(os.path.join(warm, "staged"))
+    wdir = os.path.join(warm, "w")
+    delta.coalesce(1).write.mode("overwrite").parquet(wdir)
+    shutil.copy(
+        glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+        os.path.join(warm, "staged", "000.parquet"),
+    )
+    incremental_neardup_sink(
+        spark.readStream.schema(delta.schema).parquet(
+            os.path.join(warm, "staged")
+        ),
+        base_dir=os.path.join(warm, "base"),
+        timeout_sec=3600,
+        n_buckets=64,
+        eval_docs=eval_docs,
+    )
+    shutil.rmtree(warm, ignore_errors=True)
+
+    results = {}
+    survivors_seen = set()
+    for scale, rows, buckets in (("1x", 2_000_000, 64), ("10x", 20_000_000, 640)):
+        base = os.path.join(WORK, scale)
+        os.makedirs(base)
+        docs_dir = os.path.join(base, "docs")
+        bands_dir = os.path.join(base, "bands")
+
+        seed = spark.range(rows).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.lit("seed").alias("text"),
+            F.md5(F.concat(F.lit("seed-"), F.col("id")).cast("binary")).alias(
+                "content_hash"
+            ),
+            *[
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(f"sig{i}-"), F.col("id")).cast("binary")
+                    ),
+                    1,
+                    8,
+                ).alias(f"s{i}")
+                for i in range(_N_SIGS)
+            ],
+        )
+        t0 = time.perf_counter()
+        _merge_batch(
+            spark, seed, docs_dir,
+            key_cols=["content_hash"], order_col="doc_id",
+            n_buckets=buckets, bucket_cols=None, seq=0, committed=None,
+        )
+        _merge_batch(
+            spark, band_rows(seed, keep_sigs=True), bands_dir,
+            key_cols=["band_idx", "band_val", "doc_id"], order_col="doc_id",
+            n_buckets=buckets, bucket_cols=["band_idx", "band_val"],
+            seq=0, committed=None,
+        )
+        t_seed = time.perf_counter() - t0
+        print(
+            f"{scale}: seeded {rows:,} docs + {4 * rows:,} postings / "
+            f"{buckets} buckets: {t_seed:.2f}s",
+            flush=True,
+        )
+
+        staged = os.path.join(base, "staged")
+        os.makedirs(staged)
+        wdir = os.path.join(base, "w_delta")
+        delta.coalesce(1).write.mode("overwrite").parquet(wdir)
+        shutil.copy(
+            glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+            os.path.join(staged, "000.parquet"),
+        )
+        t0 = time.perf_counter()
+        incremental_neardup_sink(
+            spark.readStream.schema(delta.schema).parquet(staged),
+            base_dir=base,
+            timeout_sec=3600,
+            n_buckets=buckets,
+            eval_docs=eval_docs,
+        )
+        t_delta = time.perf_counter() - t0
+
+        corpus = read_snapshot(spark, docs_dir)
+        n_final = corpus.count()
+        survivors = n_final - rows
+        assert survivors > 0, survivors
+        survivors_seen.add(survivors)
+        # the planted doc was rejected by decontamination
+        planted_id = delta.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
+        assert (
+            corpus.filter(F.col("doc_id") == planted_id).count() == 0
+        ), "planted contaminated doc must be rejected"
+        n_postings = read_snapshot(spark, bands_dir).count()
+        assert n_postings == 4 * rows + 4 * survivors, (n_postings, survivors)
+
+        print(
+            f"{scale}: delta {DELTA_DOCS} docs -> {survivors} survivors "
+            f"(1 decontaminated): {t_delta:.2f}s",
+            flush=True,
+        )
+        results[scale] = {
+            "rows": rows,
+            "postings": 4 * rows,
+            "buckets": buckets,
+            "seed_sec": round(t_seed, 2),
+            "delta_sec": round(t_delta, 2),
+            "survivors": survivors,
+        }
+        shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
+    assert len(survivors_seen) == 1, survivors_seen  # same funnel outcome
+
+    r1, r10 = results["1x"], results["10x"]
+    ratio = round(r10["delta_sec"] / max(r1["delta_sec"], 1e-9), 2)
+    section = f"""
+## Composed curation sink: full funnel delta wall vs corpus scale (round 10)
+
+incremental_neardup_sink with ALL FOUR funnel stages active — quality
+gate, bucket-pruned exact seen-before anti-join, band-index near-dup
+probe, and benchmark DECONTAMINATION (eval_docs: a 21-doc broadcast
+shingle index built once at attach, one delta doc's text planted in it
+so exactly one contamination rejection fires, asserted at both scales).
+Same decade protocol as the near-dup sweep (synthetic seeds, the same
+40-document real delta, insert-only append merges).
+
+| corpus | band postings | buckets | delta leg (s) | survivors |
+|---|---|---|---|---|
+| {r1['rows']:,} docs | {r1['postings']:,} | {r1['buckets']} | {r1['delta_sec']} | {r1['survivors']} (1 decontaminated) |
+| {r10['rows']:,} docs (10x) | {r10['postings']:,} | {r10['buckets']} | {r10['delta_sec']} | {r10['survivors']} (1 decontaminated) |
+
+Delta-leg ratio at 10x the corpus: {ratio}x (1.0 = flat).  The
+decontamination stage touches no corpus-sized structure (delta
+shingles x broadcast eval index), so composing it costs O(delta) and
+the decade ratio is the near-dup sink's own.
+"""
+    with open(Path(_REPO, "SCALE.md"), "a") as fh:
+        fh.write(section)
+    print(json.dumps({"metric": "curation_full_sweep", **results, "delta_ratio_10x": ratio}))
+
+
+if __name__ == "__main__":
+    main()
