@@ -1210,6 +1210,136 @@ def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curate_incremental_full",
+    "text",
+    doc="the FULL curation funnel at ingest — the batch twin of "
+    "streaming/egress.py's composed incremental_neardup_sink("
+    "eval_docs=...): the delta feed (every 10th TRAINING document; "
+    "source src0 is the benchmark set, never ingested) admits only "
+    "documents that are (a) exact-unseen vs the base training corpus "
+    "(hash anti-join), (b) not a near-duplicate of any base training "
+    "doc (MinHash band candidates verified by signature agreement >= "
+    "4 of 8 — pipeline_neardup_incremental's gate verbatim), AND (c) "
+    "not CONTAMINATED: sharing >= 3 distinct 3-word shingles with any "
+    "single eval doc (decontaminate_ngram_overlap's stage operator, "
+    "composed not reimplemented).  At 100 TB: the base side of (a)/(b) "
+    "is the sink's persisted bucketed snapshot/index probed at touched "
+    "buckets only; (c) is delta x broadcast eval index — the benchmark "
+    "set is KBs against TBs of stream.  One signature pass; every "
+    "probe delta-bounded.",
+    oracle=_minhash_bands_sql(", source")
+    + f"""
+        , delta AS (
+            SELECT doc_id, md5(text) AS content_hash, n_chars
+            FROM documents WHERE doc_id % 10 = 0 AND source <> 'src0'
+        ), base AS (
+            SELECT DISTINCT md5(text) AS content_hash
+            FROM documents WHERE doc_id % 10 <> 0 AND source <> 'src0'
+        ), near AS (
+            SELECT DISTINCT a.doc_id
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx
+                        AND a.band_val = b.band_val
+                        AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+            JOIN sh_t sa ON sa.doc_id = a.doc_id AND sa.source <> 'src0'
+            JOIN sh_t sb ON sb.doc_id = b.doc_id AND sb.source <> 'src0'
+            JOIN sigs x ON x.doc_id = a.doc_id
+            JOIN sigs y ON y.doc_id = b.doc_id
+            WHERE {_AGREE_SQL} >= {_NEARDUP_MIN_AGREE}
+        ), ev AS (
+            SELECT t.doc_id AS eval_id, unnest(t.sh) AS s
+            FROM sh_t t WHERE t.source = 'src0'
+        ), dtr AS (
+            SELECT t.doc_id AS train_id, unnest(t.sh) AS s
+            FROM sh_t t WHERE t.doc_id % 10 = 0 AND t.source <> 'src0'
+        ), contaminated AS (
+            SELECT DISTINCT train_id AS doc_id FROM (
+                SELECT train_id, eval_id
+                FROM dtr JOIN ev USING (s)
+                GROUP BY train_id, eval_id
+                HAVING COUNT(*) >= 3
+            )
+        )
+        SELECT d.doc_id, d.content_hash, d.n_chars
+        FROM delta d
+        WHERE NOT EXISTS (SELECT 1 FROM base b
+                          WHERE b.content_hash = d.content_hash)
+          AND NOT EXISTS (SELECT 1 FROM near n
+                          WHERE n.doc_id = d.doc_id)
+          AND NOT EXISTS (SELECT 1 FROM contaminated c
+                          WHERE c.doc_id = d.doc_id)
+    """,
+)
+def pipeline_curate_incremental_full(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from arrow_experiments_spark.functions.text import md5_str
+    from arrow_experiments_spark.operators.dedup import (
+        _N_SIGS,
+        _minhash_bands,
+        _minhash_sigs,
+        decontaminate_ngram_overlap,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    is_delta = F.col("doc_id") % 10 == 0
+    hashed = train.select(
+        "doc_id", md5_str(F.col("text")).alias("content_hash"), "n_chars"
+    ).persist()
+    delta = hashed.filter(is_delta)
+    base_hashes = hashed.filter(~is_delta).select("content_hash").distinct()
+    exact_novel = delta.join(base_hashes, "content_hash", "left_anti")
+
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = _minhash_bands(spark, sf_dir, sigs=sigs)
+    tbands = bands.join(train.select("doc_id"), "doc_id")
+    cand = (
+        tbands.alias("a")
+        .join(
+            tbands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") % 10 == 0)
+            & (F.col("b.doc_id") % 10 != 0),
+        )
+        .select(F.col("a.doc_id").alias("did"), F.col("b.doc_id").alias("bid"))
+        .distinct()
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("did"),
+        *[F.col(f"s{i}").alias(f"xa{i}") for i in range(_N_SIGS)],
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("bid"),
+        *[F.col(f"s{i}").alias(f"yb{i}") for i in range(_N_SIGS)],
+    )
+    n_agree = sum(
+        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+        for i in range(_N_SIGS)
+    )
+    near = (
+        cand.join(x, "did")
+        .join(y, "bid")
+        .filter(n_agree >= _NEARDUP_MIN_AGREE)
+        .select(F.col("did").alias("doc_id"))
+        .distinct()
+    )
+    # the decontamination STAGE operator, composed verbatim (its eval
+    # side is the broadcast src0 inverted index)
+    contaminated = (
+        decontaminate_ngram_overlap(spark, sf_dir)
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        exact_novel.join(near, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "content_hash", "n_chars")
+    )
+
+
+@register(
     "pipeline_curate_end_to_end",
     "text",
     doc="THE training-data curation job, end to end, as one query: "

@@ -286,7 +286,7 @@ def _write_manifest(vdir: str) -> None:
     os.replace(tmp, os.path.join(vdir, "_MANIFEST.json"))
 
 
-def _anti_join_small_left(small, big, cols: list[str]):
+def _anti_join_small_left(small, big, cols: list[str], max_keys: int = 2_000_000):
     """``small LEFT ANTI big`` on ``cols`` without shuffling ``big``:
     the delta-vs-snapshot shape of every seen-before gate.  A plain
     left_anti sort-merge-joins BOTH sides — the snapshot side is
@@ -294,10 +294,18 @@ def _anti_join_small_left(small, big, cols: list[str]):
     Instead ``big`` is LEFT SEMI-joined against the broadcast delta key
     set (one map-side pass over the pruned scan, output ≤ |small|), and
     ``small`` anti-joins the broadcast match set — two broadcast hash
-    joins, zero exchanges of the big side."""
+    joins, zero exchanges of the big side.
+
+    ``max_keys`` guards the micro-batch contract: a backfill delivered
+    as one giant "delta" (> 2M keys ≈ tens of MB broadcast) falls back
+    to the plain shuffled anti-join instead of broadcasting an
+    executor-memory-sized key set — correctness identical, plan shape
+    chosen by the actual delta size."""
     from pyspark.sql import functions as F
 
     keys = small.select(*cols).distinct()
+    if keys.limit(max_keys + 1).count() > max_keys:
+        return small.join(big, cols, "left_anti")
     matched = (
         big.join(F.broadcast(keys), cols, "left_semi").select(*cols).distinct()
     )

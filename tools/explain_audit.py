@@ -91,6 +91,7 @@ AUDIT = [
     "text_dedup_chunk_exact",
     "pipeline_dedup_incremental",
     "pipeline_neardup_incremental",
+    "pipeline_curate_incremental_full",
     "dedup_embedding_incremental",
     "dedup_minhash_estimate",
     "dedup_semantic_clusters",
@@ -159,6 +160,9 @@ BOUNDED_BROADCAST_OK = {
     # vec_id < 10 probe set against the maintained index artifact; the
     # broadcast anti-join match set inside _prune_buckets is delta-bounded
     "ann_ivf_index_probe": {"embeddings"},
+    # composes decontaminate_ngram_overlap verbatim — the same bounded
+    # src0 eval-side broadcast as the other funnel composites
+    "pipeline_curate_incremental_full": {"documents"},
 }
 
 
