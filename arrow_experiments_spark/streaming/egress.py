@@ -566,7 +566,9 @@ def _merge_batch(
                         > max_files_per_bucket
                     }
                     seen = raw.filter(
-                        F.col("_bucket").isin([int(t) for t in touched])
+                        F.col("_bucket").isin(
+                            [int(t) for t in touched if t is not None]
+                        )
                         | F.col("_bucket").isNull()
                     ).select(*key_cols)
                     # in-batch first-wins: the LOWEST order_col per key
@@ -599,7 +601,9 @@ def _merge_batch(
                     # same bucket geometry: read back ONLY the touched
                     # buckets (partition pruning), link the rest verbatim
                     cur = raw.filter(
-                        F.col("_bucket").isin([int(t) for t in touched])
+                        F.col("_bucket").isin(
+                            [int(t) for t in touched if t is not None]
+                        )
                         | F.col("_bucket").isNull()
                     )
                     for d in os.listdir(vdir_committed):

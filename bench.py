@@ -94,6 +94,7 @@ HEADLINE = [
     # two keys.
     "pipeline_neardup_incremental",
     "dedup_embedding_incremental",
+    "pipeline_curate_incremental_full",
 ]
 
 
