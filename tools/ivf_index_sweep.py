@@ -141,6 +141,7 @@ def main() -> None:
             "delta_s": round(t_delta, 2),
         }
         print(f"{scale}: delta {DELTA_VECS} vectors: {t_delta:.2f}s", flush=True)
+        shutil.rmtree(base, ignore_errors=True)
 
     r1, r10 = results["1x"], results["10x"]
     ratio = round(r10["delta_s"] / r1["delta_s"], 2)
@@ -170,6 +171,7 @@ O(delta) append.
         f.write(section)
     print(json.dumps({"metric": "ivf_index_sweep", "results": results, "delta_ratio_10x": ratio}))
     spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
 
 
 if __name__ == "__main__":
