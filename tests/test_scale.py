@@ -680,3 +680,60 @@ def test_lsh_cells_kernel_matches_in_plan_buckets(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_auto_ivf_oracle_green_above_threshold(spark, tmp_path):
+    """The IVF seat of the geometry-parametric contract: on a corpus
+    above the k-derivation threshold (40,960 rows → k = 21 > the floor
+    8, no conf pinned) the resolved oracle enumerates the same 21
+    derived centroids the builder assigns with — and the builder is on
+    its GEMM kernel path up there (k > floor), so this also pins
+    GEMM-vs-exact-fold argmin agreement on real data."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from arrow_experiments_spark.operators.similarity import _ivf_k
+    from arrow_experiments_spark.oracle import compare
+    from arrow_experiments_spark.registry import all_queries
+
+    n_total, n_payload, dim = 40_960, 2_048, 64
+    rng = np.random.default_rng(11)
+    vecs = np.zeros((n_total, dim), dtype=np.float32)
+    vecs[:n_payload] = rng.standard_normal((n_payload, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n_total), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([i % 10 for i in range(n_total)], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    assert spark.conf.get("spark.arrowExperimentsSpark.ivf.k", "") == ""
+    assert _ivf_k(spark, str(tmp_path)) == 21  # ceil(40960/2000), > floor 8
+
+    from arrow_experiments_spark.operators.similarity import (
+        _ivf_codebook_oracle_sql,
+    )
+
+    q = all_queries()["ann_ivf_codebook"]
+    sql = q.oracle_sql(spark, str(tmp_path))
+    # the resolved SQL is the k=21 enumeration, not the floor's
+    assert sql == _ivf_codebook_oracle_sql(21)
+    assert sql != q.oracle_sql(None, SF_DIR_T2)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    try:
+        df = q.build(spark, str(tmp_path))
+        res = compare("ann_ivf_codebook@40k", df, con, sql)
+        assert res.ok, res.detail
+        assert res.spark_rows >= 10, res.spark_rows
+    finally:
+        con.close()
