@@ -73,6 +73,7 @@ def upsert_snapshot_sink(
     n_buckets: int = 32,
     bucket_cols: list[str] | None = None,
     insert_only: bool = False,
+    lease_ttl_sec: float = 60.0,
 ):
     """foreachBatch incremental UPSERT into a keyed parquet snapshot —
     the streaming twin of the batch ``pipeline_snapshot_upsert``
@@ -167,7 +168,7 @@ def upsert_snapshot_sink(
     spark = stream_df.sparkSession
     _check_bucket_cols(key_cols, bucket_cols)
     os.makedirs(snapshot_dir, exist_ok=True)
-    lease = WriterLease.acquire(snapshot_dir)
+    lease = WriterLease.acquire(snapshot_dir, ttl_sec=lease_ttl_sec)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         lease.heartbeat()
@@ -1001,6 +1002,7 @@ def incremental_neardup_sink(
     max_band_pop: int = 10_000,
     eval_docs: DataFrame | None = None,
     min_shared_shingles: int = 3,
+    lease_ttl_sec: float = 60.0,
 ):
     """The incremental curation sink extended with NEAR-dup gating — the
     shape a continuously-fed 100 TB corpus actually runs, because full-
@@ -1112,8 +1114,11 @@ def incremental_neardup_sink(
     bands_dir = os.path.join(base_dir, "bands")
     # ONE lease over base_dir covers BOTH snapshots: the hazard is two
     # writers interleaving docs/ and bands/ commits (a LATEST pointer
-    # mixing writers' buckets), which per-subdir leases would not stop
-    lease = WriterLease.acquire(base_dir)
+    # mixing writers' buckets), which per-subdir leases would not stop.
+    # Size lease_ttl_sec above the slowest expected micro-batch: the
+    # heartbeat runs once per batch, and a batch outliving the TTL can
+    # lose the lease mid-flight (its commit then fences, safely).
+    lease = WriterLease.acquire(base_dir, ttl_sec=lease_ttl_sec)
     try:
         _check_geometry(
             base_dir,
@@ -1404,6 +1409,7 @@ def incremental_embedding_dedup_sink(
     bits: int = 4,
     min_cosine: float = 0.9,
     max_cell_pop: int = 10_000,
+    lease_ttl_sec: float = 60.0,
 ):
     """SemDeDup at INGEST: the embedding-modality twin of
     :func:`incremental_neardup_sink` — full-corpus embedding dedup
@@ -1475,8 +1481,9 @@ def incremental_embedding_dedup_sink(
     cells_dir = os.path.join(base_dir, "cells")
     # one lease over base_dir covers both snapshots (see
     # incremental_neardup_sink: interleaved vecs/cells commits are the
-    # hazard per-subdir leases would miss)
-    lease = WriterLease.acquire(base_dir)
+    # hazard per-subdir leases would miss); size lease_ttl_sec above
+    # the slowest expected micro-batch
+    lease = WriterLease.acquire(base_dir, ttl_sec=lease_ttl_sec)
     try:
         _check_geometry(
             base_dir, {"bands": bands, "bits": bits}, ["vecs", "cells"]
@@ -1733,6 +1740,7 @@ def incremental_ivf_index_sink(
     checkpoint_dir: str | None = None,
     n_buckets: int = 32,
     k: int = 8,
+    lease_ttl_sec: float = 60.0,
 ):
     """Maintained IVF index ARTIFACT (r9 verdict #5): ``ann_ivf_*``
     re-derived the codebook assignment per query, where the 100 TB
@@ -1774,7 +1782,7 @@ def incremental_ivf_index_sink(
 
     spark = stream_df.sparkSession
     cells_dir = os.path.join(base_dir, "cells")
-    lease = WriterLease.acquire(base_dir)
+    lease = WriterLease.acquire(base_dir, ttl_sec=lease_ttl_sec)
     try:
         _check_geometry(base_dir, {"ivf_k": k}, ["cells"])
     except Exception:

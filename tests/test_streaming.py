@@ -1865,3 +1865,22 @@ def test_incremental_neardup_sink_composed_with_decontamination(spark, tmp_path)
     assert sorted(
         r["doc_id"] for r in index.select("doc_id").distinct().collect()
     ) == got_ids  # contaminated doc 13 indexed NOTHING
+
+
+def test_anti_join_small_left_fallback_matches_plain(spark):
+    """_anti_join_small_left's two plan shapes agree: the broadcast form
+    (micro-batch deltas) and the shuffled fallback past max_keys (a
+    backfill delivered as one giant batch) return identical rows."""
+    from arrow_experiments_spark.streaming.egress import _anti_join_small_left
+
+    small = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k int, v string"
+    )
+    big = spark.createDataFrame([(2,), (4,), (9,)], "k int")
+    want = {(1, "a"), (3, "c")}
+
+    broadcast_form = _anti_join_small_left(small, big, ["k"])
+    assert {tuple(r) for r in broadcast_form.collect()} == want
+
+    fallback_form = _anti_join_small_left(small, big, ["k"], max_keys=2)
+    assert {tuple(r) for r in fallback_form.collect()} == want
