@@ -1884,3 +1884,30 @@ def test_anti_join_small_left_fallback_matches_plain(spark):
 
     fallback_form = _anti_join_small_left(small, big, ["k"], max_keys=2)
     assert {tuple(r) for r in fallback_form.collect()} == want
+
+
+def test_read_version_survives_corrupt_manifest(spark, tmp_path):
+    """A damaged _MANIFEST.json must degrade to the directory read, not
+    fail the snapshot: the manifest is an optimization, never a
+    correctness dependency."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        _merge_batch,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+    batch = spark.createDataFrame(
+        [(i, i, f"v{i}") for i in range(20)], "k int, seq int, val string"
+    )
+    _merge_batch(
+        spark, batch, snap,
+        key_cols=["k"], order_col="seq", n_buckets=4, bucket_cols=None,
+        seq=0, committed=None,
+    )
+    manifest = os.path.join(snap, "v0", "_MANIFEST.json")
+    assert os.path.exists(manifest)
+    with open(manifest, "w") as f:
+        f.write("{not json")
+    assert read_snapshot(spark, snap).count() == 20
