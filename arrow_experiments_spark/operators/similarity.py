@@ -218,10 +218,29 @@ def lsh_cells_np(emb_series, bands: int, bits: int):
     products and sign rule as :func:`lsh_bucket_col`, accumulated
     dim-by-dim in index order so every sign decision is bit-identical
     to the in-plan form (the _codebook_l2sq_np discipline: np.sum's
-    pairwise reordering is deliberately avoided)."""
+    pairwise reordering is deliberately avoided).
+
+    Batch-shape contract: Arrow may deliver a 0-row batch (empty
+    partition slice) — returned as an empty (0, bands) block rather
+    than indexing shape[1] of a 0-d array.  NULL or ragged embeddings
+    have no cell (the in-plan fold degrades to NULL there); callers
+    gate them out first (the nz filter every embedding op applies), and
+    the kernel raises a diagnosable error instead of an obscure
+    object-dtype multiply if one slips through."""
     import numpy as np
 
-    a = np.array(emb_series.tolist(), dtype=np.float64)  # f32 -> f64 exact
+    if len(emb_series) == 0:
+        return np.zeros((0, bands), dtype=np.int32)
+    try:
+        a = np.array(emb_series.tolist(), dtype=np.float64)  # f32 -> f64 exact
+        if a.ndim != 2:
+            raise ValueError("not a rectangular batch")
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            "lsh_cells_np requires non-NULL, equal-length embeddings — "
+            "gate NULL/empty/zero-norm rows before the kernel (the nz "
+            f"filter): {e}"
+        ) from None
     out = np.zeros((a.shape[0], bands), dtype=np.int32)
     for band in range(bands):
         for k in range(bits):

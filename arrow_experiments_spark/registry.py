@@ -54,13 +54,22 @@ class Query:
     ) -> str | None:
         """The DuckDB oracle SQL for this query against ``sf_dir`` —
         resolves geometry-parametric oracles with the same derivation
-        the builder runs (conf overrides honored when ``spark`` is
-        given; footer-count derivation otherwise)."""
+        the builder runs.  When no ``spark`` is passed, the ACTIVE
+        session (if one exists) is used so geometry conf overrides
+        (``emb.lshBits``, ``ivf.k``, ``corpusNOverride``) flow into the
+        resolved SQL exactly as they flow into the builder — otherwise
+        a conf-pinned builder would silently compare against a
+        footer-count-derived oracle (ADVICE r10).  With no session at
+        all the contract is: footer-count derivation against the
+        driver's sf0.01 corpus and NO conf overrides — the environment
+        ``__spark_entry__.oracle_sql()`` runs in."""
         if self.oracle is None:
             return None
         if callable(self.oracle):
             import os
 
+            if spark is None:
+                spark = SparkSession.getActiveSession()
             return self.oracle(
                 spark,
                 sf_dir

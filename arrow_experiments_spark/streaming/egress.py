@@ -301,7 +301,12 @@ def _anti_join_small_left(small, big, cols: list[str], max_keys: int = 2_000_000
     as one giant "delta" (> 2M keys ≈ tens of MB broadcast) falls back
     to the plain shuffled anti-join instead of broadcasting an
     executor-memory-sized key set — correctness identical, plan shape
-    chosen by the actual delta size."""
+    chosen by the actual delta size.
+
+    Caller contract: the size probe is an EAGER count over ``small``'s
+    lineage — pass a PERSISTED frame, or the probe executes the full
+    upstream plan (quality gates, window dedup, scans) one extra time
+    per call (ADVICE r10: the streaming gates paid exactly that)."""
     from pyspark.sql import functions as F
 
     keys = small.select(*cols).distinct()
@@ -755,6 +760,35 @@ class WriterLease:
         self.token = token
 
     @staticmethod
+    def _mutate_lock(path: str):
+        """Exclusive flock held across every read-check-replace of the
+        lease file (heartbeat refresh, stale takeover).  Without it the
+        two mutation paths race: a writer stalled past its TTL can pass
+        check(), lose the lease to a successor's takeover, then blindly
+        ``os.replace`` the successor's lease with its own stale nonce —
+        single-COMMIT safety still holds (the fence at LATEST-swap), but
+        the wrong writer keeps running and the legitimate successor gets
+        fenced.  The lock file is separate from the lease (the lease is
+        created O_EXCL and atomically replaced; flock on a file you then
+        replace guards nothing).  Object-store seat: conditional-PUT
+        (if-match on the lease object's etag) collapses read-check-
+        replace into one atomic operation and needs no side lock."""
+        import contextlib
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def held():
+            fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)  # closing releases the flock
+
+        return held()
+
+    @staticmethod
     def _payload(nonce: str, token: int) -> dict:
         import os
         import socket
@@ -800,20 +834,31 @@ class WriterLease:
                     "interleaved commits could strand a LATEST pointer "
                     "on a version mixing both writers' buckets"
                 ) from None
-            # stale takeover with a HIGHER fencing token; atomic replace,
-            # then read back to confirm this process won a concurrent race
+            # stale takeover with a HIGHER fencing token, under the
+            # mutation lock so a concurrent heartbeat refresh cannot
+            # interleave between our staleness check and the replace;
+            # re-read inside the lock to confirm the lease is STILL the
+            # stale one we judged (a fresh heartbeat or a rival takeover
+            # landing first loses us the race)
             token = int(cur.get("token", 0)) + 1
-            tmp = path + f".tmp.{nonce}"
-            with open(tmp, "w") as f:
-                json.dump(cls._payload(nonce, token), f)
-            os.replace(tmp, path)
-            with open(path) as f:
-                now = json.load(f)
-            if now.get("nonce") != nonce:
-                raise WriterLeaseHeld(
-                    f"lost the stale-lease takeover race on {base_dir} "
-                    f"to pid {now.get('pid')}@{now.get('host')}"
-                ) from None
+            with cls._mutate_lock(path):
+                try:
+                    with open(path) as f:
+                        now = json.load(f)
+                except (OSError, ValueError):
+                    now = {}
+                if now != cur and (
+                    time.time() - float(now.get("heartbeat", 0)) <= ttl_sec
+                    or int(now.get("token", 0)) >= token
+                ):
+                    raise WriterLeaseHeld(
+                        f"lost the stale-lease takeover race on {base_dir} "
+                        f"to pid {now.get('pid')}@{now.get('host')}"
+                    ) from None
+                tmp = path + f".tmp.{nonce}"
+                with open(tmp, "w") as f:
+                    json.dump(cls._payload(nonce, token), f)
+                os.replace(tmp, path)
             return cls(path, nonce, token)
         with os.fdopen(fd, "w") as f:
             json.dump(cls._payload(nonce, 1), f)
@@ -842,20 +887,33 @@ class WriterLease:
         import json
         import os
 
-        self.check()
-        tmp = self.path + f".tmp.{self.nonce}"
-        with open(tmp, "w") as f:
-            json.dump(self._payload(self.nonce, self.token), f)
-        os.replace(tmp, self.path)
+        # check-and-refresh under the mutation lock: unlocked, a writer
+        # stalled past its TTL could pass check(), lose the lease to a
+        # concurrent stale-takeover, then blindly os.replace the
+        # successor's lease with its own stale nonce — the successor
+        # (the legitimate owner) would fence at its next commit while
+        # the stale writer proceeded.  The lock serializes this
+        # read-check-replace against the takeover path's, so whichever
+        # lands second SEES the other's write and fences correctly.
+        with self._mutate_lock(self.path):
+            self.check()
+            tmp = self.path + f".tmp.{self.nonce}"
+            with open(tmp, "w") as f:
+                json.dump(self._payload(self.nonce, self.token), f)
+            os.replace(tmp, self.path)
 
     def release(self) -> None:
         import contextlib
         import os
 
-        cur = self._current()
-        if cur.get("nonce") == self.nonce:
-            with contextlib.suppress(OSError):
-                os.remove(self.path)
+        # same read-check-remove race as heartbeat: without the lock a
+        # takeover landing between the nonce check and the unlink would
+        # have THIS writer delete the successor's lease
+        with self._mutate_lock(self.path):
+            cur = self._current()
+            if cur.get("nonce") == self.nonce:
+                with contextlib.suppress(OSError):
+                    os.remove(self.path)
 
 
 def _check_geometry(base_dir: str, record: dict, subdirs: list[str]) -> None:
@@ -1193,7 +1251,14 @@ def incremental_neardup_sink(
         hash_touched = _touched_list(batch_df, hash_bucket)
         try:
             if seq_docs is not None:
-                firsts = _gated_firsts(batch_df)
+                # persist the gate BEFORE the anti-join: the helper's
+                # broadcast-size probe counts the delta's keys — an
+                # eager action — and unpersisted that count executed
+                # the full quality-gate + scan plan one extra time per
+                # micro-batch (ADVICE r10), the exact double-execution
+                # the persist exists to prevent
+                firsts = _gated_firsts(batch_df).persist()
+                pinned.append(firsts)
                 docs_view = _prepare_view(
                     spark, docs_dir, committed_docs, n_buckets, doc_keys
                 )
@@ -1201,13 +1266,12 @@ def incremental_neardup_sink(
                     seen = _filter_buckets(docs_view, hash_touched).select(
                         "content_hash"
                     )
+                    # the anti-join output feeds BOTH the signature
+                    # chain and the merge — persisted too (delta-sized)
                     firsts = _anti_join_small_left(
                         firsts, seen, ["content_hash"]
-                    )
-                # the gate+anti-join plan feeds BOTH the signature chain
-                # and the merge — persist it or it executes twice
-                firsts = firsts.persist()
-                pinned.append(firsts)
+                    ).persist()
+                    pinned.append(firsts)
                 # ONE tokenize pass over the exact-novel docs; the persist
                 # barriers stop Catalyst's projection collapse from
                 # re-inlining the shingle chain into each of the 8
@@ -1539,6 +1603,10 @@ def incremental_embedding_dedup_sink(
                 w_id = Window.partitionBy("vec_id").orderBy(
                     F.xxhash64(F.col("embedding"))
                 )
+                # persisted BEFORE the anti-join: its broadcast-size
+                # probe is an eager count, and unpersisted it executed
+                # this gate+window plan one extra time per micro-batch
+                # (ADVICE r10 — see incremental_neardup_sink)
                 fresh = (
                     batch_df.filter(
                         F.col("embedding").isNotNull()
@@ -1547,7 +1615,9 @@ def incremental_embedding_dedup_sink(
                     .withColumn("_rn", F.row_number().over(w_id))
                     .filter(F.col("_rn") == 1)
                     .drop("_rn")
+                    .persist()
                 )
+                pinned.append(fresh)
                 vecs_view = _prepare_view(
                     spark, vecs_dir, committed_vecs, n_buckets, vec_keys
                 )
@@ -1555,13 +1625,15 @@ def incremental_embedding_dedup_sink(
                     seen = _filter_buckets(vecs_view, id_touched).select(
                         "vec_id"
                     )
-                    fresh = _anti_join_small_left(fresh, seen, ["vec_id"])
+                    fresh = _anti_join_small_left(
+                        fresh, seen, ["vec_id"]
+                    ).persist()
+                    pinned.append(fresh)
                 # cells materialized once behind a persist barrier — the
                 # hyperplane dot-products would otherwise re-inline per
                 # band reference (no CSE across HOF lambdas)
-                fresh = fresh.persist()
                 dcells = cell_rows(fresh, keep_emb=False).persist()
-                pinned += [fresh, dcells]
+                pinned.append(dcells)
                 drops = None
                 idx = _prepare_view(
                     spark, cells_dir, _committed_version(cells_dir),
