@@ -1027,18 +1027,39 @@ def ensure_ivf_index(
     postings bucketed on cell, versioned snapshot, ``_GEOMETRY.json``
     guard — built once per (corpus fingerprint, geometry) and replayed
     by every later probe, the reference's pre-materialize-once
-    discipline.  A live sink delta-maintains the same directory; this
-    builder only rebuilds when the SOURCE or geometry changed.  Returns
-    ``(base_dir, k)``."""
+    discipline.  Returns ``(base_dir, k)``.
+
+    Freshness has two owners (ADVICE r10):
+
+    * builder-built indexes carry ``_INDEX_MANIFEST.json`` (the corpus
+      fingerprint) — stale when the SOURCE files or geometry changed;
+    * SINK-maintained indexes carry no manifest (a sink ingests
+      streams, not corpus files — there is no source to fingerprint).
+      A committed version whose recorded ``_GEOMETRY.json`` matches
+      this probe's k IS the live index: treated as fresh, never rebuilt
+      out from under the sink (a rebuild from ``sf_dir`` would silently
+      discard every sink-ingested posting not present in the corpus
+      files).
+
+    Rebuilds are NON-DESTRUCTIVE (r10 verdict #1): the new postings
+    write into the NEXT snapshot version and the LATEST pointer swaps —
+    the ``upsert_snapshot_sink`` discipline — so a concurrent probe
+    that resolved the committed version just before the rebuild keeps
+    reading it (the previous version survives the post-commit prune).
+    The old code ``rmtree``'d ``cells/`` under the lease, which
+    serializes WRITERS but left readers — intentionally lease-free —
+    reading a vanishing directory for the whole rebuild (hours at
+    100 TB).  ``_GEOMETRY.json``/manifest update AFTER the version
+    commit: a crash between commit and record re-runs the rebuild on
+    the next call (fresh() sees the stale manifest), never strands a
+    mixed state readers could act on."""
     import json
     import os
-    import shutil
     import time
 
     from arrow_experiments_spark.streaming.egress import (
         WriterLease,
         WriterLeaseHeld,
-        _check_geometry,
         _committed_version,
         _merge_batch,
     )
@@ -1047,14 +1068,23 @@ def ensure_ivf_index(
     base = ivf_index_dir(sf_dir, spark)
     cells_dir = os.path.join(base, "cells")
     manifest_path = os.path.join(base, "_INDEX_MANIFEST.json")
+    geometry_path = os.path.join(base, "_GEOMETRY.json")
     fp = _ivf_source_fingerprint(sf_dir, k, n_buckets)
 
     def fresh() -> bool:
-        if fp is None or _committed_version(cells_dir) is None:
+        if _committed_version(cells_dir) is None:
             return False
         try:
             with open(manifest_path) as f:
-                return json.load(f).get("fingerprint") == fp
+                return fp is not None and json.load(f).get("fingerprint") == fp
+        except FileNotFoundError:
+            # no manifest: sink-owned (see docstring) — fresh iff the
+            # recorded codebook matches the k this probe derived
+            try:
+                with open(geometry_path) as f:
+                    return json.load(f).get("ivf_k") == k
+            except (OSError, ValueError):
+                return False
         except (OSError, ValueError):
             return False
 
@@ -1077,30 +1107,39 @@ def ensure_ivf_index(
     try:
         if fresh():  # another builder finished while we acquired
             return base, k
-        shutil.rmtree(cells_dir, ignore_errors=True)
-        for stale in ("_GEOMETRY.json", "_INDEX_MANIFEST.json"):
-            try:
-                os.remove(os.path.join(base, stale))
-            except OSError:
-                pass
-        _check_geometry(base, {"ivf_k": k}, ["cells"])
+        committed = _committed_version(cells_dir)
+        seq = int(committed[1:]) + 1 if committed else 0
         nz = _nonzero_embeddings(spark, sf_dir)
         postings = nz.select(
             ivf_cell_col(F.col("embedding"), k).alias("cell"),
             "vec_id",
             "embedding",
         )
-        _merge_batch(
+        # committed=None: a rebuild REPLACES the snapshot contents (the
+        # whole corpus re-assigns under the new fingerprint/geometry),
+        # so the merge takes no old rows forward — but the version it
+        # writes slots AFTER the committed one, and in-flight readers
+        # of that version stay consistent through the swap
+        version = _merge_batch(
             spark, postings, cells_dir,
             key_cols=["cell", "vec_id"], order_col="vec_id",
             n_buckets=n_buckets, bucket_cols=["cell"],
-            seq=0, committed=None, lease=lease,
+            seq=seq, committed=None, lease=lease,
         )
-        if fp is not None:
-            tmp = manifest_path + ".tmp"
+        if version is not None:
+            # geometry + manifest AFTER the commit, atomically — the
+            # rebuild is the one writer allowed to CHANGE the recorded
+            # codebook (a sink attach with a different k must still
+            # raise, which _check_geometry enforces for it)
+            tmp = geometry_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"fingerprint": fp, "k": k}, f)
-            os.replace(tmp, manifest_path)
+                json.dump({"ivf_k": k}, f)
+            os.replace(tmp, geometry_path)
+            if fp is not None:
+                tmp = manifest_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"fingerprint": fp, "k": k}, f)
+                os.replace(tmp, manifest_path)
         return base, k
     finally:
         lease.release()

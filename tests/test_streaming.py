@@ -1803,6 +1803,92 @@ def test_ensure_ivf_index_build_if_absent(spark, tmp_path):
         spark.conf.unset(_IVF_INDEX_DIR_CONF)
 
 
+def test_ensure_ivf_index_rebuild_nondestructive(spark, tmp_path):
+    """r10 verdict #1: a stale-fingerprint rebuild writes the NEXT
+    snapshot version and swaps LATEST (the upsert_snapshot_sink
+    discipline) instead of rmtree-ing the live ``cells/`` — a reader
+    that resolved the committed version just before the rebuild keeps
+    reading a consistent result (old or new, never an error) for the
+    whole rebuild.  Also pins sink-owned freshness (ADVICE r10): a
+    committed version with matching ``_GEOMETRY.json`` but no
+    ``_INDEX_MANIFEST.json`` is a live sink-maintained index, treated
+    as fresh instead of rebuilt from corpus files."""
+    import json
+    import os
+    import shutil
+    import threading
+
+    from arrow_experiments_spark.operators.similarity import (
+        _IVF_INDEX_DIR_CONF,
+        ensure_ivf_index,
+    )
+    from arrow_experiments_spark.streaming.egress import _committed_version
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    shutil.copy(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        os.path.join(corpus, "embeddings.parquet"),
+    )
+    spark.conf.set(_IVF_INDEX_DIR_CONF, str(tmp_path / "idx"))
+    try:
+        base, k = ensure_ivf_index(spark, corpus)
+        cells_dir = os.path.join(base, "cells")
+        v_before = _committed_version(cells_dir)
+        vdir_before = os.path.join(cells_dir, v_before)
+        n = spark.read.parquet(vdir_before).count()
+        assert n > 0
+
+        # stale the fingerprint (same bytes, new mtime) — forces a rebuild
+        os.utime(os.path.join(corpus, "embeddings.parquet"))
+
+        # reader pinned to the version resolved BEFORE the rebuild —
+        # the exact interleaving that crashed on the rmtree path
+        errors: list[Exception] = []
+        counts: list[int] = []
+        stop = threading.Event()
+
+        def read_loop():
+            while not stop.is_set():
+                try:
+                    v = _committed_version(cells_dir)
+                    counts.append(
+                        spark.read.parquet(os.path.join(cells_dir, v)).count()
+                    )
+                except Exception as e:  # noqa: BLE001 — the assertion target
+                    errors.append(e)
+                    return
+
+        t = threading.Thread(target=read_loop)
+        t.start()
+        try:
+            base2, k2 = ensure_ivf_index(spark, corpus)
+        finally:
+            stop.set()
+            t.join()
+        assert not errors, f"concurrent probe failed during rebuild: {errors[0]}"
+        assert counts and all(c == n for c in counts)
+        assert (base2, k2) == (base, k)
+        v_after = _committed_version(cells_dir)
+        assert v_after != v_before, "rebuild must commit a NEW version"
+        # the superseded version survives the prune for in-flight readers
+        assert os.path.isdir(vdir_before)
+        assert spark.read.parquet(os.path.join(cells_dir, v_after)).count() == n
+
+        # sink-owned freshness: no manifest + matching geometry = fresh
+        os.remove(os.path.join(base, "_INDEX_MANIFEST.json"))
+        with open(os.path.join(base, "_GEOMETRY.json")) as f:
+            assert json.load(f)["ivf_k"] == k
+        base3, _ = ensure_ivf_index(spark, corpus)
+        assert base3 == base
+        assert _committed_version(cells_dir) == v_after, (
+            "a sink-maintained index (no manifest) must not be rebuilt "
+            "out from under the sink"
+        )
+    finally:
+        spark.conf.unset(_IVF_INDEX_DIR_CONF)
+
+
 def test_incremental_neardup_sink_composed_with_decontamination(spark, tmp_path):
     """r9 verdict #8 (stretch): the FULL curation funnel as one sink —
     quality → exact → near-dup → benchmark decontamination — with every
