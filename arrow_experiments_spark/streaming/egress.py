@@ -215,6 +215,95 @@ def _check_bucket_cols(key_cols: list[str], bucket_cols: list[str] | None) -> No
         )
 
 
+def derive_index_buckets(
+    expected_rows: int,
+    bands: int = 0,
+    delta_rows: int = 0,
+    target_rows_per_bucket: int = 50_000,
+    min_buckets: int = 64,
+    max_buckets: int = 65_536,
+) -> int:
+    """Bucket count for a probe-pruned index snapshot, derived from
+    corpus/batch shape instead of hand-tuned (r10 verdict #4 — every
+    other geometry knob was already derived; the pinned bucket conf was
+    the one remaining human number, and the measured decade residual was
+    exactly its artifact).  Two constraints, take the max, round up to a
+    power of two:
+
+    * ``expected_rows / target_rows_per_bucket`` — a bucket holds ~50k
+      postings, so the rows a delta's probe scans are bounded by
+      ``touched_buckets × target`` regardless of corpus size (bucket
+      count grows WITH the corpus, the flatness condition);
+    * ``4 × bands × delta_rows`` — at least 4× the delta's maximum
+      touched-bucket count (a delta of D docs probes ≤ bands·D distinct
+      band values), so the touched set is ≤ ~25% of the index instead
+      of all of it (the measured 1× artifact: 64 buckets under a
+      120-cell delta meant every commit scanned the WHOLE index slice).
+
+    Power of two keeps ``pmod(xxhash64(...), B)`` balanced under
+    doubling; the cap bounds directory fan-out per version."""
+    need = max(
+        min_buckets,
+        -(-max(expected_rows, 0) // target_rows_per_bucket),
+        4 * bands * delta_rows,
+    )
+    b = min_buckets
+    while b < need and b < max_buckets:
+        b *= 2
+    return min(b, max_buckets)
+
+
+def _adopted_index_buckets(snapshot_dir: str) -> int | None:
+    """The bucket count the committed version of ``snapshot_dir`` was
+    written under, or None before the first commit — re-attaching a
+    sink with ``index_buckets=None`` ADOPTS the live geometry instead
+    of migrating the whole index to a freshly-derived count."""
+    import os
+
+    committed = _committed_version(snapshot_dir)
+    if committed is None:
+        return None
+    rec = _layout_record(os.path.join(snapshot_dir, committed))
+    n = rec.get("n_buckets")
+    return int(n) if isinstance(n, int) else None
+
+
+def _parallel_writes(jobs):
+    """Run the multi-table sinks' per-leg WRITE phases concurrently:
+    ``jobs`` is an ordered list of ``(name, thunk)``; each thunk runs a
+    ``_merge_batch(..., defer_commit=True)`` and returns its commit
+    callable (or None).  Spark schedules the legs' jobs onto the same
+    pool, so the wall is the slowest leg, not the sum — the two ~1 s
+    delta writes of a gate micro-batch overlap (r10 verdict #2).
+
+    Failure contract mirrors the sequential crash window: results and
+    errors are returned positionally, and the CALLER commits in list
+    order, stopping at the first failed leg — a corpus leg that wrote
+    cleanly commits even when the index leg failed (the index lags by
+    one batch and heals on replay, exactly like a crash between the
+    two sequential merges)."""
+    import threading
+
+    results: list = [None] * len(jobs)
+    errors: list = [None] * len(jobs)
+
+    def run(i, thunk):
+        try:
+            results[i] = thunk()
+        except BaseException as e:  # noqa: BLE001 — re-raised by caller
+            errors[i] = e
+
+    threads = [
+        threading.Thread(target=run, args=(i, t), name=f"merge-{n}")
+        for i, (n, t) in enumerate(jobs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results, errors
+
+
 def _committed_version(snapshot_dir: str) -> str | None:
     """The version the LATEST pointer names, or None before first commit."""
     import os
@@ -484,7 +573,8 @@ def _merge_batch(
     lease: "WriterLease | None" = None,
     insert_only: bool = False,
     max_files_per_bucket: int = 32,
-) -> str:
+    defer_commit: bool = False,
+):
     """One keyed merge of ``batch_df`` into the bucketed versioned
     snapshot: write ``v{seq}``, hard-link unchanged files from
     ``committed``, record the layout + manifest, swap the pointer, prune
@@ -494,6 +584,19 @@ def _merge_batch(
     per micro-batch.  ``lease``: the caller's :class:`WriterLease`,
     fence-checked immediately before the pointer swap so a taken-over
     writer aborts instead of committing.
+
+    ``defer_commit`` splits the merge at the pointer swap: the WRITE
+    phase (delta files, hard links, layout + manifest — everything
+    under the not-yet-referenced version dir) runs now, and a
+    zero-argument ``commit()`` callable is returned that performs the
+    fence check, the atomic pointer swap, and the superseded-version
+    prune.  The multi-table sinks use this to run their two legs' write
+    phases CONCURRENTLY (Spark schedules both jobs onto one pool — wall
+    is the max, not the sum) while still committing in the contract
+    order (corpus before index).  Returns ``None`` instead of the
+    callable when there is nothing to commit (empty first batch).  An
+    uncommitted write leaves only an unreferenced version dir, which the
+    next merge at the same seq overwrites.
 
     Two merge modes (r9 verdict #4):
 
@@ -516,7 +619,27 @@ def _merge_batch(
       are COMPACTED (that bucket alone takes the rewrite path), which
       bounds read amplification: steady state is ≤ max_files+1 files
       per bucket.  Replays are idempotent (the anti-join drops every
-      re-inserted key; the version is then pure links)."""
+      re-inserted key; the version is then pure links).
+
+    Reader-vs-compaction contract (r10 verdict #5).  A reader that
+    resolved version N sees EXACTLY N's rows for as long as N exists,
+    no matter what commits meanwhile — including a compacting commit:
+    compaction writes the merged bucket into NEW files under N+1's
+    directory and hard-links the rest; it never mutates or unlinks a
+    file of N.  The RETENTION RULE is two versions: the post-commit
+    prune deletes everything older than the previous version, so a
+    reader holding N survives the commit of N+1 but is out of contract
+    once N+2 commits — long scans must finish within one commit cycle
+    or re-resolve the pointer (``snapshot_reader_factory`` resolves per
+    request for exactly this reason).  Object-store seat (no inode
+    semantics at 100 TB): objects are immutable by construction, so
+    "hard link" becomes a manifest entry naming the same object key,
+    compaction writes new objects + a new manifest, and the prune
+    deletes objects referenced only by pruned manifests — the same
+    two-version retention, with the manifest playing the role the
+    directory tree plays here.  Nothing about the reader contract
+    depends on POSIX link counts; they are only the local-FS
+    implementation of shared immutable extents."""
     import json
     import os
     import shutil
@@ -676,21 +799,27 @@ def _merge_batch(
         json.dump({"n_buckets": n_buckets, "bucket_cols": bcols}, f)
     # one Python walk now saves every reader a directory walk later
     _write_manifest(vdir)
-    if lease is not None:
-        lease.check()  # fence: a taken-over writer must not swap the pointer
-    tmp = pointer + f".tmp{seq}"
-    with open(tmp, "w") as f:
-        f.write(version)
-    os.replace(tmp, pointer)  # atomic swap — the "commit"
-    # prune versions older than the PREVIOUS one (kept for readers
-    # that resolved the pointer just before the swap); hard-linked
-    # bucket files survive until their last referencing version goes
-    prev = _prev_version(snapshot_dir, seq)
-    keep = {version} | ({f"v{prev}"} if prev is not None else set())
-    for d in os.listdir(snapshot_dir):
-        if d.startswith("v") and d not in keep:
-            shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
-    return version
+
+    def commit() -> str:
+        if lease is not None:
+            lease.check()  # fence: a taken-over writer must not swap
+        tmp = pointer + f".tmp{seq}"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, pointer)  # atomic swap — the "commit"
+        # prune versions older than the PREVIOUS one (kept for readers
+        # that resolved the pointer just before the swap); hard-linked
+        # bucket files survive until their last referencing version goes
+        prev = _prev_version(snapshot_dir, seq)
+        keep = {version} | ({f"v{prev}"} if prev is not None else set())
+        for d in os.listdir(snapshot_dir):
+            if d.startswith("v") and d not in keep:
+                shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
+        return version
+
+    if defer_commit:
+        return commit
+    return commit()
 
 
 def _run_foreach_batch(
@@ -1061,6 +1190,7 @@ def incremental_neardup_sink(
     eval_docs: DataFrame | None = None,
     min_shared_shingles: int = 3,
     lease_ttl_sec: float = 60.0,
+    index_buckets: int | None = None,
 ):
     """The incremental curation sink extended with NEAR-dup gating — the
     shape a continuously-fed 100 TB corpus actually runs, because full-
@@ -1104,12 +1234,26 @@ def incremental_neardup_sink(
     Both behaviors are the documented ones for their scope, not
     defects.
 
-    Crash contract: ``docs/`` commits before ``bands/``, and the band
-    leg derives its postings from *the committed docs snapshot joined
-    back on the batch's hashes* — NOT from in-flight frames — so a crash
-    between the two merges heals on replay (docs skips as already
-    committed, bands recomputes the identical postings), and re-upserts
-    of existing postings are idempotent by key.  The index lags the
+    FUSED commit (r10 verdict #2): the two legs' WRITE phases run
+    concurrently (``_merge_batch(..., defer_commit=True)`` on two
+    threads — Spark schedules both jobs onto the pool, wall = the
+    slower leg, not the sum), then the pointers swap in contract order:
+    ``docs/`` first, ``bands/`` second.  The band leg's posting source
+    is *survivors ∪ (committed docs ∩ the batch's hashes)* — since the
+    new docs version is exactly (committed ∪ survivors), this is the
+    same posting set the old post-commit read-back produced, but it
+    depends only on PRE-commit frames, which is what lets the writes
+    overlap.
+
+    Crash contract: a crash between the two pointer swaps heals on
+    replay — docs skips as already committed, and the re-delivered
+    term of the posting source (the batch's hashes joined against the
+    NOW-committed docs) recomputes the identical postings, whose
+    re-upserts are idempotent by key.  ``index_buckets`` (the band
+    index's bucket count) is adopt-else-derive exactly as in
+    :func:`incremental_embedding_dedup_sink` — see there for why
+    bucket counts live in the layout record, not ``_GEOMETRY.json``.
+    The index lags the
     corpus by at most the in-flight batch.
 
     Batch twin: ``pipeline_neardup_incremental`` (registered, DuckDB
@@ -1233,23 +1377,40 @@ def incremental_neardup_sink(
             *extra,
         )
 
-    band_probe_bucket = F.pmod(
-        F.xxhash64(F.col("band_idx"), F.col("band_val")), F.lit(n_buckets)
-    ).cast("int")
     hash_bucket = F.pmod(
         F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
     ).cast("int")
+    # band-index bucket count: adopt the committed layout, else derive
+    # from the first batch's shape (see the embedding sink's docstring)
+    resolved = {"bands": index_buckets}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         lease.heartbeat()
         ckpt = checkpoint_dir is not None
         committed_docs = _committed_version(docs_dir)
         seq_docs = _alloc_seq(committed_docs, batch_id, ckpt)
+        committed_bands = _committed_version(bands_dir)
+        seq_bands = _alloc_seq(committed_bands, batch_id, ckpt)
+        if resolved["bands"] is None:
+            adopted = _adopted_index_buckets(bands_dir)
+            if adopted is not None:
+                resolved["bands"] = adopted
+            else:
+                n_delta = batch_df.count()
+                resolved["bands"] = derive_index_buckets(
+                    _N_BANDS * n_delta, bands=_N_BANDS, delta_rows=n_delta
+                )
+        bands_buckets = resolved["bands"]
+        band_probe_bucket = F.pmod(
+            F.xxhash64(F.col("band_idx"), F.col("band_val")),
+            F.lit(bands_buckets),
+        ).cast("int")
         pinned = []
         # ONE md5+xxhash pass over the raw batch serves both legs' hash
         # pruning (the docs anti-join and the band-leg read-back)
         hash_touched = _touched_list(batch_df, hash_bucket)
         try:
+            survivors = None
             if seq_docs is not None:
                 # persist the gate BEFORE the anti-join: the helper's
                 # broadcast-size probe counts the delta's keys — an
@@ -1326,8 +1487,8 @@ def incremental_neardup_sink(
                 # signature agreement against the posting's denormalized
                 # signatures — no join back to the corpus
                 idx = _prepare_view(
-                    spark, bands_dir, _committed_version(bands_dir),
-                    n_buckets, band_keys, band_buckets,
+                    spark, bands_dir, committed_bands,
+                    bands_buckets, band_keys, band_buckets,
                 )
                 if idx is not None:
                     # NOTE: deliberately NOT persisted — the saturation
@@ -1409,45 +1570,73 @@ def incremental_neardup_sink(
                     .select(F.col("idb").alias("doc_id"))
                 )
                 drops = in_drops if drops is None else drops.unionByName(in_drops)
-                survivors = firsts.join(
-                    drops.distinct(), "doc_id", "left_anti"
-                ).join(sigs, "doc_id")
-                _merge_batch(
-                    spark, survivors, docs_dir,
-                    key_cols=doc_keys, order_col="doc_id",
-                    n_buckets=n_buckets, bucket_cols=None,
-                    seq=seq_docs, committed=committed_docs,
-                    lease=lease, insert_only=True,
+                # persisted: BOTH legs' write phases build on survivors
+                survivors = (
+                    firsts.join(drops.distinct(), "doc_id", "left_anti")
+                    .join(sigs, "doc_id")
+                    .persist()
                 )
-            # band-index leg — derived from the COMMITTED docs snapshot
-            # joined back on the batch's hashes, so a replay after a
-            # crash between the two merges recomputes identical postings
-            committed_bands = _committed_version(bands_dir)
-            seq_bands = _alloc_seq(committed_bands, batch_id, ckpt)
-            if seq_bands is None:
-                return
-            docs_now = _prepare_view(
-                spark, docs_dir, _committed_version(docs_dir),
-                n_buckets, doc_keys,
+                pinned.append(survivors)
+            # FUSED commit — posting source = survivors ∪ (committed
+            # docs ∩ batch hashes): identical coverage to the old
+            # post-commit read-back (new docs version = committed ∪
+            # survivors), but pre-commit-only inputs let the two write
+            # phases overlap; the re-delivered term heals a crash
+            # between the pointer swaps (see docstring)
+            jobs = []
+            if seq_docs is not None and survivors is not None:
+                jobs.append((
+                    "docs",
+                    lambda: _merge_batch(
+                        spark, survivors, docs_dir,
+                        key_cols=doc_keys, order_col="doc_id",
+                        n_buckets=n_buckets, bucket_cols=None,
+                        seq=seq_docs, committed=committed_docs,
+                        lease=lease, insert_only=True, defer_commit=True,
+                    ),
+                ))
+            post_src = (
+                survivors.select("doc_id", *sig_cols)
+                if survivors is not None
+                else None
             )
-            if docs_now is None:
-                return
-            batch_hashes = batch_df.select(
-                md5_str(F.col("text")).alias("content_hash")
-            ).distinct()
-            mine = _filter_buckets(docs_now, hash_touched).join(
-                batch_hashes, "content_hash"
+            docs_committed_view = _prepare_view(
+                spark, docs_dir, committed_docs, n_buckets, doc_keys
             )
-            postings = band_rows(
-                mine.select("doc_id", *sig_cols), keep_sigs=True
-            )
-            _merge_batch(
-                spark, postings, bands_dir,
-                key_cols=band_keys, order_col="doc_id",
-                n_buckets=n_buckets, bucket_cols=band_buckets,
-                seq=seq_bands, committed=committed_bands,
-                lease=lease, insert_only=True,
-            )
+            if docs_committed_view is not None:
+                batch_hashes = batch_df.select(
+                    md5_str(F.col("text")).alias("content_hash")
+                ).distinct()
+                redelivered = (
+                    _filter_buckets(docs_committed_view, hash_touched)
+                    .join(batch_hashes, "content_hash")
+                    .select("doc_id", *sig_cols)
+                )
+                post_src = (
+                    redelivered
+                    if post_src is None
+                    else post_src.unionByName(redelivered)
+                )
+            if seq_bands is not None and post_src is not None:
+                postings = band_rows(post_src, keep_sigs=True)
+                jobs.append((
+                    "bands",
+                    lambda: _merge_batch(
+                        spark, postings, bands_dir,
+                        key_cols=band_keys, order_col="doc_id",
+                        n_buckets=bands_buckets, bucket_cols=band_buckets,
+                        seq=seq_bands, committed=committed_bands,
+                        lease=lease, insert_only=True, defer_commit=True,
+                    ),
+                ))
+            commits, errors = _parallel_writes(jobs)
+            # commit docs before bands; a failed leg raises before any
+            # later leg commits, so the index never leads the corpus
+            for commit_fn, err in zip(commits, errors):
+                if err is not None:
+                    raise err
+                if commit_fn is not None:
+                    commit_fn()
         finally:
             for f in pinned:
                 f.unpersist()
@@ -1474,6 +1663,7 @@ def incremental_embedding_dedup_sink(
     min_cosine: float = 0.9,
     max_cell_pop: int = 10_000,
     lease_ttl_sec: float = 60.0,
+    index_buckets: int | None = None,
 ):
     """SemDeDup at INGEST: the embedding-modality twin of
     :func:`incremental_neardup_sink` — full-corpus embedding dedup
@@ -1502,9 +1692,10 @@ def incremental_embedding_dedup_sink(
     :func:`incremental_neardup_sink` for the chain semantics in both
     scopes); (4) survivors merge into ``vecs/``, their postings
     into ``cells/``.  Same greedy/online cross-batch semantics and
-    crash contract as the MinHash sink: vecs commit first, the cell leg
-    derives from the committed vecs joined back on the batch's ids, so
-    a crash between merges heals on replay.
+    crash contract as the MinHash sink; see it for the FUSED commit
+    shape (parallel write phases, vecs pointer swaps first, posting
+    source = survivors ∪ re-delivered committed rows so a crash
+    between the two swaps heals on replay).
 
     Batch twin: ``dedup_embedding_incremental`` (registered, DuckDB
     oracle) pins the candidate+verify semantics on a deterministic
@@ -1528,8 +1719,23 @@ def incremental_embedding_dedup_sink(
     geometry — cells that no current vector can produce — and silently
     stop detecting duplicates.  The first commit records them in
     ``{base_dir}/_GEOMETRY.json``; later runs raise on mismatch instead
-    of degrading.  (``min_cosine`` is gate-only and ``n_buckets``
-    changes migrate via the layout record — both safe to vary.)
+    of degrading.  (``min_cosine`` is gate-only and bucket counts
+    migrate via the layout record — both safe to vary.)
+
+    ``index_buckets`` — the cell index's bucket count — defaults to
+    DERIVED (r10 verdict #4): an existing committed index's recorded
+    layout is ADOPTED verbatim (no migration on re-attach), else the
+    first batch sizes it via :func:`derive_index_buckets`
+    (``max(postings/50k, 4·bands·delta)`` rounded to a power of two) —
+    the ``B ≥ bands × delta`` rule that keeps the delta's touched set a
+    small fraction of the index instead of all of it.  Bucket counts
+    are NOT in ``_GEOMETRY.json``: unlike bands/bits they are not a
+    function of the DATA (a mismatch migrates the layout wholesale,
+    correctly, via the per-version ``_LAYOUT.json`` record — the same
+    mechanism ``n_buckets`` has always used), so the committed layout
+    record IS their geometry record.  An explicit value migrates the
+    index once; long-lived sinks whose corpus outgrows the derived
+    count re-attach with a larger explicit value.
     """
     import json
     import os
@@ -1576,12 +1782,12 @@ def incremental_embedding_dedup_sink(
             ).alias("band", "cell"),
         ).select("vec_id", "band", "cell", *extra)
 
-    cell_probe_bucket = F.pmod(
-        F.xxhash64(F.col("band"), F.col("cell")), F.lit(n_buckets)
-    ).cast("int")
     id_bucket = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_buckets)).cast(
         "int"
     )
+    # resolved lazily: adopt the committed index layout, else derive
+    # from the first batch's shape (see docstring)
+    resolved = {"cells": index_buckets}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
@@ -1590,10 +1796,26 @@ def incremental_embedding_dedup_sink(
         ckpt = checkpoint_dir is not None
         committed_vecs = _committed_version(vecs_dir)
         seq_vecs = _alloc_seq(committed_vecs, batch_id, ckpt)
+        committed_cells = _committed_version(cells_dir)
+        seq_cells = _alloc_seq(committed_cells, batch_id, ckpt)
+        if resolved["cells"] is None:
+            adopted = _adopted_index_buckets(cells_dir)
+            if adopted is not None:
+                resolved["cells"] = adopted
+            else:
+                n_delta = batch_df.count()
+                resolved["cells"] = derive_index_buckets(
+                    bands * n_delta, bands=bands, delta_rows=n_delta
+                )
+        cells_buckets = resolved["cells"]
+        cell_probe_bucket = F.pmod(
+            F.xxhash64(F.col("band"), F.col("cell")), F.lit(cells_buckets)
+        ).cast("int")
         pinned = []
         # one xxhash pass over the raw batch serves both legs' id pruning
         id_touched = _touched_list(batch_df, id_bucket)
         try:
+            survivors = None
             if seq_vecs is not None:
                 # deterministic one-row-per-vec_id: a duplicated id in one
                 # batch (upstream retry with re-embedding) must pick the
@@ -1636,8 +1858,8 @@ def incremental_embedding_dedup_sink(
                 pinned.append(dcells)
                 drops = None
                 idx = _prepare_view(
-                    spark, cells_dir, _committed_version(cells_dir),
-                    n_buckets, cell_keys, cell_buckets,
+                    spark, cells_dir, committed_cells,
+                    cells_buckets, cell_keys, cell_buckets,
                 )
                 if idx is not None:
                     # deliberately NOT persisted — see the band-index
@@ -1756,42 +1978,75 @@ def incremental_embedding_dedup_sink(
                     .select(F.col("idb").alias("vec_id"))
                 )
                 drops = in_drops if drops is None else drops.unionByName(in_drops)
+                # persisted: BOTH legs' write phases build on survivors
                 survivors = fresh.join(
                     drops.distinct(), "vec_id", "left_anti"
+                ).persist()
+                pinned.append(survivors)
+            # FUSED commit (r10 verdict #2): posting source = survivors
+            # ∪ (committed vecs ∩ batch ids, bucket-pruned).  Since the
+            # new vecs version is exactly (committed ∪ survivors), this
+            # is bit-identical coverage to the old read-back of the
+            # POST-commit snapshot — but it depends only on PRE-commit
+            # frames, so the two legs' write phases run CONCURRENTLY
+            # and the pointers swap afterwards in contract order (vecs
+            # first).  The re-delivered term is what heals a crash
+            # between the two swaps: the replay's batch ids match
+            # committed-but-unindexed vecs, whose postings the insert-
+            # only anti-join then re-derives (and drops when already
+            # indexed).
+            jobs = []
+            if seq_vecs is not None and survivors is not None:
+                jobs.append((
+                    "vecs",
+                    lambda: _merge_batch(
+                        spark, survivors, vecs_dir,
+                        key_cols=vec_keys, order_col="vec_id",
+                        n_buckets=n_buckets, bucket_cols=None,
+                        seq=seq_vecs, committed=committed_vecs,
+                        lease=lease, insert_only=True, defer_commit=True,
+                    ),
+                ))
+            post_src = (
+                survivors.select("vec_id", "embedding")
+                if survivors is not None
+                else None
+            )
+            vecs_committed_view = _prepare_view(
+                spark, vecs_dir, committed_vecs, n_buckets, vec_keys
+            )
+            if vecs_committed_view is not None:
+                redelivered = (
+                    _filter_buckets(vecs_committed_view, id_touched)
+                    .join(batch_df.select("vec_id").distinct(), "vec_id")
+                    .select("vec_id", "embedding")
                 )
-                _merge_batch(
-                    spark, survivors, vecs_dir,
-                    key_cols=vec_keys, order_col="vec_id",
-                    n_buckets=n_buckets, bucket_cols=None,
-                    seq=seq_vecs, committed=committed_vecs,
-                    lease=lease, insert_only=True,
+                post_src = (
+                    redelivered
+                    if post_src is None
+                    else post_src.unionByName(redelivered)
                 )
-            # cell-index leg — from the COMMITTED vecs joined back on the
-            # batch's ids (crash-heal contract, see incremental_neardup_sink)
-            committed_cells = _committed_version(cells_dir)
-            seq_cells = _alloc_seq(committed_cells, batch_id, ckpt)
-            if seq_cells is None:
-                return
-            vecs_now = _prepare_view(
-                spark, vecs_dir, _committed_version(vecs_dir),
-                n_buckets, vec_keys,
-            )
-            if vecs_now is None:
-                return
-            batch_ids = batch_df.select("vec_id").distinct()
-            mine = _filter_buckets(vecs_now, id_touched).join(
-                batch_ids, "vec_id"
-            )
-            postings = cell_rows(
-                mine.select("vec_id", "embedding"), keep_emb=True
-            )
-            _merge_batch(
-                spark, postings, cells_dir,
-                key_cols=cell_keys, order_col="vec_id",
-                n_buckets=n_buckets, bucket_cols=cell_buckets,
-                seq=seq_cells, committed=committed_cells,
-                lease=lease, insert_only=True,
-            )
+            if seq_cells is not None and post_src is not None:
+                postings = cell_rows(post_src, keep_emb=True)
+                jobs.append((
+                    "cells",
+                    lambda: _merge_batch(
+                        spark, postings, cells_dir,
+                        key_cols=cell_keys, order_col="vec_id",
+                        n_buckets=cells_buckets, bucket_cols=cell_buckets,
+                        seq=seq_cells, committed=committed_cells,
+                        lease=lease, insert_only=True, defer_commit=True,
+                    ),
+                ))
+            commits, errors = _parallel_writes(jobs)
+            # commit in list order (vecs before cells); a leg that
+            # failed raises BEFORE later legs commit, so the index
+            # never runs ahead of the corpus
+            for commit_fn, err in zip(commits, errors):
+                if err is not None:
+                    raise err
+                if commit_fn is not None:
+                    commit_fn()
         finally:
             for f in pinned:
                 f.unpersist()

@@ -216,7 +216,57 @@ def _bench_replay_10m_x4(spark) -> float:
         httpd.shutdown()
 
 
-def _bench_replay_100m(spark) -> dict[str, object]:
+class WindowQualifier:
+    """Self-qualifying measurement window (r10 verdict #3): the bench
+    brackets every measurement block with sentinel probes (the fixed
+    pure-serve ``s2_serve_1m_identity`` workload — CPU + localhost
+    socket, no Spark jobs, no disk) and judges each block CLEAN iff both
+    bracketing probes sit within ``band`` × the best probe of the run.
+    A key whose every sample landed in contended blocks is RE-RUN inside
+    the same invocation between fresh probes; only if the retries also
+    land contended does a flagged number get committed — and then it
+    carries the ``contended`` tag, so the official file can never
+    silently record a co-tenant phase again (the r10 adjudication, done
+    by hand from the spread tables, becomes mechanical).
+
+    The band is RELATIVE to the run's own floor: co-tenant contention on
+    this box shows as 1.5-30× sentinel inflation (memory-bandwidth
+    theft), while quiet-window sentinel jitter stays within ~1.2×.  A
+    fully-contended run (no clean floor ever observed) self-reports via
+    the committed sentinel level and the loopback ratio — both absolute
+    signals the verdicts already track across rounds."""
+
+    BAND = 1.4
+
+    def __init__(self, probe_fn):
+        self.probe_fn = probe_fn
+        self.samples: list[float] = []
+
+    def probe(self) -> int:
+        """Run one sentinel probe; returns its index."""
+        self.samples.append(self.probe_fn())
+        return len(self.samples) - 1
+
+    @property
+    def floor(self) -> float:
+        return min(self.samples)
+
+    def clean(self, before: int, after: int) -> bool:
+        lim = self.BAND * self.floor
+        return self.samples[before] <= lim and self.samples[after] <= lim
+
+    def window_ok(self) -> bool:
+        """One fresh probe, judged against the run floor — the cheap
+        in-function retry gate for the reference-scale serves."""
+        i = self.probe()
+        return self.samples[i] <= self.BAND * self.floor
+
+
+def _bench_replay_100m(
+    spark,
+    qual: "WindowQualifier | None" = None,
+    qualify=None,
+) -> dict[str, object]:
     """BASELINE.md S1 at REFERENCE scale: 100,000,000 rows × 4 int64
     (~3 GiB + framing) in 4096-row batches (≈24,415 batches — the
     get_simple workload, http/get_simple/python/server/http.server/
@@ -296,10 +346,36 @@ def _bench_replay_100m(spark) -> dict[str, object]:
         # window — attempt 2 slower than attempt 1 — while the ×4 run
         # seconds later streamed 12 GiB in 1.5 s)
         attempts.append(one_fetch())
+        # self-qualification (r10 verdict #3): while the server + spill
+        # are still alive a retry costs one ~1 s fetch.  Two gates, both
+        # must pass: the sentinel probe (general co-tenant phase) AND
+        # ``qualify`` — the loopback-ratio check (r8 lesson: a 1M
+        # cache-resident sentinel does NOT see the memory-bandwidth
+        # contention a 3 GiB stream does; the replay's share of the
+        # same-run raw-socket ceiling is the signal that does).
+        quality = "clean"
+        if qual is not None or qualify is not None:
+
+            def ok_now() -> bool:
+                ok = qual.window_ok() if qual is not None else True
+                if qualify is not None:
+                    ok = ok and qualify(min(attempts))
+                return ok
+
+            retries = 0
+            good = ok_now()
+            while not good and retries < 3:
+                _time.sleep(3)  # windows are minutes; still worth a nudge
+                attempts.append(one_fetch())
+                retries += 1
+                good = ok_now()
+            if retries:
+                quality = "rerun_clean" if good else "contended"
         return {
             "s1_replay_100m": min(attempts),
             "s1_replay_100m_attempts": attempts,
             "s1_replay_100m_x4": x4,
+            "s1_replay_100m_quality": quality,
         }
     finally:
         httpd.shutdown()
@@ -311,7 +387,7 @@ def _bench_replay_100m(spark) -> dict[str, object]:
 # (identity+zstd, identity+lz4).  (accept, accept_encoding) per key; the
 # IPC-codec rows pin the HTTP coding to identity so exactly one layer
 # compresses (the reference's don't-double-compress rule).
-def _bench_serve_42m(spark) -> float:
+def _bench_serve_42m(spark, qual: "WindowQualifier | None" = None) -> float:
     """BASELINE.md S2 at REFERENCE scale: 42,000,000 trading rows
     (ticker/price/volume, get_compressed server.py:81) in 6,144-row
     batches, ticker dictionary-encoded at the egress boundary with
@@ -373,7 +449,8 @@ def _bench_serve_42m(spark) -> float:
         # contention that a 42M encode does, so the attempts themselves
         # are the diagnostic)
         attempts: list[float] = []
-        for _ in range(2):
+
+        def one_fetch() -> None:
             t0 = _time.perf_counter()
             tbl, metrics = fetch_arrow(
                 f"http://{host}:{port}/datasets/trading42m",
@@ -382,6 +459,22 @@ def _bench_serve_42m(spark) -> float:
             )
             attempts.append(round(_time.perf_counter() - t0, 3))
             assert metrics.rows == rows
+
+        for _ in range(2):
+            one_fetch()
+        # self-qualification: artifact replays cost ~1.7 s — retry while
+        # the window is contended instead of committing it (r10 #3)
+        if qual is not None:
+            retries = 0
+            while not qual.window_ok() and retries < 3:
+                _time.sleep(3)
+                one_fetch()
+                retries += 1
+            _SERVE_42M_QUALITY.append(
+                "clean" if retries == 0
+                else ("rerun_clean" if qual.samples[-1] <= qual.BAND * qual.floor
+                      else "contended")
+            )
         _SERVE_42M_ATTEMPTS.extend(attempts)
         return min(attempts)
     finally:
@@ -390,6 +483,7 @@ def _bench_serve_42m(spark) -> float:
 
 
 _SERVE_42M_ATTEMPTS: list[float] = []
+_SERVE_42M_QUALITY: list[str] = []
 
 
 _S2_STRATEGIES: dict[str, tuple[str | None, str]] = {
@@ -552,46 +646,100 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    # Machine-noise sentinel (round-4 verdict item 5): the same fixed
-    # pure-serve workload timed at several points across the session.
-    # NOTE: the round-5 identity-body cache changed this workload's
-    # absolute level (~0.04 -> ~0.015 s); cross-round drift comparisons
-    # start from the r5 baseline.
-    # Its code never changes round-over-round, so spread between its
-    # samples IS the co-tenant noise floor — a uniform shift in the other
-    # queries that matches the sentinel's shift is machine drift, not a
-    # regression.  s2_serve_1m_identity: CPU+localhost-socket only, no
-    # Spark jobs, no disk.
-    sentinel_samples: list[float] = []
-
-    def sentinel() -> None:
-        sentinel_samples.append(_bench_transport(spark, "s2_serve_1m_identity"))
+    # Machine-noise sentinel (round-4 verdict item 5, upgraded to a
+    # SELF-QUALIFYING window r10 verdict #3): the same fixed pure-serve
+    # workload (s2_serve_1m_identity — CPU + localhost socket, no Spark
+    # jobs, no disk) probed between EVERY measured item, so each sample
+    # carries its own bracket.  Spread between probes IS the co-tenant
+    # noise floor; a sample whose brackets exceed BAND × the run's best
+    # probe was measured in a contended phase and is excluded from the
+    # committed statistic (see WindowQualifier).
+    qual = WindowQualifier(
+        lambda: _bench_transport(spark, "s2_serve_1m_identity")
+    )
 
     items = ["s1_replay_10m", "s1_replay_10m_x4", *_S2_STRATEGIES, *names]
     passes: list[dict[str, float]] = []
-    sentinel()
+    brackets: list[dict[str, tuple[int, int]]] = []
     for i in range(3):
         order = items if i % 2 == 0 else list(reversed(items))
-        passes.append({name: measure(name) for name in order})
-        sentinel()
-    timings = {
-        k: round(sorted(p[k] for p in passes)[1], 3) for k in items
-    }
+        p: dict[str, float] = {}
+        br: dict[str, tuple[int, int]] = {}
+        last = qual.probe()
+        for name in order:
+            p[name] = measure(name)
+            nxt = qual.probe()
+            br[name] = (last, nxt)
+            last = nxt
+        passes.append(p)
+        brackets.append(br)
+
+    def commit_stat(samples: list[float]) -> float:
+        # lower-middle of the sorted samples: the median's robustness
+        # for 3, the min for 2, identity for 1 — never rewards a lucky
+        # outlier twice, never averages two windows together
+        s = sorted(samples)
+        return round(s[(len(s) - 1) // 2], 3)
+
+    timings: dict[str, float] = {}
+    quality: dict[str, str] = {}
+    for k in items:
+        clean = [
+            passes[p][k]
+            for p in range(len(passes))
+            if qual.clean(*brackets[p][k])
+        ]
+        if clean:
+            timings[k] = commit_stat(clean)
+            quality[k] = "clean"
+            continue
+        # every pass's sample was bracketed by a contended window:
+        # re-run between fresh probes instead of committing any of them
+        rerun_vals: list[float] = []
+        tag = "contended"
+        for _ in range(2):
+            b = qual.probe()
+            v = measure(k)
+            a = qual.probe()
+            rerun_vals.append(v)
+            if qual.clean(b, a):
+                timings[k] = round(v, 3)
+                tag = "rerun_clean"
+                break
+        if tag != "rerun_clean":
+            timings[k] = commit_stat(
+                [p[k] for p in passes] + rerun_vals
+            )
+        quality[k] = tag
     # reference-scale S1 (single run, after the passes so its 3 GiB of
     # I/O doesn't perturb the small-query timings).  r8 verdict #2: the
     # serve family drifted beyond what the sentinel model explains — pin
     # sentinel samples IMMEDIATELY adjacent to each reference-scale run
     # so a noise-window hit shows in the bracketing sentinel values; the
     # per-attempt lists land in floor_watch below.
-    sentinel()
+    qual.probe()
     loopback_gibs = [_loopback_gibs()]
-    r100 = _bench_replay_100m(spark)
+    # the replay's committed number must hold >= 70% of the same-run
+    # raw-socket ceiling (the declared 70-97% band, BENCH_DETAIL notes):
+    # payload/sec vs loopback — computed with the framing-free payload
+    # size, so the ratio is slightly understated (conservative)
+    payload_gib_100m = 100_000_000 * 4 * 8 / 1024**3
+
+    def replay_in_band(best_sec: float) -> bool:
+        return payload_gib_100m / best_sec >= 0.70 * loopback_gibs[0]
+
+    r100 = _bench_replay_100m(spark, qual=qual, qualify=replay_in_band)
     loopback_gibs.append(_loopback_gibs())
-    sentinel()
+    qual.probe()
     timings["s1_replay_100m"] = r100["s1_replay_100m"]
     timings["s1_replay_100m_x4"] = r100["s1_replay_100m_x4"]
-    timings["s2_serve_42m_zstd"] = _bench_serve_42m(spark)
-    sentinel()
+    quality["s1_replay_100m"] = r100["s1_replay_100m_quality"]
+    quality["s1_replay_100m_x4"] = r100["s1_replay_100m_quality"]
+    timings["s2_serve_42m_zstd"] = _bench_serve_42m(spark, qual=qual)
+    quality["s2_serve_42m_zstd"] = (
+        _SERVE_42M_QUALITY[-1] if _SERVE_42M_QUALITY else "clean"
+    )
+    qual.probe()
     # per-query [min, max] across the 3 passes — separates a real
     # regression (tight spread, higher level) from a noise-window hit
     # (one wild pass); for the 100M replay the two recorded attempts are
@@ -629,14 +777,31 @@ def main() -> None:
     ):
         if name not in items:
             continue
-        sentinel()
-        extra = [measure(name) for _ in range(2)]
-        sentinel()
-        samples = [p[name] for p in passes] + extra
+        extra: list[tuple[float, bool]] = []
+        for _ in range(2):
+            b = qual.probe()
+            v = measure(name)
+            a = qual.probe()
+            extra.append((v, qual.clean(b, a)))
+        samples = [p[name] for p in passes] + [v for v, _ in extra]
         floor_watch[name] = [round(s, 3) for s in samples]
-        ordered = sorted(samples)
-        timings[name] = round(ordered[len(ordered) // 2], 3)
-        spread[name] = [round(ordered[0], 3), round(ordered[-1], 3)]
+        clean_samples = [
+            passes[p][name]
+            for p in range(len(passes))
+            if qual.clean(*brackets[p][name])
+        ] + [v for v, ok in extra if ok]
+        if clean_samples:
+            timings[name] = commit_stat(clean_samples)
+            # the extra bracketed samples refine, not degrade, the tag
+            if quality.get(name) != "rerun_clean":
+                quality[name] = "clean"
+        else:
+            ordered = sorted(samples)
+            timings[name] = round(ordered[len(ordered) // 2], 3)
+            quality[name] = "contended"
+        spread[name] = [
+            round(min(samples), 3), round(max(samples), 3)
+        ]
     # the reference-scale pair can't re-run cheaply (each invocation
     # regenerates a multi-GiB spill) — their recorded attempts, taken
     # between pinned sentinels above, are the watch samples
@@ -652,6 +817,7 @@ def main() -> None:
     total = round(
         sum(v for k, v in timings.items() if k not in total_excludes), 3
     )
+    sentinel_samples = qual.samples
     med = sorted(sentinel_samples)[len(sentinel_samples) // 2]
     # r7 verdict #1: the driver's stdout capture window truncated the r6/r7
     # bench lines (spread + floor_watch + sentinel pushed the one-liner past
@@ -661,8 +827,13 @@ def main() -> None:
     detail = {
         "spread": spread,
         "total_excludes": sorted(total_excludes),
-        # round-9 comparability notes vs earlier rounds' keys
+        # comparability notes vs earlier rounds' keys
         "notes": [
+            "r11: committed statistic is the lower-middle of the CLEAN"
+            " samples (window-qualified per key; see 'window'), replacing"
+            " the unconditional median-of-3 — in a fully-quiet run the two"
+            " coincide for 3 clean samples and differ by at most the"
+            " min-vs-median gap when one pass was excluded",
             "agg_hll_sketch_exchange now emits (exact_users, within_bound)"
             " — the rollup reads the manifest's exact anchor so the sketch"
             " family is DuckDB-oracle-checkable; ~+0.15-0.25 s vs the r8"
@@ -692,6 +863,28 @@ def main() -> None:
             " serve shape; both attempts stay in floor_watch",
         ],
         "floor_watch": floor_watch,
+        # r10 verdict #3: per-key window quality.  "clean" = committed
+        # from samples whose bracketing sentinel probes sat within
+        # BAND × the run's best probe; "rerun_clean" = the pass samples
+        # were all contended and a freshly-bracketed re-run replaced
+        # them; "contended" = retries exhausted inside a contended
+        # phase — the number is the best available and FLAGGED, so a
+        # cross-round comparison knows to discount it.
+        "window": {
+            "band": WindowQualifier.BAND,
+            "probe_floor": round(qual.floor, 3),
+            "replay_band_vs_loopback": 0.70,
+            "replay_ratio": round(
+                payload_gib_100m
+                / timings["s1_replay_100m"]
+                / max(loopback_gibs[0], 1e-9),
+                3,
+            ),
+            "quality": quality,
+            "flagged": sorted(
+                k for k, q in quality.items() if q == "contended"
+            ),
+        },
         "sentinel": {
             "name": "s2_serve_1m_identity",
             "samples": [round(s, 3) for s in sentinel_samples],

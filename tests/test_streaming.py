@@ -1703,6 +1703,81 @@ def test_insert_only_merge_appends_and_compacts(spark, tmp_path):
     assert final2 == set(range(12))
 
 
+def test_reader_exact_rows_during_compacting_commit(spark, tmp_path):
+    """r10 verdict #5 — the reader-vs-compaction contract, pinned: a
+    reader that resolved version N gets EXACTLY N's rows while a
+    COMPACTING commit produces and swaps N+1 (compaction writes the
+    merged bucket into new files under N+1 and never mutates or unlinks
+    a file of N; the post-commit prune keeps the previous version for
+    precisely this reader).  Retention rule: two versions — once N+2
+    commits, N is pruned and a reader still holding it is out of
+    contract (asserted below).  Object-store seat documented at
+    _merge_batch: immutable objects + manifest entries replace inode
+    links; the contract does not depend on POSIX link counts."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        _committed_version,
+        _merge_batch,
+        read_snapshot,
+    )
+
+    snap = str(tmp_path / "snap")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k int, seq int, val string")
+
+    # v0 then v1: several files pile up in the single bucket
+    _merge_batch(
+        spark, batch([(i, 0, f"base{i}") for i in range(8)]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=0, committed=None, insert_only=True,
+    )
+    _merge_batch(
+        spark, batch([(8, 1, "eight")]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=1, committed="v0", insert_only=True,
+    )
+    v_reader = _committed_version(snap)
+    assert v_reader == "v1"
+    vdir = os.path.join(snap, v_reader)
+    n_files = len([
+        f for f in os.listdir(os.path.join(vdir, "_bucket=0"))
+        if f.endswith(".parquet")
+    ])
+    # the reader resolves N and BINDS its file list (what a mid-scan
+    # reader holds after planning) before the compacting commit lands
+    reader_df = spark.read.parquet(vdir)
+    expect = {(r["k"], r["seq"], r["val"]) for r in reader_df.collect()}
+
+    # compacting commit of v2: threshold at the current count forces
+    # the bucket rewrite; v0 is pruned, v1 (the reader's) is retained
+    _merge_batch(
+        spark, batch([(9, 2, "nine")]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=2, committed="v1", insert_only=True,
+        max_files_per_bucket=n_files,
+    )
+    assert _committed_version(snap) == "v2"
+    assert not os.path.isdir(os.path.join(snap, "v0")), "v0 pruned"
+    assert os.path.isdir(vdir), "reader's version retained through commit"
+    # exact rows, re-scanned from disk AFTER the compacting commit
+    got = {(r["k"], r["seq"], r["val"]) for r in spark.read.parquet(vdir).collect()}
+    assert got == expect
+    assert {(r["k"], r["seq"], r["val"]) for r in reader_df.collect()} == expect
+    # and the new LATEST sees the superset
+    assert {r["k"] for r in read_snapshot(spark, snap).collect()} == set(range(10))
+
+    # one more commit moves the retention window past the reader: N is
+    # now pruned — the documented out-of-contract point
+    _merge_batch(
+        spark, batch([(10, 3, "ten")]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=3, committed="v2", insert_only=True,
+    )
+    assert not os.path.isdir(vdir), "two-version retention: N pruned at N+2"
+
+
 def test_incremental_ivf_index_sink_and_probe(spark, tmp_path):
     """r9 verdict #5: the IVF index is a MAINTAINED artifact — a sink
     delta-maintains the (cell, vec_id, embedding) posting snapshot, the

@@ -51,6 +51,7 @@ def main() -> None:
     from arrow_experiments_spark.operators.dedup import _N_BANDS, _N_SIGS
     from arrow_experiments_spark.streaming.egress import (
         _merge_batch,
+        derive_index_buckets,
         incremental_neardup_sink,
         read_snapshot,
     )
@@ -116,6 +117,16 @@ def main() -> None:
     results = {}
     survivors_seen = set()
     for scale, rows, buckets in (("1x", 2_000_000, 64), ("10x", 20_000_000, 640)):
+        # conf-free band-index geometry (r10 verdict #4): the same
+        # public derivation the sink applies at attach — corpus
+        # postings / 50k-per-bucket floored at 4·bands·delta, so the
+        # delta's ~bands·40 touched band values prune to a fraction of
+        # the index at BOTH scales (the pinned-64 1x residual, the
+        # measured 1.30x decade artifact, came from B < bands·delta).
+        # The sink ADOPTS the committed layout (index_buckets=None).
+        idx_buckets = derive_index_buckets(
+            _N_BANDS * rows, bands=_N_BANDS, delta_rows=DELTA_DOCS
+        )
         base = os.path.join(WORK, scale)
         os.makedirs(base)
         docs_dir = os.path.join(base, "docs")
@@ -147,13 +158,14 @@ def main() -> None:
         _merge_batch(
             spark, band_rows(seed, keep_sigs=True), bands_dir,
             key_cols=["band_idx", "band_val", "doc_id"], order_col="doc_id",
-            n_buckets=buckets, bucket_cols=["band_idx", "band_val"],
+            n_buckets=idx_buckets, bucket_cols=["band_idx", "band_val"],
             seq=0, committed=None,
         )
         t_seed = time.perf_counter() - t0
         print(
             f"{scale}: seeded {rows:,} docs + {4 * rows:,} postings / "
-            f"{buckets} buckets: {t_seed:.2f}s",
+            f"{buckets} doc buckets, {idx_buckets} index buckets: "
+            f"{t_seed:.2f}s",
             flush=True,
         )
 
@@ -197,6 +209,7 @@ def main() -> None:
             "rows": rows,
             "postings": 4 * rows,
             "buckets": buckets,
+            "index_buckets": idx_buckets,
             "seed_sec": round(t_seed, 2),
             "delta_sec": round(t_delta, 2),
             "survivors": survivors,
@@ -209,25 +222,31 @@ def main() -> None:
     r1, r10 = results["1x"], results["10x"]
     ratio = round(r10["delta_sec"] / max(r1["delta_sec"], 1e-9), 2)
     section = f"""
-## Composed curation sink: full funnel delta wall vs corpus scale (round 10)
+## Composed curation sink: full funnel delta wall vs corpus scale (round 11)
 
 incremental_neardup_sink with ALL FOUR funnel stages active — quality
 gate, bucket-pruned exact seen-before anti-join, band-index near-dup
-probe, and benchmark DECONTAMINATION (eval_docs: a 21-doc broadcast
-shingle index built once at attach, one delta doc's text planted in it
-so exactly one contamination rejection fires, asserted at both scales).
-Same decade protocol as the near-dup sweep (synthetic seeds, the same
-40-document real delta, insert-only append merges).
+probe, and benchmark DECONTAMINATION — re-measured after the r10
+verdict #2/#4 changes: the two append merges' write phases run
+concurrently with pointers swapping in contract order, the band leg
+derives from survivors ∪ re-delivered committed rows (pre-commit
+frames), and the band index's bucket count is DERIVED conf-free
+(derive_index_buckets — the B ≥ bands·delta rule that removes the
+pinned-64 bucket-cap artifact behind round 10's 1.30x residual).
+Same decade protocol (synthetic seeds, the same 40-document real
+delta, one planted contamination asserted at both scales).
 
-| corpus | band postings | buckets | delta leg (s) | survivors |
+| corpus | band postings | index buckets | delta leg (s) | survivors |
 |---|---|---|---|---|
-| {r1['rows']:,} docs | {r1['postings']:,} | {r1['buckets']} | {r1['delta_sec']} | {r1['survivors']} (1 decontaminated) |
-| {r10['rows']:,} docs (10x) | {r10['postings']:,} | {r10['buckets']} | {r10['delta_sec']} | {r10['survivors']} (1 decontaminated) |
+| {r1['rows']:,} docs | {r1['postings']:,} | {r1['index_buckets']} | {r1['delta_sec']} | {r1['survivors']} (1 decontaminated) |
+| {r10['rows']:,} docs (10x) | {r10['postings']:,} | {r10['index_buckets']} | {r10['delta_sec']} | {r10['survivors']} (1 decontaminated) |
 
 Delta-leg ratio at 10x the corpus: {ratio}x (1.0 = flat).  The
 decontamination stage touches no corpus-sized structure (delta
 shingles x broadcast eval index), so composing it costs O(delta) and
-the decade ratio is the near-dup sink's own.
+the decade ratio is the near-dup sink's own.  Bucket derivation is
+enforced by the sink itself (egress.derive_index_buckets + the
+adopt-committed-layout rule), not by this sweep's conf.
 """
     with open(Path(_REPO, "SCALE.md"), "a") as fh:
         fh.write(section)

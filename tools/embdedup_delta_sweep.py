@@ -66,6 +66,7 @@ def main() -> None:
     from arrow_experiments_spark.operators.similarity import lsh_bucket_col
     from arrow_experiments_spark.streaming.egress import (
         _merge_batch,
+        derive_index_buckets,
         incremental_embedding_dedup_sink,
         read_snapshot,
     )
@@ -99,6 +100,16 @@ def main() -> None:
     survivors_seen = set()
     for scale, rows, buckets in (("1x", 2_000_000, 64), ("10x", 20_000_000, 640)):
         bits = derive_lsh_bits(rows, 2000)
+        # conf-free index geometry (r10 verdict #4): the cell index's
+        # bucket count comes from the same public derivation the sink
+        # applies at attach — corpus postings / 50k-per-bucket, floored
+        # at 4·bands·delta so the delta's touched set is a fraction of
+        # the index even at 1x (the old pinned 64 made every commit
+        # scan the WHOLE 6M-posting slice).  The sink then ADOPTS the
+        # committed layout (index_buckets=None).
+        idx_buckets = derive_index_buckets(
+            BANDS * rows, bands=BANDS, delta_rows=DELTA_VECS
+        )
         base = os.path.join(WORK, scale)
         os.makedirs(base)
         vecs_dir = os.path.join(base, "vecs")
@@ -135,13 +146,14 @@ def main() -> None:
         _merge_batch(
             spark, postings, cells_dir,
             key_cols=["band", "cell", "vec_id"], order_col="vec_id",
-            n_buckets=buckets, bucket_cols=["band", "cell"],
+            n_buckets=idx_buckets, bucket_cols=["band", "cell"],
             seq=0, committed=None,
         )
         t_seed = time.perf_counter() - t0
         print(
             f"{scale}: seeded {rows:,} vectors + {BANDS * rows:,} postings"
-            f" / {buckets} buckets at {bits} bits: {t_seed:.2f}s",
+            f" / {buckets} vec buckets, {idx_buckets} index buckets at "
+            f"{bits} bits: {t_seed:.2f}s",
             flush=True,
         )
 
@@ -226,6 +238,7 @@ def main() -> None:
             "rows": rows,
             "postings": BANDS * rows,
             "buckets": buckets,
+            "index_buckets": idx_buckets,
             "bits": bits,
             "seed_sec": round(t_seed, 2),
             "delta_sec": round(t_delta, 2),
@@ -240,24 +253,27 @@ def main() -> None:
     r1, r10 = results["1x"], results["10x"]
     lines = [
         "",
-        "## Streaming embedding dedup gate: delta wall vs corpus scale (round 10)",
+        "## Streaming embedding dedup gate: delta wall vs corpus scale (round 11)",
         "",
-        "incremental_embedding_dedup_sink under the same protocol as the",
-        "MinHash sweep: vectors + their (band, cell)-bucketed LSH cell",
-        "index seeded a decade apart, the SAME 40-vector real delta runs",
-        "the full leg (direction gate, pruned id anti-join, cell",
-        "assignment at corpus-derived bits — 10 at 2M, 14 at 20M, the",
-        "derive_lsh_bits geometry — pruned index probe, in-batch cosine",
-        "verify, two insert-only append merges).  Seed cells are disjoint from any",
-        "real sign pattern, so the survivor set is identical at both",
-        "scales (asserted) and the corpus-scaling term isolated is the",
-        "probe/merge machinery.  Re-delivery adds zero rows.",
+        "incremental_embedding_dedup_sink re-measured after the r10-verdict-#2",
+        "floor cuts: (1) the gate plan persists BEFORE the broadcast-size",
+        "probe (its eager count was re-executing the full gate once per",
+        "batch); (2) the two insert-only append merges' WRITE phases run",
+        "CONCURRENTLY (defer_commit) with the pointers swapping in contract",
+        "order, and the posting source is survivors ∪ re-delivered committed",
+        "rows (pre-commit frames only) instead of a read-back of the",
+        "just-committed snapshot; (3) the cell index's bucket count is",
+        "DERIVED conf-free (derive_index_buckets: postings/50k floored at",
+        "4·bands·delta — r10 verdict #4), so the delta's probe prunes to a",
+        "fraction of the index at BOTH scales instead of scanning the whole",
+        "1x slice.  Same protocol as rounds 9-10 (same 40-vector real",
+        "delta, disjoint seed cells, survivor set asserted identical).",
         "",
-        "| corpus | cell postings | buckets | bits | delta leg (s) | unpruned index probe alone (s) |",
+        "| corpus | cell postings | index buckets | bits | delta leg (s) | unpruned index probe alone (s) |",
         "|---|---|---|---|---|---|",
-        f"| {r1['rows']:,} vectors | {r1['postings']:,} | {r1['buckets']} "
+        f"| {r1['rows']:,} vectors | {r1['postings']:,} | {r1['index_buckets']} "
         f"| {r1['bits']} | {r1['delta_sec']} | {r1['unpruned_probe_sec']} |",
-        f"| {r10['rows']:,} vectors (10×) | {r10['postings']:,} | {r10['buckets']} "
+        f"| {r10['rows']:,} vectors (10×) | {r10['postings']:,} | {r10['index_buckets']} "
         f"| {r10['bits']} | **{r10['delta_sec']}** | {r10['unpruned_probe_sec']} |",
         "",
         f"Delta-leg ratio at 10× the corpus: "
