@@ -1019,7 +1019,7 @@ def _ivf_source_fingerprint(sf_dir: str, k: int, n_buckets: int) -> str | None:
 
 
 def ensure_ivf_index(
-    spark: SparkSession, sf_dir: str, n_buckets: int = _IVF_INDEX_BUCKETS
+    spark: SparkSession, sf_dir: str, n_buckets: int | None = None
 ) -> tuple[str, int]:
     """BUILD-IF-ABSENT the maintained IVF index artifact for ``sf_dir``
     (r9 verdict #5): the same ``cells/`` layout
@@ -1062,9 +1062,19 @@ def ensure_ivf_index(
         WriterLeaseHeld,
         _committed_version,
         _merge_batch,
+        derive_index_buckets,
     )
 
+    from arrow_experiments_spark.operators.dedup import _embeddings_n
+
     k = _ivf_k(spark, sf_dir)
+    if n_buckets is None:
+        # derived, not pinned (r10 verdict #4): bucket count scales with
+        # the corpus so a probe's touched-bucket scan stays ~constant
+        # rows; recorded per version in _LAYOUT.json, which the probe
+        # ADOPTS — changing the derivation only re-buckets, never
+        # changes results
+        n_buckets = derive_index_buckets(_embeddings_n(spark, sf_dir))
     base = ivf_index_dir(sf_dir, spark)
     cells_dir = os.path.join(base, "cells")
     manifest_path = os.path.join(base, "_INDEX_MANIFEST.json")
@@ -1166,6 +1176,7 @@ def ensure_ivf_index(
 )
 def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_experiments_spark.streaming.egress import (
+        _adopted_index_buckets,
         _committed_version,
         _prepare_view,
         _prune_buckets,
@@ -1175,9 +1186,13 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     cells_dir = os.path.join(base, "cells")
+    # adopt the COMMITTED layout's bucket count (builder-derived or
+    # sink-chosen) — the probe must prune against the geometry the
+    # postings were actually written under, never a pinned constant
+    nb = _adopted_index_buckets(cells_dir) or _IVF_INDEX_BUCKETS
     idx = _prepare_view(
         spark, cells_dir, _committed_version(cells_dir),
-        _IVF_INDEX_BUCKETS, ["cell", "vec_id"], ["cell"],
+        nb, ["cell", "vec_id"], ["cell"],
     )
     probes = (
         _nonzero_embeddings(spark, sf_dir)
@@ -1190,7 +1205,7 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     probe_bucket = F.pmod(
-        F.xxhash64(F.col("q_cell")), F.lit(_IVF_INDEX_BUCKETS)
+        F.xxhash64(F.col("q_cell")), F.lit(nb)
     ).cast("int")
     idx = _prune_buckets(idx, probes, probe_bucket)
     c = idx.select(

@@ -37,6 +37,14 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+        # A read that binds an explicit file list (the versioned
+        # snapshots' manifest-driven reads) launches a DISTRIBUTED
+        # listing job once the path count crosses this threshold
+        # (default 32) — a ~600-task stat job per version read at
+        # derived bucket counts, pure overhead when the manifest
+        # already IS the listing and a driver-side stat of local (or
+        # manifest-known object-store) paths is microseconds each.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "16384")
         # testdata events.parquet uses TIMESTAMP(NANOS); see tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
@@ -53,4 +61,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "16384"
+    )
     return spark

@@ -376,7 +376,13 @@ def _write_manifest(vdir: str) -> None:
     os.replace(tmp, os.path.join(vdir, "_MANIFEST.json"))
 
 
-def _anti_join_small_left(small, big, cols: list[str], max_keys: int = 2_000_000):
+def _anti_join_small_left(
+    small,
+    big,
+    cols: list[str],
+    max_keys: int = 2_000_000,
+    return_matched: bool = False,
+):
     """``small LEFT ANTI big`` on ``cols`` without shuffling ``big``:
     the delta-vs-snapshot shape of every seen-before gate.  A plain
     left_anti sort-merge-joins BOTH sides — the snapshot side is
@@ -395,16 +401,29 @@ def _anti_join_small_left(small, big, cols: list[str], max_keys: int = 2_000_000
     Caller contract: the size probe is an EAGER count over ``small``'s
     lineage — pass a PERSISTED frame, or the probe executes the full
     upstream plan (quality gates, window dedup, scans) one extra time
-    per call (ADVICE r10: the streaming gates paid exactly that)."""
+    per call (ADVICE r10: the streaming gates paid exactly that).
+
+    ``return_matched``: also return the PERSISTED matched key set
+    (``small``'s keys that WERE in ``big`` — the re-delivered rows a
+    gate sink needs for its index-healing leg), or None on the
+    shuffled-fallback path.  The caller owns the unpersist.  This is
+    information the anti-join computes anyway; without it the healing
+    leg re-derived it with a WIDE scan of every touched corpus bucket
+    per micro-batch (~300 MB of embedding column for a usually-empty
+    result — the r11 profile's dominant write-leg term)."""
     from pyspark.sql import functions as F
 
     keys = small.select(*cols).distinct()
     if keys.limit(max_keys + 1).count() > max_keys:
-        return small.join(big, cols, "left_anti")
+        res = small.join(big, cols, "left_anti")
+        return (res, None) if return_matched else res
     matched = (
         big.join(F.broadcast(keys), cols, "left_semi").select(*cols).distinct()
     )
-    return small.join(F.broadcast(matched), cols, "left_anti")
+    if return_matched:
+        matched = matched.persist()
+    res = small.join(F.broadcast(matched), cols, "left_anti")
+    return (res, matched) if return_matched else res
 
 
 def _bucket_file_counts(vdir: str) -> dict[int, int]:
@@ -525,13 +544,24 @@ def _geometry_matches(
 
 
 def _touched_list(probe_df, probe_bucket_expr) -> list:
-    """The distinct bucket values the probe's rows land in: one
-    delta-sized distinct + collect, bounded by ``n_buckets``.  Compute
-    ONCE per micro-batch when several legs prune on the same probe."""
-    return [
-        r["b"]
-        for r in probe_df.select(probe_bucket_expr.alias("b")).distinct().collect()
-    ]
+    """The distinct bucket values the probe's rows land in.  Computed
+    with a global ``collect_set`` aggregate — map-side partial sets, one
+    single-task reduce — instead of ``distinct().collect()``, whose
+    full-width shuffle schedules ``spark.sql.shuffle.partitions`` tasks
+    for a 40-row delta (~0.5 s of pure task overhead per probe, and a
+    micro-batch runs several).  Result size is bounded by ``n_buckets``
+    regardless of batch size, so giant backfill batches are safe.
+    Compute ONCE per micro-batch when several legs prune on the same
+    probe."""
+    from pyspark.sql import functions as F
+
+    row = probe_df.select(probe_bucket_expr.alias("b")).agg(
+        F.collect_set("b").alias("s")
+    ).collect()[0]
+    touched = list(row["s"])
+    # collect_set drops NULLs; callers' isin() never matched NULL anyway
+    # (the NULL-bucket rows are retained by _filter_buckets explicitly)
+    return touched
 
 
 def _filter_buckets(frame, touched: list):
@@ -574,6 +604,7 @@ def _merge_batch(
     insert_only: bool = False,
     max_files_per_bucket: int = 32,
     defer_commit: bool = False,
+    assume_novel: bool = False,
 ):
     """One keyed merge of ``batch_df`` into the bucketed versioned
     snapshot: write ``v{seq}``, hard-link unchanged files from
@@ -675,9 +706,10 @@ def _merge_batch(
         else:
             vdir_committed = os.path.join(snapshot_dir, committed)
             raw = _read_version(spark, vdir_committed)
-            touched = {
-                r["_bucket"] for r in inc.select("_bucket").distinct().collect()
-            }
+            # collect_set, not distinct().collect() — see _touched_list
+            touched = set(
+                inc.agg(F.collect_set("_bucket").alias("s")).collect()[0]["s"]
+            )
             rec = _layout_record(vdir_committed)
             if "_bucket" in raw.columns and _geometry_matches(
                 rec, n_buckets, key_cols, bucket_cols
@@ -694,26 +726,37 @@ def _merge_batch(
                         and per_bucket.get(int(t), 0) + 1
                         > max_files_per_bucket
                     }
-                    seen = raw.filter(
-                        F.col("_bucket").isin(
-                            [int(t) for t in touched if t is not None]
-                        )
-                        | F.col("_bucket").isNull()
-                    ).select(*key_cols)
                     # in-batch first-wins: the LOWEST order_col per key
                     # (current callers pre-dedupe, so this is the
                     # defensive contract, not a behavior change)
                     w_in = Window.partitionBy(*key_cols).orderBy(
                         F.asc(order_col)
                     )
-                    fresh = _anti_join_small_left(
+                    fresh = (
                         inc.drop("_src")
                         .withColumn("_rn", F.row_number().over(w_in))
                         .filter(F.col("_rn") == 1)
-                        .drop("_rn"),
-                        seen,
-                        key_cols,
+                        .drop("_rn")
                     )
+                    if not assume_novel:
+                        seen = raw.filter(
+                            F.col("_bucket").isin(
+                                [int(t) for t in touched if t is not None]
+                            )
+                            | F.col("_bucket").isNull()
+                        ).select(*key_cols)
+                        fresh = _anti_join_small_left(fresh, seen, key_cols)
+                    # assume_novel: the caller GUARANTEES every incoming
+                    # key is absent from the committed snapshot — the
+                    # gate sinks anti-join their delta against the SAME
+                    # committed version before calling (their seen-before
+                    # gate), so the defensive re-join here would scan the
+                    # same touched key columns a second time per batch.
+                    # Replay idempotence then rests on the caller's gate,
+                    # which reads the same committed pointer this merge
+                    # does.  Never set it for deltas that can carry
+                    # already-committed keys (the index legs' healing
+                    # re-derivations must keep the anti-join).
                     # committed rows are key-unique by invariant and
                     # fresh is anti-joined against them — no window
                     # needed over the union
@@ -1411,6 +1454,7 @@ def incremental_neardup_sink(
         hash_touched = _touched_list(batch_df, hash_bucket)
         try:
             survivors = None
+            redelivered_hashes = None
             if seq_docs is not None:
                 # persist the gate BEFORE the anti-join: the helper's
                 # broadcast-size probe counts the delta's keys — an
@@ -1428,11 +1472,18 @@ def incremental_neardup_sink(
                         "content_hash"
                     )
                     # the anti-join output feeds BOTH the signature
-                    # chain and the merge — persisted too (delta-sized)
-                    firsts = _anti_join_small_left(
-                        firsts, seen, ["content_hash"]
-                    ).persist()
+                    # chain and the merge — persisted too (delta-sized).
+                    # return_matched: the matched hashes ARE the batch's
+                    # re-delivered docs; the band-index healing leg below
+                    # fetches their wide committed rows only when the
+                    # set is non-empty (see the embedding sink)
+                    firsts, redelivered_hashes = _anti_join_small_left(
+                        firsts, seen, ["content_hash"], return_matched=True
+                    )
+                    firsts = firsts.persist()
                     pinned.append(firsts)
+                    if redelivered_hashes is not None:
+                        pinned.append(redelivered_hashes)
                 # ONE tokenize pass over the exact-novel docs; the persist
                 # barriers stop Catalyst's projection collapse from
                 # re-inlining the shingle chain into each of the 8
@@ -1593,6 +1644,9 @@ def incremental_neardup_sink(
                         n_buckets=n_buckets, bucket_cols=None,
                         seq=seq_docs, committed=committed_docs,
                         lease=lease, insert_only=True, defer_commit=True,
+                        # survivors were anti-joined against THIS
+                        # committed version by the gate above
+                        assume_novel=True,
                     ),
                 ))
             post_src = (
@@ -1604,19 +1658,31 @@ def incremental_neardup_sink(
                 spark, docs_dir, committed_docs, n_buckets, doc_keys
             )
             if docs_committed_view is not None:
-                batch_hashes = batch_df.select(
-                    md5_str(F.col("text")).alias("content_hash")
-                ).distinct()
-                redelivered = (
-                    _filter_buckets(docs_committed_view, hash_touched)
-                    .join(batch_hashes, "content_hash")
-                    .select("doc_id", *sig_cols)
-                )
-                post_src = (
-                    redelivered
-                    if post_src is None
-                    else post_src.unionByName(redelivered)
-                )
+                if survivors is not None and redelivered_hashes is not None:
+                    # common case: fetch the wide committed rows only
+                    # when the gate actually saw re-delivered hashes
+                    if not redelivered_hashes.isEmpty():
+                        post_src = post_src.unionByName(
+                            _filter_buckets(docs_committed_view, hash_touched)
+                            .join(F.broadcast(redelivered_hashes), "content_hash")
+                            .select("doc_id", *sig_cols)
+                        )
+                else:
+                    # replay heal or giant-backfill fallback: the
+                    # unconditional pruned join-back on the batch hashes
+                    batch_hashes = batch_df.select(
+                        md5_str(F.col("text")).alias("content_hash")
+                    ).distinct()
+                    redelivered = (
+                        _filter_buckets(docs_committed_view, hash_touched)
+                        .join(batch_hashes, "content_hash")
+                        .select("doc_id", *sig_cols)
+                    )
+                    post_src = (
+                        redelivered
+                        if post_src is None
+                        else post_src.unionByName(redelivered)
+                    )
             if seq_bands is not None and post_src is not None:
                 postings = band_rows(post_src, keep_sigs=True)
                 jobs.append((
@@ -1816,6 +1882,7 @@ def incremental_embedding_dedup_sink(
         id_touched = _touched_list(batch_df, id_bucket)
         try:
             survivors = None
+            redelivered_ids = None
             if seq_vecs is not None:
                 # deterministic one-row-per-vec_id: a duplicated id in one
                 # batch (upstream retry with re-embedding) must pick the
@@ -1847,10 +1914,17 @@ def incremental_embedding_dedup_sink(
                     seen = _filter_buckets(vecs_view, id_touched).select(
                         "vec_id"
                     )
-                    fresh = _anti_join_small_left(
-                        fresh, seen, ["vec_id"]
-                    ).persist()
+                    # return_matched: the matched set IS the batch's
+                    # re-delivered ids — the healing leg below fetches
+                    # wide rows only when it is non-empty, instead of
+                    # wide-scanning every touched bucket per batch
+                    fresh, redelivered_ids = _anti_join_small_left(
+                        fresh, seen, ["vec_id"], return_matched=True
+                    )
+                    fresh = fresh.persist()
                     pinned.append(fresh)
+                    if redelivered_ids is not None:
+                        pinned.append(redelivered_ids)
                 # cells materialized once behind a persist barrier — the
                 # hyperplane dot-products would otherwise re-inline per
                 # band reference (no CSE across HOF lambdas)
@@ -1896,6 +1970,12 @@ def incremental_embedding_dedup_sink(
                         .persist()
                     )
                     pinned.append(cand_keys)
+                    # the eager isEmpty is load-bearing: it gates the
+                    # WIDE verify scan (the embedding column of every
+                    # touched index bucket) out of the no-collision
+                    # batch entirely — measured r11: dropping it in
+                    # favor of lazy AQE empty-propagation cost ~1-2 s
+                    # per batch, so the one narrow probe pass stays
                     if cand_keys.isEmpty():
                         drops = None
                     else:
@@ -2005,6 +2085,9 @@ def incremental_embedding_dedup_sink(
                         n_buckets=n_buckets, bucket_cols=None,
                         seq=seq_vecs, committed=committed_vecs,
                         lease=lease, insert_only=True, defer_commit=True,
+                        # survivors were anti-joined against THIS
+                        # committed version by the gate above
+                        assume_novel=True,
                     ),
                 ))
             post_src = (
@@ -2016,16 +2099,33 @@ def incremental_embedding_dedup_sink(
                 spark, vecs_dir, committed_vecs, n_buckets, vec_keys
             )
             if vecs_committed_view is not None:
-                redelivered = (
-                    _filter_buckets(vecs_committed_view, id_touched)
-                    .join(batch_df.select("vec_id").distinct(), "vec_id")
-                    .select("vec_id", "embedding")
-                )
-                post_src = (
-                    redelivered
-                    if post_src is None
-                    else post_src.unionByName(redelivered)
-                )
+                if survivors is not None and redelivered_ids is not None:
+                    # common case: the gate's anti-join already named the
+                    # re-delivered ids (usually none) — fetch the WIDE
+                    # committed rows only when the set is non-empty,
+                    # instead of scanning the embedding column of every
+                    # touched bucket per batch (the r11 profile's
+                    # dominant write-leg term)
+                    if not redelivered_ids.isEmpty():
+                        post_src = post_src.unionByName(
+                            _filter_buckets(vecs_committed_view, id_touched)
+                            .join(F.broadcast(redelivered_ids), "vec_id")
+                            .select("vec_id", "embedding")
+                        )
+                else:
+                    # replay heal (survivors not computed) or the giant-
+                    # backfill fallback (matched unavailable): the
+                    # unconditional pruned join-back on the batch's ids
+                    redelivered = (
+                        _filter_buckets(vecs_committed_view, id_touched)
+                        .join(batch_df.select("vec_id").distinct(), "vec_id")
+                        .select("vec_id", "embedding")
+                    )
+                    post_src = (
+                        redelivered
+                        if post_src is None
+                        else post_src.unionByName(redelivered)
+                    )
             if seq_cells is not None and post_src is not None:
                 postings = cell_rows(post_src, keep_emb=True)
                 jobs.append((

@@ -95,6 +95,153 @@ def test_catalog_fanout(spark, server, small_table):
     assert df.rdd.getNumPartitions() == 2
 
 
+def test_curated_snapshot_ingested_back_through_catalog(spark, tmp_path_factory):
+    """r10 verdict #6 — close the last loop between the pipeline side and
+    the transport side: the COMPOSED curation sink's survivor snapshot is
+    registered as a catalog dataset, fetched back through the engine's
+    own ingress (``arrows`` DataSource, catalog → per-URI-partitioned
+    ingest — the get_indirect two-step), and the ingested rows must
+    equal BOTH the local snapshot read and the batch funnel's own
+    selection computed live from the same corpus with the registered
+    stage operators (quality ∧ cluster-canonical ∧ ¬flagged — the
+    pipeline_curate_end_to_end staging, materialized as rows).
+
+    The corpus is built so the funnel's selection is UNAMBIGUOUS (no
+    unequal-length near-dup pairs): the sink's greedy first-seen gate
+    and the batch funnel's longest-text canonical rule then provably
+    select the same documents, so row-equality is a correctness claim,
+    not a coincidence.  (Where the two funnels' documented chain
+    semantics diverge, the oracle-checked twin
+    pipeline_curate_incremental_full pins the sink's side.)"""
+    import glob
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from arrow_experiments_spark.operators.dedup import (
+        curate_corpus,
+        decontaminate_flags,
+        dedup_keep_canonical,
+    )
+    from arrow_experiments_spark.streaming.egress import (
+        incremental_neardup_sink,
+        read_snapshot,
+        register_snapshot,
+    )
+
+    tmp = tmp_path_factory.mktemp("curate_interop")
+
+    def filler(d: int) -> str:
+        # per-doc-UNIQUE filler tokens (shared filler would make every
+        # doc a near-dup of every other via the common shingles) with
+        # enough stopwords to pass the sr >= 0.05 gate
+        return " ".join(
+            f"alpha{d}x{i} the beta{d}x{i} of gamma{d}x{i} and delta{d}x{i}"
+            for i in range(12)
+        )
+
+    texts = {
+        0: "the quick brown fox jumps over a lazy dog near the river " + filler(0),
+        1: "a stitch in time saves nine and the early bird takes worms " + filler(1),
+        2: "all that glitters is not gold but the river keeps secrets " + filler(2),
+        13: "never put off until tomorrow what you can do today he said " + filler(13),
+        14: "actions speak louder than words and the proof is in pudding " + filler(14),
+    }
+    train_rows = [
+        (0, "srcA", texts[0]),
+        (1, "srcA", texts[1]),
+        (2, "srcB", texts[2]),
+        (10, "srcB", "too short"),     # quality reject
+        (11, "srcB", texts[0]),        # exact dup of 0 (same length -> same canonical)
+        (13, "srcA", texts[13]),       # contaminated (shares shingles w/ eval)
+        (14, "srcB", texts[14]),       # clean
+    ]
+    eval_rows = [(900, "src0", texts[13])]
+    docs = spark.createDataFrame(
+        [(i, s, t, len(t)) for i, s, t in train_rows + eval_rows],
+        "doc_id bigint, source string, text string, n_chars int",
+    )
+    sf_dir = str(tmp / "sf")
+    os.makedirs(sf_dir)
+    docs.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # the batch funnel's selection as ROWS (the per-source counts of
+    # pipeline_curate_end_to_end come from exactly this staging)
+    corpus = curate_corpus(spark, sf_dir)
+    qual = (
+        (F.col("n_tokens") >= 20) & (F.col("dr") >= 0.4) & (F.col("sr") >= 0.05)
+    )
+    kept = dedup_keep_canonical(spark, sf_dir, corpus=corpus).select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    flagged = decontaminate_flags(spark, sf_dir, corpus=corpus).select(
+        F.col("train_id").alias("doc_id")
+    )
+    batch_sel = sorted(
+        r["doc_id"]
+        for r in corpus.filter(F.col("source") != "src0")
+        .filter(qual)
+        .join(kept, "doc_id")
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    )
+    assert batch_sel == [0, 1, 2, 14], batch_sel
+
+    # the composed sink over the same train docs (two micro-batches),
+    # eval set = the src0 row
+    train = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    staged = str(tmp / "staged")
+    os.makedirs(staged)
+    for i, frame in enumerate(
+        (train.filter(F.col("doc_id") < 10), train.filter(F.col("doc_id") >= 10))
+    ):
+        wdir = str(tmp / f"w{i}")
+        frame.coalesce(1).write.parquet(wdir)
+        dst = os.path.join(staged, f"{i:03d}.parquet")
+        shutil.copy(glob.glob(os.path.join(wdir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+    base = str(tmp / "funnel")
+    incremental_neardup_sink(
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged),
+        base,
+        n_buckets=8,
+        eval_docs=docs.filter(F.col("source") == "src0").select("doc_id", "text"),
+    )
+    snap = os.path.join(base, "docs")
+    local = read_snapshot(spark, snap)
+    local_rows = sorted(
+        (r["doc_id"], r["content_hash"], r["text"])
+        for r in local.select("doc_id", "content_hash", "text").collect()
+    )
+    assert [r[0] for r in local_rows] == batch_sel
+
+    # serve it, then ingest it back through the engine's own source
+    registry = DatasetRegistry()
+    register_snapshot(registry, "curated_full", snap)
+    httpd = serve(registry)
+    host, port = httpd.server_address
+    try:
+        ingested = (
+            spark.read.format("arrows")
+            .option("catalog_url", f"http://{host}:{port}/catalog")
+            .load()
+        )
+        # one Spark partition per catalog URI — the get_indirect fan-out
+        assert ingested.rdd.getNumPartitions() == 1
+        got = sorted(
+            (r["doc_id"], r["content_hash"], r["text"])
+            for r in ingested.select("doc_id", "content_hash", "text").collect()
+        )
+        assert got == local_rows
+        assert [r[0] for r in got] == batch_sel
+    finally:
+        httpd.shutdown()
+
+
 def test_many_types_widening(spark, tmp_path_factory):
     """21-type fixture round-trips through the source with sidecar
     widening (unsigned → wider ints, ns → µs, dictionary → values)."""

@@ -75,6 +75,15 @@ def main() -> None:
     emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     delta = emb.orderBy("vec_id").limit(DELTA_VECS).persist()
     delta.count()
+    # a SECOND fresh delta (disjoint ids) for the min-of-two leg below
+    delta_max = delta.agg(F.max("vec_id")).collect()[0][0]
+    delta2 = (
+        emb.filter(F.col("vec_id") > delta_max)
+        .orderBy("vec_id")
+        .limit(DELTA_VECS)
+        .persist()
+    )
+    delta2.count()
 
     # warm-up: throwaway sink run (codegen + stream machinery)
     warm = os.path.join(WORK, "warm")
@@ -184,24 +193,32 @@ def main() -> None:
         t_unpruned = time.perf_counter() - t0
         assert n_hits == 0  # disjoint by construction
 
-        staged = os.path.join(base, "staged")
-        os.makedirs(staged)
-        wdir = os.path.join(base, "w_delta")
-        delta.coalesce(1).write.mode("overwrite").parquet(wdir)
-        shutil.copy(
-            glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
-            os.path.join(staged, "000.parquet"),
-        )
-        t0 = time.perf_counter()
-        incremental_embedding_dedup_sink(
-            spark.readStream.schema(delta.schema).parquet(staged),
-            base_dir=base,
-            timeout_sec=3600,
-            n_buckets=buckets,
-            bands=BANDS,
-            bits=bits,
-        )
-        t_delta = time.perf_counter() - t0
+        # TWO fresh-delta legs, committed number = their MIN: a single
+        # sample per scale is one co-tenant window away from garbage
+        # (the bench.py window-qualification lesson applied here); each
+        # leg is a genuinely new 40-vector delta, so both exercise the
+        # full gate + fused-merge path against the committed corpus
+        t_legs = []
+        staged_files = []
+        for tag, dfr in (("d1", delta), ("d2", delta2)):
+            staged_i = os.path.join(base, f"staged_{tag}")
+            os.makedirs(staged_i)
+            wdir = os.path.join(base, f"w_{tag}")
+            dfr.coalesce(1).write.mode("overwrite").parquet(wdir)
+            src = glob.glob(os.path.join(wdir, "part-*.parquet"))[0]
+            shutil.copy(src, os.path.join(staged_i, "000.parquet"))
+            staged_files.append(src)
+            t0 = time.perf_counter()
+            incremental_embedding_dedup_sink(
+                spark.readStream.schema(dfr.schema).parquet(staged_i),
+                base_dir=base,
+                timeout_sec=3600,
+                n_buckets=buckets,
+                bands=BANDS,
+                bits=bits,
+            )
+            t_legs.append(round(time.perf_counter() - t0, 2))
+        t_delta = min(t_legs)
 
         vecs = read_snapshot(spark, vecs_dir)
         n_final = vecs.count()
@@ -212,13 +229,13 @@ def main() -> None:
         n_postings = index.count()
         assert n_postings == BANDS * rows + BANDS * survivors, n_postings
 
-        # idempotence: re-delivering the same vectors adds nothing
-        shutil.copy(
-            glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
-            os.path.join(staged, "001.parquet"),
-        )
+        # idempotence: re-delivering BOTH deltas adds nothing
+        staged_all = os.path.join(base, "staged_all")
+        os.makedirs(staged_all)
+        for i, src in enumerate(staged_files):
+            shutil.copy(src, os.path.join(staged_all, f"{i:03d}.parquet"))
         incremental_embedding_dedup_sink(
-            spark.readStream.schema(delta.schema).parquet(staged),
+            spark.readStream.schema(delta.schema).parquet(staged_all),
             base_dir=base,
             timeout_sec=3600,
             n_buckets=buckets,
@@ -229,9 +246,9 @@ def main() -> None:
         assert read_snapshot(spark, cells_dir).count() == n_postings
 
         print(
-            f"{scale}: delta {DELTA_VECS} vectors -> {survivors} survivors: "
-            f"{t_delta:.2f}s (unpruned full-index probe ref "
-            f"{t_unpruned:.2f}s)",
+            f"{scale}: 2 deltas x {DELTA_VECS} vectors -> {survivors} "
+            f"survivors: legs {t_legs} -> {t_delta:.2f}s (unpruned "
+            f"full-index probe ref {t_unpruned:.2f}s)",
             flush=True,
         )
         results[scale] = {
@@ -242,6 +259,7 @@ def main() -> None:
             "bits": bits,
             "seed_sec": round(t_seed, 2),
             "delta_sec": round(t_delta, 2),
+            "delta_legs": t_legs,
             "survivors": survivors,
             "unpruned_probe_sec": round(t_unpruned, 2),
         }

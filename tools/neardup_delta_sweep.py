@@ -66,6 +66,7 @@ def main() -> None:
     from arrow_experiments_spark.operators.dedup import _N_BANDS, _N_SIGS
     from arrow_experiments_spark.streaming.egress import (
         _merge_batch,
+        derive_index_buckets,
         incremental_neardup_sink,
         read_snapshot,
     )
@@ -135,6 +136,12 @@ def main() -> None:
 
     results = {}
     for scale, rows, buckets in (("1x", 2_000_000, 64), ("10x", 20_000_000, 640)):
+        # conf-free band-index geometry (r10 verdict #4) — same public
+        # derivation the sink applies at attach; the sink then ADOPTS
+        # the committed layout (index_buckets=None)
+        idx_buckets = derive_index_buckets(
+            4 * rows, bands=4, delta_rows=DELTA_DOCS
+        )
         base = os.path.join(WORK, scale)
         os.makedirs(base)
         docs_dir = os.path.join(base, "docs")
@@ -168,13 +175,14 @@ def main() -> None:
         _merge_batch(
             spark, postings, bands_dir,
             key_cols=["band_idx", "band_val", "doc_id"], order_col="doc_id",
-            n_buckets=buckets, bucket_cols=["band_idx", "band_val"],
+            n_buckets=idx_buckets, bucket_cols=["band_idx", "band_val"],
             seq=0, committed=None,
         )
         t_seed = time.perf_counter() - t0
         print(
             f"{scale}: seeded {rows:,} docs + {4 * rows:,} postings / "
-            f"{buckets} buckets: {t_seed:.2f}s",
+            f"{buckets} doc buckets, {idx_buckets} index buckets: "
+            f"{t_seed:.2f}s",
             flush=True,
         )
 
@@ -238,6 +246,7 @@ def main() -> None:
             "rows": rows,
             "postings": 4 * rows,
             "buckets": buckets,
+            "index_buckets": idx_buckets,
             "seed_sec": round(t_seed, 2),
             "delta_sec": round(t_delta, 2),
             "survivors": survivors,
