@@ -60,6 +60,15 @@ def main() -> None:
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
     delta = docs.orderBy("doc_id").limit(DELTA_DOCS).persist()
     delta.count()
+    # a SECOND fresh delta (disjoint ids) for the min-of-two leg below
+    delta_max = delta.agg(F.max("doc_id")).collect()[0][0]
+    delta2 = (
+        docs.filter(F.col("doc_id") > delta_max)
+        .orderBy("doc_id")
+        .limit(DELTA_DOCS)
+        .persist()
+    )
+    delta2.count()
     sig_cols = [f"s{i}" for i in range(_N_SIGS)]
 
     # benchmark set: 20 real docs outside the delta, PLUS one delta
@@ -169,23 +178,29 @@ def main() -> None:
             flush=True,
         )
 
-        staged = os.path.join(base, "staged")
-        os.makedirs(staged)
-        wdir = os.path.join(base, "w_delta")
-        delta.coalesce(1).write.mode("overwrite").parquet(wdir)
-        shutil.copy(
-            glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
-            os.path.join(staged, "000.parquet"),
-        )
-        t0 = time.perf_counter()
-        incremental_neardup_sink(
-            spark.readStream.schema(delta.schema).parquet(staged),
-            base_dir=base,
-            timeout_sec=3600,
-            n_buckets=buckets,
-            eval_docs=eval_docs,
-        )
-        t_delta = time.perf_counter() - t0
+        # TWO fresh-delta legs, committed number = their MIN (the
+        # bench.py window-qualification lesson: one sample per scale is
+        # one co-tenant window away from garbage)
+        t_legs = []
+        for tag, dfr in (("d1", delta), ("d2", delta2)):
+            staged = os.path.join(base, f"staged_{tag}")
+            os.makedirs(staged)
+            wdir = os.path.join(base, f"w_{tag}")
+            dfr.coalesce(1).write.mode("overwrite").parquet(wdir)
+            shutil.copy(
+                glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+                os.path.join(staged, "000.parquet"),
+            )
+            t0 = time.perf_counter()
+            incremental_neardup_sink(
+                spark.readStream.schema(dfr.schema).parquet(staged),
+                base_dir=base,
+                timeout_sec=3600,
+                n_buckets=buckets,
+                eval_docs=eval_docs,
+            )
+            t_legs.append(round(time.perf_counter() - t0, 2))
+        t_delta = min(t_legs)
 
         corpus = read_snapshot(spark, docs_dir)
         n_final = corpus.count()
@@ -201,8 +216,9 @@ def main() -> None:
         assert n_postings == 4 * rows + 4 * survivors, (n_postings, survivors)
 
         print(
-            f"{scale}: delta {DELTA_DOCS} docs -> {survivors} survivors "
-            f"(1 decontaminated): {t_delta:.2f}s",
+            f"{scale}: 2 deltas x {DELTA_DOCS} docs -> {survivors} "
+            f"survivors (1 decontaminated): legs {t_legs} -> "
+            f"{t_delta:.2f}s",
             flush=True,
         )
         results[scale] = {
@@ -212,6 +228,7 @@ def main() -> None:
             "index_buckets": idx_buckets,
             "seed_sec": round(t_seed, 2),
             "delta_sec": round(t_delta, 2),
+            "delta_legs": t_legs,
             "survivors": survivors,
         }
         shutil.rmtree(base, ignore_errors=True)
@@ -233,8 +250,11 @@ derives from survivors ∪ re-delivered committed rows (pre-commit
 frames), and the band index's bucket count is DERIVED conf-free
 (derive_index_buckets — the B ≥ bands·delta rule that removes the
 pinned-64 bucket-cap artifact behind round 10's 1.30x residual).
-Same decade protocol (synthetic seeds, the same 40-document real
-delta, one planted contamination asserted at both scales).
+Same decade protocol (synthetic seeds, one planted contamination
+asserted at both scales); the committed delta leg is the MIN over two
+genuinely fresh 40-document deltas per scale (legs recorded in the
+JSON line) — single samples are one co-tenant window away from
+garbage.
 
 | corpus | band postings | index buckets | delta leg (s) | survivors |
 |---|---|---|---|---|
