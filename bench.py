@@ -229,14 +229,22 @@ class WindowQualifier:
     silently record a co-tenant phase again (the r10 adjudication, done
     by hand from the spread tables, becomes mechanical).
 
-    The band is RELATIVE to the run's own floor: co-tenant contention on
-    this box shows as 1.5-30× sentinel inflation (memory-bandwidth
-    theft), while quiet-window sentinel jitter stays within ~1.2×.  A
-    fully-contended run (no clean floor ever observed) self-reports via
-    the committed sentinel level and the loopback ratio — both absolute
-    signals the verdicts already track across rounds."""
+    Calibration (measured on this box): the sentinel runs ~9-14 ms, so
+    a pure min-relative ratio band cannot separate ordinary jitter
+    (±40% at these absolute times) from the 1.5-30× co-tenant windows —
+    a first sanity run with ``1.4 × min`` flagged half the keys on a
+    quiet box.  Three choices fix that: the floor is the 10th
+    PERCENTILE of all probes (robust to one lucky outlier), the limit
+    carries a small ABSOLUTE slack for ms-scale scheduler jitter, and a
+    bracket counts as contended only when BOTH its probes are elevated
+    — a co-tenant window is minutes long and shows on both sides of a
+    sample, while a single-probe spike is the scheduler, not the box.
+    A fully-contended run (no clean floor ever observed) self-reports
+    via the committed sentinel level and the loopback ratio — both
+    absolute signals the verdicts already track across rounds."""
 
     BAND = 1.4
+    SLACK_SEC = 0.002
 
     def __init__(self, probe_fn):
         self.probe_fn = probe_fn
@@ -249,17 +257,22 @@ class WindowQualifier:
 
     @property
     def floor(self) -> float:
-        return min(self.samples)
+        s = sorted(self.samples)
+        return s[len(s) // 10] if len(s) >= 10 else s[0]
+
+    @property
+    def limit(self) -> float:
+        return self.BAND * self.floor + self.SLACK_SEC
 
     def clean(self, before: int, after: int) -> bool:
-        lim = self.BAND * self.floor
-        return self.samples[before] <= lim and self.samples[after] <= lim
+        lim = self.limit
+        return self.samples[before] <= lim or self.samples[after] <= lim
 
     def window_ok(self) -> bool:
         """One fresh probe, judged against the run floor — the cheap
         in-function retry gate for the reference-scale serves."""
         i = self.probe()
-        return self.samples[i] <= self.BAND * self.floor
+        return self.samples[i] <= self.limit
 
 
 def _bench_replay_100m(
@@ -472,7 +485,7 @@ def _bench_serve_42m(spark, qual: "WindowQualifier | None" = None) -> float:
                 retries += 1
             _SERVE_42M_QUALITY.append(
                 "clean" if retries == 0
-                else ("rerun_clean" if qual.samples[-1] <= qual.BAND * qual.floor
+                else ("rerun_clean" if qual.samples[-1] <= qual.limit
                       else "contended")
             )
         _SERVE_42M_ATTEMPTS.extend(attempts)
@@ -872,7 +885,9 @@ def main() -> None:
         # cross-round comparison knows to discount it.
         "window": {
             "band": WindowQualifier.BAND,
-            "probe_floor": round(qual.floor, 3),
+            "slack_sec": WindowQualifier.SLACK_SEC,
+            "probe_floor_p10": round(qual.floor, 4),
+            "limit": round(qual.limit, 4),
             "replay_band_vs_loopback": 0.70,
             "replay_ratio": round(
                 payload_gib_100m
