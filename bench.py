@@ -847,6 +847,23 @@ def main() -> None:
             " the unconditional median-of-3 — in a fully-quiet run the two"
             " coincide for 3 clean samples and differ by at most the"
             " min-vs-median gap when one pass was excluded",
+            "q1/q5 decomposition (r10 verdict #8, measured r11 at sf0.1):"
+            " q1 is AGGREGATION-bound, not scan-bound — the filtered 6-col"
+            " lineitem scan alone is 0.24 s of the 1.05 s total; the cost"
+            " is the DECIMAL(18,2) sums + the revenue multiply.  An exact"
+            " integer-cents variant measured 0.597 s with hash-identical"
+            " output at this SF and was REJECTED: revenue sums in 1e-4-"
+            " dollar units exceed int64 (and double's 2^53 exactness) at"
+            " 100 TB scale factors, so the decimal formulation is the"
+            " deliberate scale-safe choice and q1's level is its price."
+            " q5: AQE's final plan runs all five joins as"
+            " BroadcastHashJoin at this SF (every non-lineitem side fits"
+            " the threshold); join-side scans alone are 0.52 s of the"
+            " 1.12 s total — the declared shuffle-join plan only"
+            " materializes at scale factors where broadcasting would be"
+            " wrong anyway.  Neither query has a same-semantics,"
+            " same-scale-posture improvement left at sf0.1; both drift"
+            " with page-cache/box state.",
             "agg_hll_sketch_exchange now emits (exact_users, within_bound)"
             " — the rollup reads the manifest's exact anchor so the sketch"
             " family is DuckDB-oracle-checkable; ~+0.15-0.25 s vs the r8"
