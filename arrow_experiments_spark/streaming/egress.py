@@ -2165,7 +2165,7 @@ def incremental_ivf_index_sink(
     base_dir: str,
     timeout_sec: int = 120,
     checkpoint_dir: str | None = None,
-    n_buckets: int = 32,
+    n_buckets: int | None = None,
     k: int = 8,
     lease_ttl_sec: float = 60.0,
 ):
@@ -2200,6 +2200,13 @@ def incremental_ivf_index_sink(
     in the batch ops' ``nz`` entry filter.  Single writer enforced by
     :class:`WriterLease`; readers resolve versions through the LATEST
     pointer as with every snapshot in this module.
+
+    ``n_buckets`` defaults to adopt-else-derive (r10 verdict #4, same
+    rule as the dedup gates): an existing committed layout is adopted
+    verbatim, else the first batch sizes it via
+    :func:`derive_index_buckets`; ``ann_ivf_index_probe`` reads the
+    committed layout's count, so probe pruning always matches the
+    geometry the postings were written under.
     """
     import os
 
@@ -2215,11 +2222,26 @@ def incremental_ivf_index_sink(
     except Exception:
         lease.release()
         raise
+    # adopt-else-derive, as in the dedup gates: an existing committed
+    # layout wins (no migration on re-attach); else the first batch
+    # sizes the bucket count via derive_index_buckets.  Probes adopt
+    # the committed layout (_adopted_index_buckets), so the derived
+    # count needs no side-channel.
+    resolved = {"cells": n_buckets}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         lease.heartbeat()
         committed = _committed_version(cells_dir)
         seq = _alloc_seq(committed, batch_id, checkpoint_dir is not None)
+        if resolved["cells"] is None:
+            adopted = _adopted_index_buckets(cells_dir)
+            if adopted is not None:
+                resolved["cells"] = adopted
+            else:
+                n_delta = batch_df.count()
+                resolved["cells"] = derive_index_buckets(
+                    n_delta, delta_rows=n_delta
+                )
         if seq is None:
             return
         postings = batch_df.select(
@@ -2230,7 +2252,7 @@ def incremental_ivf_index_sink(
         _merge_batch(
             spark, postings, cells_dir,
             key_cols=["cell", "vec_id"], order_col="vec_id",
-            n_buckets=n_buckets, bucket_cols=["cell"],
+            n_buckets=resolved["cells"], bucket_cols=["cell"],
             seq=seq, committed=committed, lease=lease,
             insert_only=True,
         )
