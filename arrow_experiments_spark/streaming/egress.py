@@ -605,6 +605,7 @@ def _merge_batch(
     max_files_per_bucket: int = 32,
     defer_commit: bool = False,
     assume_novel: bool = False,
+    touched: "set | None" = None,
 ):
     """One keyed merge of ``batch_df`` into the bucketed versioned
     snapshot: write ``v{seq}``, hard-link unchanged files from
@@ -706,10 +707,19 @@ def _merge_batch(
         else:
             vdir_committed = os.path.join(snapshot_dir, committed)
             raw = _read_version(spark, vdir_committed)
-            # collect_set, not distinct().collect() — see _touched_list
-            touched = set(
-                inc.agg(F.collect_set("_bucket").alias("s")).collect()[0]["s"]
-            )
+            # ``touched``: a caller that already probed its delta's
+            # bucket set (the gate sinks compute it once per batch for
+            # their pruned reads) passes it in — any SUPERSET of the
+            # incoming rows' buckets is sound here, since touched only
+            # widens the compaction check (insert-only) or the
+            # read-back+rewrite set (upsert); otherwise one collect_set
+            # job derives it (not distinct().collect() — _touched_list)
+            if touched is None:
+                touched = set(
+                    inc.agg(
+                        F.collect_set("_bucket").alias("s")
+                    ).collect()[0]["s"]
+                )
             rec = _layout_record(vdir_committed)
             if "_bucket" in raw.columns and _geometry_matches(
                 rec, n_buckets, key_cols, bucket_cols
@@ -1455,6 +1465,8 @@ def incremental_neardup_sink(
         try:
             survivors = None
             redelivered_hashes = None
+            bands_touched = None
+            postings_from_survivors_only = False
             if seq_docs is not None:
                 # persist the gate BEFORE the anti-join: the helper's
                 # broadcast-size probe counts the delta's keys — an
@@ -1542,13 +1554,18 @@ def incremental_neardup_sink(
                     bands_buckets, band_keys, band_buckets,
                 )
                 if idx is not None:
+                    # the delta's band-bucket set, computed ONCE — prunes
+                    # the probe and (when the posting source is survivors
+                    # alone) is handed to the bands merge so it skips its
+                    # own probe job
+                    bands_touched = _touched_list(dbands, band_probe_bucket)
                     # NOTE: deliberately NOT persisted — the saturation
                     # count reads only (band_idx, band_val) and the
                     # candidate join its own columns, both partition- AND
                     # column-pruned scans; a persist would materialize
                     # the slice full-width (every sig column of every
                     # touched bucket), far more I/O than two narrow scans
-                    idx = _prune_buckets(idx, dbands, band_probe_bucket)
+                    idx = _filter_buckets(idx, bands_touched)
                     # saturated-band skip (see docstring): group sizes are
                     # computed over the PRUNED slice only — delta-bounded
                     ok_bands = (
@@ -1645,8 +1662,10 @@ def incremental_neardup_sink(
                         seq=seq_docs, committed=committed_docs,
                         lease=lease, insert_only=True, defer_commit=True,
                         # survivors were anti-joined against THIS
-                        # committed version by the gate above
+                        # committed version by the gate above; their
+                        # hash buckets ⊆ the raw batch's, probed once
                         assume_novel=True,
+                        touched=set(hash_touched),
                     ),
                 ))
             post_src = (
@@ -1657,34 +1676,47 @@ def incremental_neardup_sink(
             docs_committed_view = _prepare_view(
                 spark, docs_dir, committed_docs, n_buckets, doc_keys
             )
-            if docs_committed_view is not None:
-                if survivors is not None and redelivered_hashes is not None:
-                    # common case: fetch the wide committed rows only
-                    # when the gate actually saw re-delivered hashes
-                    if not redelivered_hashes.isEmpty():
-                        post_src = post_src.unionByName(
-                            _filter_buckets(docs_committed_view, hash_touched)
-                            .join(F.broadcast(redelivered_hashes), "content_hash")
-                            .select("doc_id", *sig_cols)
-                        )
+            if docs_committed_view is None:
+                postings_from_survivors_only = survivors is not None
+            elif survivors is not None and redelivered_hashes is not None:
+                # common case: fetch the wide committed rows only
+                # when the gate actually saw re-delivered hashes
+                if redelivered_hashes.isEmpty():
+                    postings_from_survivors_only = True
                 else:
-                    # replay heal or giant-backfill fallback: the
-                    # unconditional pruned join-back on the batch hashes
-                    batch_hashes = batch_df.select(
-                        md5_str(F.col("text")).alias("content_hash")
-                    ).distinct()
-                    redelivered = (
+                    post_src = post_src.unionByName(
                         _filter_buckets(docs_committed_view, hash_touched)
-                        .join(batch_hashes, "content_hash")
+                        .join(F.broadcast(redelivered_hashes), "content_hash")
                         .select("doc_id", *sig_cols)
                     )
-                    post_src = (
-                        redelivered
-                        if post_src is None
-                        else post_src.unionByName(redelivered)
-                    )
+            else:
+                # replay heal or giant-backfill fallback: the
+                # unconditional pruned join-back on the batch hashes
+                batch_hashes = batch_df.select(
+                    md5_str(F.col("text")).alias("content_hash")
+                ).distinct()
+                redelivered = (
+                    _filter_buckets(docs_committed_view, hash_touched)
+                    .join(batch_hashes, "content_hash")
+                    .select("doc_id", *sig_cols)
+                )
+                post_src = (
+                    redelivered
+                    if post_src is None
+                    else post_src.unionByName(redelivered)
+                )
             if seq_bands is not None and post_src is not None:
                 postings = band_rows(post_src, keep_sigs=True)
+                # precomputed band buckets pass through ONLY when the
+                # posting source is survivors alone (⊆ dbands — see the
+                # embedding sink: the insert-only anti-join's seen-scan
+                # must cover every incoming bucket)
+                bands_merge_touched = (
+                    set(bands_touched)
+                    if postings_from_survivors_only
+                    and bands_touched is not None
+                    else None
+                )
                 jobs.append((
                     "bands",
                     lambda: _merge_batch(
@@ -1693,6 +1725,7 @@ def incremental_neardup_sink(
                         n_buckets=bands_buckets, bucket_cols=band_buckets,
                         seq=seq_bands, committed=committed_bands,
                         lease=lease, insert_only=True, defer_commit=True,
+                        touched=bands_merge_touched,
                     ),
                 ))
             commits, errors = _parallel_writes(jobs)
@@ -1883,6 +1916,8 @@ def incremental_embedding_dedup_sink(
         try:
             survivors = None
             redelivered_ids = None
+            cells_touched = None
+            postings_from_survivors_only = False
             if seq_vecs is not None:
                 # deterministic one-row-per-vec_id: a duplicated id in one
                 # batch (upstream retry with re-embedding) must pick the
@@ -1936,11 +1971,16 @@ def incremental_embedding_dedup_sink(
                     cells_buckets, cell_keys, cell_buckets,
                 )
                 if idx is not None:
+                    # the delta's cell-bucket set, computed ONCE: it
+                    # prunes the probe here and (when the posting source
+                    # is survivors alone, a subset of dcells) is handed
+                    # to the cells merge so it skips its own probe job
+                    cells_touched = _touched_list(dcells, cell_probe_bucket)
                     # deliberately NOT persisted — see the band-index
                     # note in incremental_neardup_sink: the count and
                     # the join are narrow column-pruned scans; a persist
                     # would materialize every embedding in the slice
-                    idx = _prune_buckets(idx, dcells, cell_probe_bucket)
+                    idx = _filter_buckets(idx, cells_touched)
                     # saturated-cell skip (see docstring): delta-bounded,
                     # computed over the pruned slice only
                     ok_cells = (
@@ -2086,8 +2126,11 @@ def incremental_embedding_dedup_sink(
                         seq=seq_vecs, committed=committed_vecs,
                         lease=lease, insert_only=True, defer_commit=True,
                         # survivors were anti-joined against THIS
-                        # committed version by the gate above
+                        # committed version by the gate above; their
+                        # buckets ⊆ the raw batch's id buckets (same
+                        # hash, same count), already probed once
                         assume_novel=True,
+                        touched=set(id_touched),
                     ),
                 ))
             post_src = (
@@ -2098,36 +2141,51 @@ def incremental_embedding_dedup_sink(
             vecs_committed_view = _prepare_view(
                 spark, vecs_dir, committed_vecs, n_buckets, vec_keys
             )
-            if vecs_committed_view is not None:
-                if survivors is not None and redelivered_ids is not None:
-                    # common case: the gate's anti-join already named the
-                    # re-delivered ids (usually none) — fetch the WIDE
-                    # committed rows only when the set is non-empty,
-                    # instead of scanning the embedding column of every
-                    # touched bucket per batch (the r11 profile's
-                    # dominant write-leg term)
-                    if not redelivered_ids.isEmpty():
-                        post_src = post_src.unionByName(
-                            _filter_buckets(vecs_committed_view, id_touched)
-                            .join(F.broadcast(redelivered_ids), "vec_id")
-                            .select("vec_id", "embedding")
-                        )
+            if vecs_committed_view is None:
+                postings_from_survivors_only = survivors is not None
+            elif survivors is not None and redelivered_ids is not None:
+                # common case: the gate's anti-join already named the
+                # re-delivered ids (usually none) — fetch the WIDE
+                # committed rows only when the set is non-empty,
+                # instead of scanning the embedding column of every
+                # touched bucket per batch (the r11 profile's
+                # dominant write-leg term)
+                if redelivered_ids.isEmpty():
+                    postings_from_survivors_only = True
                 else:
-                    # replay heal (survivors not computed) or the giant-
-                    # backfill fallback (matched unavailable): the
-                    # unconditional pruned join-back on the batch's ids
-                    redelivered = (
+                    post_src = post_src.unionByName(
                         _filter_buckets(vecs_committed_view, id_touched)
-                        .join(batch_df.select("vec_id").distinct(), "vec_id")
+                        .join(F.broadcast(redelivered_ids), "vec_id")
                         .select("vec_id", "embedding")
                     )
-                    post_src = (
-                        redelivered
-                        if post_src is None
-                        else post_src.unionByName(redelivered)
-                    )
+            else:
+                # replay heal (survivors not computed) or the giant-
+                # backfill fallback (matched unavailable): the
+                # unconditional pruned join-back on the batch's ids
+                redelivered = (
+                    _filter_buckets(vecs_committed_view, id_touched)
+                    .join(batch_df.select("vec_id").distinct(), "vec_id")
+                    .select("vec_id", "embedding")
+                )
+                post_src = (
+                    redelivered
+                    if post_src is None
+                    else post_src.unionByName(redelivered)
+                )
             if seq_cells is not None and post_src is not None:
                 postings = cell_rows(post_src, keep_emb=True)
+                # pass the delta's precomputed cell-bucket set ONLY when
+                # the posting source is survivors alone (⊆ dcells, so
+                # coverage is provable; re-delivered committed rows can
+                # carry cells from a DIFFERENT embedding of the same id,
+                # and the insert-only anti-join's seen-scan must cover
+                # every incoming bucket or a duplicate key slips in)
+                cells_merge_touched = (
+                    set(cells_touched)
+                    if postings_from_survivors_only
+                    and cells_touched is not None
+                    else None
+                )
                 jobs.append((
                     "cells",
                     lambda: _merge_batch(
@@ -2136,6 +2194,7 @@ def incremental_embedding_dedup_sink(
                         n_buckets=cells_buckets, bucket_cols=cell_buckets,
                         seq=seq_cells, committed=committed_cells,
                         lease=lease, insert_only=True, defer_commit=True,
+                        touched=cells_merge_touched,
                     ),
                 ))
             commits, errors = _parallel_writes(jobs)
