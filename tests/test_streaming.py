@@ -2028,6 +2028,82 @@ def test_incremental_neardup_sink_composed_with_decontamination(spark, tmp_path)
     ) == got_ids  # contaminated doc 13 indexed NOTHING
 
 
+def test_merge_batch_precomputed_touched_superset(spark, tmp_path):
+    """r11: a caller-passed ``touched`` set (the gate sinks reuse their
+    one-per-batch bucket probe) must produce byte-equal snapshot state
+    as the merge's own derivation, for any SUPERSET of the delta's
+    buckets — touched only widens the compaction check (insert-only) or
+    the read-back set (upsert), never which rows survive.  Compaction
+    still fires when the superset names a bucket past the threshold."""
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        _merge_batch,
+        read_snapshot,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "k int, seq int, val string")
+
+    def rows_of(snap):
+        return {
+            (r["k"], r["seq"], r["val"])
+            for r in read_snapshot(spark, snap).collect()
+        }
+
+    base_rows = [(i, 0, f"b{i}") for i in range(20)]
+    delta_rows = [(20, 1, "new"), (3, 1, "dup")]
+    for mode in ("insert", "upsert"):
+        snaps = {}
+        for variant, touched in (("own", None), ("superset", set(range(8)))):
+            snap = str(tmp_path / f"{mode}_{variant}")
+            _merge_batch(
+                spark, batch(base_rows), snap,
+                key_cols=["k"], order_col="seq", n_buckets=8,
+                bucket_cols=None, seq=0, committed=None,
+                insert_only=(mode == "insert"),
+            )
+            _merge_batch(
+                spark, batch(delta_rows), snap,
+                key_cols=["k"], order_col="seq", n_buckets=8,
+                bucket_cols=None, seq=1, committed="v0",
+                insert_only=(mode == "insert"), touched=touched,
+            )
+            snaps[variant] = rows_of(snap)
+        assert snaps["own"] == snaps["superset"], mode
+        want_dup = (3, 0, "b3") if mode == "insert" else (3, 1, "dup")
+        assert want_dup in snaps["own"]
+        assert (20, 1, "new") in snaps["own"]
+
+    # compaction still triggers off a superset: threshold 1 with two
+    # files in bucket 0 forces the rewrite even though the delta's own
+    # bucket set is passed as the full superset
+    snap = str(tmp_path / "compact")
+    _merge_batch(
+        spark, batch([(0, 0, "a"), (8, 0, "b")]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=0, committed=None, insert_only=True,
+    )
+    _merge_batch(
+        spark, batch([(16, 1, "c")]), snap,
+        key_cols=["k"], order_col="seq", n_buckets=1, bucket_cols=None,
+        seq=1, committed="v0", insert_only=True,
+        max_files_per_bucket=1, touched={0},
+    )
+    v1 = os.path.join(snap, "v1", "_bucket=0")
+    v0 = os.path.join(snap, "v0", "_bucket=0")
+    v0_inos = {
+        os.stat(os.path.join(v0, f)).st_ino
+        for f in os.listdir(v0) if f.endswith(".parquet")
+    }
+    v1_inos = {
+        os.stat(os.path.join(v1, f)).st_ino
+        for f in os.listdir(v1) if f.endswith(".parquet")
+    }
+    assert v1_inos.isdisjoint(v0_inos), "compaction must rewrite"
+    assert rows_of(snap) == {(0, 0, "a"), (8, 0, "b"), (16, 1, "c")}
+
+
 def test_anti_join_small_left_fallback_matches_plain(spark):
     """_anti_join_small_left's two plan shapes agree: the broadcast form
     (micro-batch deltas) and the shuffled fallback past max_keys (a
