@@ -2028,6 +2028,73 @@ def test_incremental_neardup_sink_composed_with_decontamination(spark, tmp_path)
     ) == got_ids  # contaminated doc 13 indexed NOTHING
 
 
+def test_fused_commit_index_leg_failure_heals_on_replay(spark, tmp_path):
+    """r11 fused-commit failure contract: when the INDEX leg's write
+    phase fails, the corpus leg (listed first) still commits — the
+    index lags by one batch, exactly like a crash between the old
+    sequential merges — the sink call raises, and a checkpointed
+    replay rebuilds the batch's postings from the committed docs (the
+    heal path).  The index must never lead the corpus."""
+    import glob
+    import os
+    import shutil
+
+    import arrow_experiments_spark.streaming.egress as eg
+    from arrow_experiments_spark.streaming.egress import read_snapshot
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    texts = [
+        r["text"]
+        for r in eg._gated_firsts(docs).orderBy("doc_id").limit(2).collect()
+    ]
+    b1 = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    wdir = str(tmp_path / "w0")
+    b1.coalesce(1).write.parquet(wdir)
+    shutil.copy(
+        glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+        os.path.join(staged, "000.parquet"),
+    )
+    base = str(tmp_path / "neardup")
+    ckpt = str(tmp_path / "ckpt")
+
+    orig = eg._merge_batch
+
+    def failing_merge(spark_, df, sdir, **kw):
+        if os.path.basename(sdir) == "bands":
+            raise RuntimeError("injected bands write failure")
+        return orig(spark_, df, sdir, **kw)
+
+    eg._merge_batch = failing_merge
+    try:
+        with pytest.raises(Exception, match="injected bands write failure"):
+            eg.incremental_neardup_sink(
+                spark.readStream.schema(b1.schema).parquet(staged),
+                base,
+                checkpoint_dir=ckpt,
+                n_buckets=8,
+            )
+    finally:
+        eg._merge_batch = orig
+    # corpus committed, index did not — never index-ahead-of-corpus
+    assert read_snapshot(spark, os.path.join(base, "docs")).count() == 2
+    assert eg._committed_version(os.path.join(base, "bands")) is None
+
+    # replay (the failed batch was never checkpoint-committed): docs
+    # skip as already committed, the heal path re-derives the postings
+    eg.incremental_neardup_sink(
+        spark.readStream.schema(b1.schema).parquet(staged),
+        base,
+        checkpoint_dir=ckpt,
+        n_buckets=8,
+    )
+    assert read_snapshot(spark, os.path.join(base, "docs")).count() == 2
+    assert read_snapshot(spark, os.path.join(base, "bands")).count() == 8
+
+
 def test_merge_batch_precomputed_touched_superset(spark, tmp_path):
     """r11: a caller-passed ``touched`` set (the gate sinks reuse their
     one-per-batch bucket probe) must produce byte-equal snapshot state
