@@ -1029,17 +1029,22 @@ def ensure_ivf_index(
     by every later probe, the reference's pre-materialize-once
     discipline.  Returns ``(base_dir, k)``.
 
-    Freshness has two owners (ADVICE r10):
+    Freshness has two owners, recorded EXPLICITLY in the manifest's
+    ``maintained_by`` field (r11 ADVICE — ownership used to be inferred
+    from manifest absence, which failed to protect a sink that took
+    over a builder-built index):
 
-    * builder-built indexes carry ``_INDEX_MANIFEST.json`` (the corpus
-      fingerprint) — stale when the SOURCE files or geometry changed;
-    * SINK-maintained indexes carry no manifest (a sink ingests
-      streams, not corpus files — there is no source to fingerprint).
-      A committed version whose recorded ``_GEOMETRY.json`` matches
-      this probe's k IS the live index: treated as fresh, never rebuilt
-      out from under the sink (a rebuild from ``sf_dir`` would silently
-      discard every sink-ingested posting not present in the corpus
-      files).
+    * ``maintained_by: "builder"`` — the manifest carries the corpus
+      fingerprint; stale when the SOURCE files or geometry changed,
+      rebuilt here under the writer lease.
+    * ``maintained_by: "sink"`` (stamped by
+      ``incremental_ivf_index_sink`` at attach) or no manifest at all
+      (legacy pre-marker sinks) — a sink ingests streams, not corpus
+      files, so there is no source to fingerprint.  A committed
+      version whose recorded ``_GEOMETRY.json`` matches this probe's k
+      IS the live index: treated as fresh, never rebuilt out from
+      under the sink (a rebuild from ``sf_dir`` would silently discard
+      every sink-ingested posting not present in the corpus files).
 
     Rebuilds are NON-DESTRUCTIVE (r10 verdict #1): the new postings
     write into the NEXT snapshot version and the LATEST pointer swaps —
@@ -1086,17 +1091,29 @@ def ensure_ivf_index(
             return False
         try:
             with open(manifest_path) as f:
-                return fp is not None and json.load(f).get("fingerprint") == fp
+                man = json.load(f)
         except FileNotFoundError:
-            # no manifest: sink-owned (see docstring) — fresh iff the
-            # recorded codebook matches the k this probe derived
+            man = None
+        except (OSError, ValueError):
+            return False
+        # Ownership is EXPLICIT (r11 ADVICE): a sink attach stamps
+        # ``maintained_by: "sink"`` into the manifest, so an index a
+        # sink is delta-maintaining — even one a builder created first —
+        # is never rebuilt from the corpus files out from under it (a
+        # rebuild would silently discard every sink-ingested posting
+        # not present in sf_dir).  The legacy no-manifest state reads
+        # as sink-owned too (pre-marker sinks wrote nothing here).
+        if man is None or man.get("maintained_by") == "sink":
+            # sink-owned: fresh iff the recorded codebook matches the
+            # k this probe derived — source fingerprints are
+            # meaningless once the sink has merged postings the
+            # corpus files don't contain
             try:
                 with open(geometry_path) as f:
                     return json.load(f).get("ivf_k") == k
             except (OSError, ValueError):
                 return False
-        except (OSError, ValueError):
-            return False
+        return fp is not None and man.get("fingerprint") == fp
 
     if fresh():
         return base, k
@@ -1148,7 +1165,14 @@ def ensure_ivf_index(
             if fp is not None:
                 tmp = manifest_path + ".tmp"
                 with open(tmp, "w") as f:
-                    json.dump({"fingerprint": fp, "k": k}, f)
+                    json.dump(
+                        {
+                            "fingerprint": fp,
+                            "k": k,
+                            "maintained_by": "builder",
+                        },
+                        f,
+                    )
                 os.replace(tmp, manifest_path)
         return base, k
     finally:

@@ -918,18 +918,26 @@ class WriterLease:
     Mechanics (single-host / POSIX-rename semantics; the object-store
     seat of the same contract is a conditional-PUT on the lease object):
 
-    * acquire: ``O_CREAT|O_EXCL`` on ``{dir}/_LEASE.json`` — exactly one
-      creator wins.  An existing lease blocks acquisition with
+    * acquire: the WHOLE read-judge-write runs under the mutation lock
+      on ``{dir}/_LEASE.json`` (r11 ADVICE — the old fresh-create path
+      used ``O_CREAT|O_EXCL`` outside the lock, so a takeover already
+      inside the lock whose re-read saw the file missing after a
+      release could ``os.replace`` over a lease another process had
+      just created, leaving two "valid" holders until the commit fence
+      caught one).  A live lease blocks acquisition with
       :class:`WriterLeaseHeld` unless its heartbeat is older than
-      ``ttl_sec`` (a crashed writer never unlinks); stale takeover
-      atomically replaces the file and re-reads it to confirm the race
-      winner.
-    * fencing: every acquisition increments a monotonic ``token``
-      (carried in the lease file itself).  :meth:`check` re-reads the
-      file and raises :class:`WriterFenced` when the nonce no longer
-      matches — and :func:`_merge_batch` runs that check immediately
-      before the LATEST pointer swap, so a fenced-off writer cannot
-      commit a version that interleaves with the new owner's.
+      ``ttl_sec`` (a crashed writer never releases); a released or
+      stale lease is taken over in place.
+    * fencing: every acquisition derives its ``token`` as the prior
+      on-disk token + 1 — :meth:`release` leaves a TOMBSTONE
+      (``{"released": true, "token": n}``) rather than deleting the
+      file, so tokens stay monotonic across release/reacquire cycles
+      and a fenced writer can never out-token a successor by racing a
+      reacquire.  :meth:`check` re-reads the file and raises
+      :class:`WriterFenced` when the nonce no longer matches — and
+      :func:`_merge_batch` runs that check immediately before the
+      LATEST pointer swap, so a fenced-off writer cannot commit a
+      version that interleaves with the new owner's.
     * heartbeat: each micro-batch refreshes the file (verify-then-
       replace).  A writer stalled past the TTL can lose the lease
       mid-batch; its next commit then fails the fence check instead of
@@ -986,7 +994,6 @@ class WriterLease:
 
     @classmethod
     def acquire(cls, base_dir: str, ttl_sec: float = 60.0) -> "WriterLease":
-        import errno
         import json
         import os
         import time
@@ -995,56 +1002,43 @@ class WriterLease:
         os.makedirs(base_dir, exist_ok=True)
         path = os.path.join(base_dir, "_LEASE.json")
         nonce = uuid.uuid4().hex
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except OSError as e:
-            if e.errno != errno.EEXIST:
-                raise
-            # lease exists — live writer, or a crashed one past its TTL
+        # The ENTIRE read-judge-write runs under the mutation lock
+        # (r11 ADVICE): the old fresh-create O_CREAT|O_EXCL path ran
+        # outside it, so a takeover already inside the lock — whose
+        # re-read saw the file missing after a release — could
+        # os.replace over a lease another process had just created,
+        # leaving two writers each holding a "valid" lease until the
+        # commit fence caught one.  With create, takeover, heartbeat
+        # and release all serialized on one flock, whoever locks first
+        # wins and the loser SEES the winner's write: a live lease
+        # raises, a released tombstone or stale heartbeat is taken
+        # over in place.  The token is derived from the prior on-disk
+        # token (tombstones preserve it — see release) so fencing
+        # tokens are monotonic across release/reacquire cycles.
+        with cls._mutate_lock(path):
             try:
                 with open(path) as f:
                     cur = json.load(f)
             except (OSError, ValueError):
                 cur = {}
-            age = time.time() - float(cur.get("heartbeat", 0))
-            if age <= ttl_sec:
-                raise WriterLeaseHeld(
-                    f"snapshot writer lease on {base_dir} is held by "
-                    f"pid {cur.get('pid')}@{cur.get('host')} "
-                    f"(heartbeat {age:.1f}s ago, ttl {ttl_sec}s): one "
-                    "writer at a time per snapshot — a second writer's "
-                    "interleaved commits could strand a LATEST pointer "
-                    "on a version mixing both writers' buckets"
-                ) from None
-            # stale takeover with a HIGHER fencing token, under the
-            # mutation lock so a concurrent heartbeat refresh cannot
-            # interleave between our staleness check and the replace;
-            # re-read inside the lock to confirm the lease is STILL the
-            # stale one we judged (a fresh heartbeat or a rival takeover
-            # landing first loses us the race)
-            token = int(cur.get("token", 0)) + 1
-            with cls._mutate_lock(path):
-                try:
-                    with open(path) as f:
-                        now = json.load(f)
-                except (OSError, ValueError):
-                    now = {}
-                if now != cur and (
-                    time.time() - float(now.get("heartbeat", 0)) <= ttl_sec
-                    or int(now.get("token", 0)) >= token
-                ):
+            if cur and not cur.get("released"):
+                age = time.time() - float(cur.get("heartbeat", 0))
+                if age <= ttl_sec:
                     raise WriterLeaseHeld(
-                        f"lost the stale-lease takeover race on {base_dir} "
-                        f"to pid {now.get('pid')}@{now.get('host')}"
+                        f"snapshot writer lease on {base_dir} is held by "
+                        f"pid {cur.get('pid')}@{cur.get('host')} "
+                        f"(heartbeat {age:.1f}s ago, ttl {ttl_sec}s): one "
+                        "writer at a time per snapshot — a second "
+                        "writer's interleaved commits could strand a "
+                        "LATEST pointer on a version mixing both "
+                        "writers' buckets"
                     ) from None
-                tmp = path + f".tmp.{nonce}"
-                with open(tmp, "w") as f:
-                    json.dump(cls._payload(nonce, token), f)
-                os.replace(tmp, path)
-            return cls(path, nonce, token)
-        with os.fdopen(fd, "w") as f:
-            json.dump(cls._payload(nonce, 1), f)
-        return cls(path, nonce, 1)
+            token = int(cur.get("token", 0)) + 1
+            tmp = path + f".tmp.{nonce}"
+            with open(tmp, "w") as f:
+                json.dump(cls._payload(nonce, token), f)
+            os.replace(tmp, path)
+        return cls(path, nonce, token)
 
     def _current(self) -> dict:
         import json
@@ -1085,17 +1079,24 @@ class WriterLease:
             os.replace(tmp, self.path)
 
     def release(self) -> None:
-        import contextlib
+        import json
         import os
 
-        # same read-check-remove race as heartbeat: without the lock a
-        # takeover landing between the nonce check and the unlink would
-        # have THIS writer delete the successor's lease
+        # same read-check-replace race as heartbeat: without the lock a
+        # takeover landing between the nonce check and the write would
+        # have THIS writer clobber the successor's lease.  Release
+        # leaves a TOMBSTONE, not a deleted file: the token survives,
+        # so the next acquire continues the monotonic fencing sequence
+        # instead of restarting at 1 (a restart would let a long-fenced
+        # writer whose token happens to equal the restarted counter
+        # pass check() it should fail).
         with self._mutate_lock(self.path):
             cur = self._current()
             if cur.get("nonce") == self.nonce:
-                with contextlib.suppress(OSError):
-                    os.remove(self.path)
+                tmp = self.path + f".tmp.{self.nonce}"
+                with open(tmp, "w") as f:
+                    json.dump({"released": True, "token": self.token}, f)
+                os.replace(tmp, self.path)
 
 
 def _check_geometry(base_dir: str, record: dict, subdirs: list[str]) -> None:
@@ -2278,6 +2279,21 @@ def incremental_ivf_index_sink(
     lease = WriterLease.acquire(base_dir, ttl_sec=lease_ttl_sec)
     try:
         _check_geometry(base_dir, {"ivf_k": k}, ["cells"])
+        # Stamp EXPLICIT ownership at attach (r11 ADVICE): once a sink
+        # maintains this index, ``ensure_ivf_index`` must never rebuild
+        # it from corpus files — even if a BUILDER created it first and
+        # left a source fingerprint behind.  The marker replaces the
+        # fingerprint wholesale: source freshness is meaningless once
+        # sink-ingested postings the corpus files don't contain exist
+        # (and a sink that attaches intends to create them).  Written
+        # under the lease, atomic-replace like every pointer here.
+        import json as _json
+
+        manifest_path = os.path.join(base_dir, "_INDEX_MANIFEST.json")
+        tmp = manifest_path + ".tmp.sink"
+        with open(tmp, "w") as f:
+            _json.dump({"maintained_by": "sink", "k": k}, f)
+        os.replace(tmp, manifest_path)
     except Exception:
         lease.release()
         raise

@@ -220,8 +220,10 @@ class WindowQualifier:
     """Self-qualifying measurement window (r10 verdict #3): the bench
     brackets every measurement block with sentinel probes (the fixed
     pure-serve ``s2_serve_1m_identity`` workload — CPU + localhost
-    socket, no Spark jobs, no disk) and judges each block CLEAN iff both
-    bracketing probes sit within ``band`` × the best probe of the run.
+    socket, no Spark jobs, no disk) and judges each block CLEAN when
+    EITHER bracketing probe sits within ``band`` × the run floor —
+    contended only when BOTH probes are elevated (the calibration
+    paragraph below explains why).
     A key whose every sample landed in contended blocks is RE-RUN inside
     the same invocation between fresh probes; only if the retries also
     land contended does a flagged number get committed — and then it
@@ -369,21 +371,32 @@ def _bench_replay_100m(
         quality = "clean"
         if qual is not None or qualify is not None:
 
-            def ok_now() -> bool:
-                ok = qual.window_ok() if qual is not None else True
-                if qualify is not None:
-                    ok = ok and qualify(min(attempts))
-                return ok
+            def ok_now() -> tuple[bool, bool]:
+                sentinel_ok = qual.window_ok() if qual is not None else True
+                band_ok = (
+                    qualify(min(attempts)) if qualify is not None else True
+                )
+                return sentinel_ok, band_ok
 
             retries = 0
-            good = ok_now()
-            while not good and retries < 3:
+            sentinel_ok, band_ok = ok_now()
+            while not (sentinel_ok and band_ok) and retries < 3:
                 _time.sleep(3)  # windows are minutes; still worth a nudge
                 attempts.append(one_fetch())
                 retries += 1
-                good = ok_now()
+                sentinel_ok, band_ok = ok_now()
             if retries:
-                quality = "rerun_clean" if good else "contended"
+                if sentinel_ok and band_ok:
+                    quality = "rerun_clean"
+                elif sentinel_ok:
+                    # below the loopback band WITH clean sentinel
+                    # brackets: a real throughput regression, not a
+                    # co-tenant phase — tagged distinctly so
+                    # cross-round comparisons don't discount it as
+                    # noise (r11 ADVICE)
+                    quality = "below_band"
+                else:
+                    quality = "contended"
         return {
             "s1_replay_100m": min(attempts),
             "s1_replay_100m_attempts": attempts,
@@ -803,6 +816,16 @@ def main() -> None:
             for p in range(len(passes))
             if qual.clean(*brackets[p][name])
         ] + [v for v, ok in extra if ok]
+        if quality.get(name) == "rerun_clean":
+            # the commit loop already replaced this key's contended
+            # pass samples with a freshly-bracketed clean re-run; that
+            # value is a clean sample too.  Without it, two contended
+            # watch samples would fall through to the else branch and
+            # overwrite the clean number with a contended median
+            # (r11 ADVICE)
+            clean_samples.append(timings[name])
+            samples.append(timings[name])
+            floor_watch[name] = [round(s, 3) for s in samples]
         if clean_samples:
             timings[name] = commit_stat(clean_samples)
             # the extra bracketed samples refine, not degrade, the tag
@@ -899,7 +922,10 @@ def main() -> None:
         # were all contended and a freshly-bracketed re-run replaced
         # them; "contended" = retries exhausted inside a contended
         # phase — the number is the best available and FLAGGED, so a
-        # cross-round comparison knows to discount it.
+        # cross-round comparison knows to discount it; "below_band"
+        # (replay only, r11 ADVICE) = throughput under 70% of the
+        # same-run loopback ceiling WITH clean sentinel brackets — a
+        # real regression, flagged so it is NOT discounted as noise.
         "window": {
             "band": WindowQualifier.BAND,
             "slack_sec": WindowQualifier.SLACK_SEC,
@@ -914,7 +940,9 @@ def main() -> None:
             ),
             "quality": quality,
             "flagged": sorted(
-                k for k, q in quality.items() if q == "contended"
+                k
+                for k, q in quality.items()
+                if q in ("contended", "below_band")
             ),
         },
         "sentinel": {

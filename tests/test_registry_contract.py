@@ -46,3 +46,23 @@ def test_oracle_entries_cover_queries():
         if q.oracle is not None:
             sql = q.oracle_sql(None, SF_DIR)
             assert sql and sql.strip(), f"{name}: empty oracle SQL"
+
+
+def test_lrv_rotation_is_a_total_order():
+    """r11 verdict #4: the least-recently-verified ordering the driver
+    samples from must be EXACTLY predictable — sorted by (last driver-
+    checked round, name), no ties left to dict/iteration order.  With
+    the committed CORRECTNESS_r*.json ledger this makes the next
+    round's 50-query sample reproducible name-for-name (the r11 sample
+    was re-simulated here and matched the prediction exactly)."""
+    from arrow_experiments_spark.registry import (
+        _verification_ledger,
+        all_queries,
+    )
+
+    ledger = _verification_ledger()
+    names = list(all_queries())
+    keys = [(ledger.get(n, 0), n) for n in names]
+    assert keys == sorted(keys), "registry order must be (round, name)"
+    # a second load must produce the identical order (determinism)
+    assert list(all_queries()) == names

@@ -1605,6 +1605,45 @@ def test_fenced_writer_cannot_commit_after_takeover(spark, tmp_path):
     successor.release()
 
 
+def test_lease_tokens_monotonic_across_release_reacquire(tmp_path):
+    """r11 ADVICE: release leaves a token-preserving tombstone instead
+    of deleting the lease, so fencing tokens never restart at 1 — a
+    long-fenced writer can never pass check() against a successor whose
+    counter happened to restart at the fenced writer's token.  Also
+    pins that the tombstone reads as free (a new acquire succeeds
+    immediately) while a LIVE lease still blocks."""
+    import json
+
+    import pytest as _pytest
+
+    from arrow_experiments_spark.streaming.egress import (
+        WriterFenced,
+        WriterLease,
+        WriterLeaseHeld,
+    )
+
+    base = str(tmp_path / "snap")
+    a = WriterLease.acquire(base)
+    assert a.token == 1
+    with _pytest.raises(WriterLeaseHeld):
+        WriterLease.acquire(base)  # live lease blocks
+    a.release()
+    with open(a.path) as f:
+        tomb = json.load(f)
+    assert tomb == {"released": True, "token": 1}
+
+    b = WriterLease.acquire(base)  # tombstone reads as free
+    assert b.token == 2, "token must continue, not restart at 1"
+    # the released writer is fenced even though its token value was
+    # never "taken over" — the tombstone dropped its nonce
+    with _pytest.raises(WriterFenced):
+        a.check()
+    b.release()
+    c = WriterLease.acquire(base)
+    assert c.token == 3
+    c.release()
+
+
 def test_multi_table_sinks_hold_one_lease_over_base_dir(spark, tmp_path):
     """The near-dup sinks' hazard is INTERLEAVED docs/bands (vecs/cells)
     commits — so the lease covers base_dir, and a second sink attach on
@@ -1950,8 +1989,28 @@ def test_ensure_ivf_index_rebuild_nondestructive(spark, tmp_path):
         assert os.path.isdir(vdir_before)
         assert spark.read.parquet(os.path.join(cells_dir, v_after)).count() == n
 
-        # sink-owned freshness: no manifest + matching geometry = fresh
-        os.remove(os.path.join(base, "_INDEX_MANIFEST.json"))
+        # the builder records EXPLICIT ownership (r11 ADVICE)
+        manifest_path = os.path.join(base, "_INDEX_MANIFEST.json")
+        with open(manifest_path) as f:
+            assert json.load(f)["maintained_by"] == "builder"
+
+        # explicit sink marker beats a STALE fingerprint (r11 ADVICE:
+        # the hazard is a sink delta-maintaining a builder-built index
+        # — manifest present, fingerprint stale — being rebuilt from
+        # corpus files and losing every sink-ingested posting)
+        with open(manifest_path, "w") as f:
+            json.dump({"maintained_by": "sink", "k": k}, f)
+        os.utime(os.path.join(corpus, "embeddings.parquet"))  # stale fp
+        base_s, _ = ensure_ivf_index(spark, corpus)
+        assert base_s == base
+        assert _committed_version(cells_dir) == v_after, (
+            "a sink-owned index (explicit marker) must not be rebuilt "
+            "even when the builder fingerprint is stale"
+        )
+
+        # legacy sink-owned freshness: no manifest + matching geometry
+        # = fresh (pre-marker sinks wrote no manifest at all)
+        os.remove(manifest_path)
         with open(os.path.join(base, "_GEOMETRY.json")) as f:
             assert json.load(f)["ivf_k"] == k
         base3, _ = ensure_ivf_index(spark, corpus)
