@@ -74,6 +74,7 @@ def upsert_snapshot_sink(
     bucket_cols: list[str] | None = None,
     insert_only: bool = False,
     lease_ttl_sec: float = 60.0,
+    retain_versions: int | None = None,
 ):
     """foreachBatch incremental UPSERT into a keyed parquet snapshot —
     the streaming twin of the batch ``pipeline_snapshot_upsert``
@@ -88,9 +89,12 @@ def upsert_snapshot_sink(
     ``LATEST`` pointer file is swapped via atomic rename afterwards —
     readers following the pointer never observe a partial write, and a
     crashed batch leaves the previous version intact.  Superseded
-    versions older than the previous one are pruned after each commit
-    (the previous version stays for in-flight readers).  Returns the
-    finished query; read the result with :func:`read_snapshot`.
+    versions are pruned down to the ``retain_versions`` window after
+    each commit (default 2: the previous version stays for in-flight
+    readers; raise it — argument, conf, or the committed layout record,
+    see :func:`_retain_versions` — to buy long scans a budget of K−1
+    commit cycles).  Returns the finished query; read the result with
+    :func:`read_snapshot`.
 
     The version write is O(delta), not O(snapshot) (r8 verdict #4): the
     snapshot is hash-bucketed on the key (``_bucket =
@@ -195,6 +199,7 @@ def upsert_snapshot_sink(
             committed=committed,
             lease=lease,
             insert_only=insert_only,
+            retain_versions=retain_versions,
         )
 
     try:
@@ -589,6 +594,45 @@ def _prune_buckets(frame, probe_df, probe_bucket_expr):
     return _filter_buckets(frame, _touched_list(probe_df, probe_bucket_expr))
 
 
+_RETAIN_VERSIONS_CONF = "spark.arrowExperimentsSpark.snapshot.retainVersions"
+
+
+def _retain_versions(
+    spark, snapshot_dir: str, committed: str | None, explicit: int | None
+) -> int:
+    """Resolve the snapshot's retention window (keep-K committed
+    versions; r11 verdict #3).  Precedence: explicit sink argument >
+    session conf (``spark.arrowExperimentsSpark.snapshot.retainVersions``)
+    > the committed version's recorded ``_LAYOUT.json`` value (so a
+    re-attach with no conf preserves the window the snapshot was
+    running under — the adopt-committed-layout rule the bucket counts
+    follow) > the default of 2 (current behavior: previous version kept
+    for in-flight readers, everything older pruned).  Floor of 2 —
+    K=1 would delete the version a reader resolved just before the
+    pointer swap, the exact race the two-version rule exists for."""
+    k = explicit
+    if k is None:
+        try:
+            raw = spark.conf.get(_RETAIN_VERSIONS_CONF, None)
+        except Exception:
+            raw = None
+        if raw is not None:
+            try:
+                k = int(raw)
+            except ValueError:
+                raise ValueError(
+                    f"{_RETAIN_VERSIONS_CONF} must be an integer version "
+                    f"count, got {raw!r}"
+                ) from None
+    if k is None and committed is not None:
+        import os
+
+        rec = _layout_record(os.path.join(snapshot_dir, committed))
+        if rec.get("retain_versions") is not None:
+            k = int(rec["retain_versions"])
+    return max(2, k if k is not None else 2)
+
+
 def _merge_batch(
     spark,
     batch_df: DataFrame,
@@ -606,6 +650,7 @@ def _merge_batch(
     defer_commit: bool = False,
     assume_novel: bool = False,
     touched: "set | None" = None,
+    retain_versions: int | None = None,
 ):
     """One keyed merge of ``batch_df`` into the bucketed versioned
     snapshot: write ``v{seq}``, hard-link unchanged files from
@@ -658,18 +703,28 @@ def _merge_batch(
     no matter what commits meanwhile — including a compacting commit:
     compaction writes the merged bucket into NEW files under N+1's
     directory and hard-links the rest; it never mutates or unlinks a
-    file of N.  The RETENTION RULE is two versions: the post-commit
-    prune deletes everything older than the previous version, so a
-    reader holding N survives the commit of N+1 but is out of contract
-    once N+2 commits — long scans must finish within one commit cycle
-    or re-resolve the pointer (``snapshot_reader_factory`` resolves per
-    request for exactly this reason).  Object-store seat (no inode
+    file of N.  The RETENTION RULE is keep-K committed versions
+    (``retain_versions`` argument, else the
+    ``spark.arrowExperimentsSpark.snapshot.retainVersions`` conf, else
+    the committed ``_LAYOUT.json``'s recorded value, else 2 — see
+    :func:`_retain_versions`): the post-commit prune keeps the newest K
+    version directories, so a reader holding N stays in contract until
+    N+K commits — a scan budget of K−1 full commit cycles.  At 100 TB
+    this is the knob that reconciles hours-long full-corpus scans with
+    gate sinks committing every few minutes (r11 verdict #3): size K to
+    ceil(longest scan / commit cadence) + 1.  The default K=2 preserves
+    the original two-version behavior; the resolved K is recorded in
+    each version's ``_LAYOUT.json`` so a re-attach without the conf
+    keeps the window the snapshot was running under.  Long scans that
+    outlive even K versions must re-resolve the pointer
+    (``snapshot_reader_factory`` resolves per request for exactly this
+    reason).  Object-store seat (no inode
     semantics at 100 TB): objects are immutable by construction, so
     "hard link" becomes a manifest entry naming the same object key,
     compaction writes new objects + a new manifest, and the prune
     deletes objects referenced only by pruned manifests — the same
-    two-version retention, with the manifest playing the role the
-    directory tree plays here.  Nothing about the reader contract
+    keep-K retention, with the manifest playing the role the
+    directory tree plays here (retain manifests, GC by reference).  Nothing about the reader contract
     depends on POSIX link counts; they are only the local-FS
     implementation of shared immutable extents."""
     import json
@@ -847,9 +902,18 @@ def _merge_batch(
                 except OSError:  # cross-device / FS without links
                     shutil.copy2(sp, os.path.join(ddir, fn))
     # record the bucket geometry the version was written under — the
-    # next merge prunes only when count AND columns both match
+    # next merge prunes only when count AND columns both match — plus
+    # the resolved retention window (adopted by conf-free re-attaches)
+    retain = _retain_versions(spark, snapshot_dir, committed, retain_versions)
     with open(os.path.join(vdir, "_LAYOUT.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets, "bucket_cols": bcols}, f)
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "bucket_cols": bcols,
+                "retain_versions": retain,
+            },
+            f,
+        )
     # one Python walk now saves every reader a directory walk later
     _write_manifest(vdir)
 
@@ -860,13 +924,21 @@ def _merge_batch(
         with open(tmp, "w") as f:
             f.write(version)
         os.replace(tmp, pointer)  # atomic swap — the "commit"
-        # prune versions older than the PREVIOUS one (kept for readers
-        # that resolved the pointer just before the swap); hard-linked
-        # bucket files survive until their last referencing version goes
-        prev = _prev_version(snapshot_dir, seq)
-        keep = {version} | ({f"v{prev}"} if prev is not None else set())
+        # prune to the newest ``retain`` versions (K=2 default: this
+        # version + the previous one, kept for readers that resolved
+        # the pointer just before the swap); hard-linked bucket files
+        # survive until their last referencing version goes
+        ids = sorted(
+            (
+                int(d[1:])
+                for d in os.listdir(snapshot_dir)
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= seq
+            ),
+            reverse=True,
+        )
+        keep = {f"v{i}" for i in ids[:retain]} | {version}
         for d in os.listdir(snapshot_dir):
-            if d.startswith("v") and d not in keep:
+            if d.startswith("v") and d[1:].isdigit() and d not in keep:
                 shutil.rmtree(os.path.join(snapshot_dir, d), ignore_errors=True)
         return version
 
@@ -2373,18 +2445,6 @@ def _layout_record(vdir: str) -> dict:
     return rec
 
 
-def _prev_version(snapshot_dir: str, batch_id: int) -> int | None:
-    """Largest committed version id strictly below ``batch_id``."""
-    import os
-
-    prior = [
-        int(d[1:])
-        for d in os.listdir(snapshot_dir)
-        if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < batch_id
-    ]
-    return max(prior) if prior else None
-
-
 def read_snapshot(spark, snapshot_dir: str) -> DataFrame | None:
     """Current snapshot per the LATEST pointer, or None before the first
     commit.  The ``_bucket`` layout column (hash-bucketed versions) is
@@ -2409,10 +2469,15 @@ def snapshot_reader_factory(snapshot_dir: str):
     """RecordBatchReader factory over a versioned snapshot — the egress
     seam that closes the funnel loop (r7 verdict #7): the LATEST pointer
     is resolved AT REQUEST TIME, so the endpoint always serves the
-    current survivors, and the versioned-dir contract (previous version
-    kept for in-flight readers, atomic pointer swap) means the resolved
-    version's files stay put for the duration of the read even if a
-    micro-batch commits mid-response.  Pure pyarrow — no Spark job per
+    current survivors, and the versioned-dir contract (the newest
+    ``retain_versions`` versions kept for in-flight readers, atomic
+    pointer swap) means the resolved version's files stay put for the
+    duration of the read even if a micro-batch commits mid-response.
+    The retention window IS this reader's scan budget: with keep-K
+    retention a response that resolved version N streams exact rows
+    until N+K commits, i.e. K−1 full commit cycles — size K from the
+    longest expected response time over the sink's commit cadence
+    (:func:`_retain_versions`).  Pure pyarrow — no Spark job per
     request.  Returns None before the first commit (the server turns
     that into a 404)."""
     import os

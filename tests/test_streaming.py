@@ -2274,3 +2274,75 @@ def test_read_version_survives_corrupt_manifest(spark, tmp_path):
     with open(manifest, "w") as f:
         f.write("{not json")
     assert read_snapshot(spark, snap).count() == 20
+
+
+def test_retention_window_keeps_k_versions_for_long_scans(spark, tmp_path):
+    """r11 verdict #3: the retention window is configurable keep-K —
+    a reader pinned to version N reads exact rows while K−1 further
+    commits land (its scan budget), the K-th commit beyond prunes it,
+    the resolved K is recorded in _LAYOUT.json and ADOPTED by conf-free
+    re-attaches, and the default stays 2 (current behavior unchanged)."""
+    import json
+    import os
+
+    from arrow_experiments_spark.streaming.egress import (
+        _RETAIN_VERSIONS_CONF,
+        _merge_batch,
+    )
+
+    def commit(snap, s, committed, **kw):
+        df = spark.createDataFrame(
+            [(s, s, f"val{s}")], "k int, seq int, val string"
+        )
+        return _merge_batch(
+            spark, df, snap,
+            key_cols=["k"], order_col="seq", n_buckets=4, bucket_cols=None,
+            seq=s, committed=committed, **kw,
+        )
+
+    def versions(snap):
+        return sorted(
+            d for d in os.listdir(snap)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    snap = str(tmp_path / "snap")
+    spark.conf.set(_RETAIN_VERSIONS_CONF, "4")
+    try:
+        v = commit(snap, 0, None)
+        v0dir = os.path.join(snap, v)
+        pinned = spark.read.parquet(v0dir)  # reader holding version N
+        assert pinned.count() == 1
+
+        # K−1 = 3 more commits: the pinned reader stays in contract
+        # (exact rows, not just no-crash) through every one of them
+        for s in range(1, 4):
+            v = commit(snap, s, v)
+            got = spark.read.parquet(v0dir).collect()
+            assert len(got) == 1 and got[0]["val"] == "val0"
+        assert versions(snap) == ["v0", "v1", "v2", "v3"]
+
+        # the commit that takes the window PAST K prunes v0
+        v = commit(snap, 4, v)
+        assert versions(snap) == ["v1", "v2", "v3", "v4"]
+        with open(os.path.join(snap, "v4", "_LAYOUT.json")) as f:
+            assert json.load(f)["retain_versions"] == 4
+    finally:
+        spark.conf.unset(_RETAIN_VERSIONS_CONF)
+
+    # conf-free re-attach ADOPTS the committed record (K=4), the
+    # adopt-committed-layout rule the bucket counts follow
+    v = commit(snap, 5, v)
+    assert versions(snap) == ["v2", "v3", "v4", "v5"]
+
+    # an explicit sink argument beats both conf and record
+    v = commit(snap, 6, v, retain_versions=2)
+    assert versions(snap) == ["v5", "v6"]
+
+    # and a fresh snapshot with nothing set keeps the original
+    # two-version behavior
+    snap2 = str(tmp_path / "snap2")
+    v2 = commit(snap2, 0, None)
+    v2 = commit(snap2, 1, v2)
+    v2 = commit(snap2, 2, v2)
+    assert versions(snap2) == ["v1", "v2"]
