@@ -39,6 +39,7 @@ from arrow_experiments_spark.session import build_session
 WORK = "/tmp/curation_full_sweep"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 DELTA_DOCS = 40
+MAX_LEGS = 4  # fresh deltas available per scale; stop at 2 clean
 
 
 def main() -> None:
@@ -47,6 +48,8 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = build_session(app_name="curation_full_sweep")
     spark.sparkContext.setLogLevel("ERROR")
+
+    import bench
 
     from arrow_experiments_spark.operators.dedup import _N_BANDS, _N_SIGS
     from arrow_experiments_spark.streaming.egress import (
@@ -58,18 +61,25 @@ def main() -> None:
     from arrow_experiments_spark.tables import table
 
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
-    delta = docs.orderBy("doc_id").limit(DELTA_DOCS).persist()
-    delta.count()
-    # a SECOND fresh delta (disjoint ids) for the min-of-two leg below
-    delta_max = delta.agg(F.max("doc_id")).collect()[0][0]
-    delta2 = (
-        docs.filter(F.col("doc_id") > delta_max)
-        .orderBy("doc_id")
-        .limit(DELTA_DOCS)
-        .persist()
-    )
-    delta2.count()
+    # MAX_LEGS genuinely fresh 40-document deltas (disjoint id slices):
+    # the window qualifier re-runs a contended leg with the NEXT fresh
+    # delta, never a replay.  Same slices at both scales so per-delta
+    # survivor counts are cross-scale comparable.
+    head = docs.orderBy("doc_id").limit(DELTA_DOCS * MAX_LEGS).collect()
+    assert len(head) == DELTA_DOCS * MAX_LEGS
+    deltas = [
+        spark.createDataFrame(
+            head[i * DELTA_DOCS:(i + 1) * DELTA_DOCS], docs.schema
+        ).persist()
+        for i in range(MAX_LEGS)
+    ]
+    for d in deltas:
+        d.count()
+    delta = deltas[0]
     sig_cols = [f"s{i}" for i in range(_N_SIGS)]
+
+    # sentinel window qualifier, ported from bench.py (r11 verdict #2)
+    qual = bench.sweep_qualifier(spark)
 
     # benchmark set: 20 real docs outside the delta, PLUS one delta
     # doc's text (the planted contamination — exactly one rejection)
@@ -124,7 +134,7 @@ def main() -> None:
     shutil.rmtree(warm, ignore_errors=True)
 
     results = {}
-    survivors_seen = set()
+    surv_by_delta: dict[str, list[int]] = {}  # scale -> survivors per leg
     for scale, rows, buckets in (("1x", 2_000_000, 64), ("10x", 20_000_000, 640)):
         # conf-free band-index geometry (r10 verdict #4): the same
         # public derivation the sink applies at attach — corpus
@@ -178,35 +188,47 @@ def main() -> None:
             flush=True,
         )
 
-        # TWO fresh-delta legs, committed number = their MIN (the
-        # bench.py window-qualification lesson: one sample per scale is
-        # one co-tenant window away from garbage)
-        t_legs = []
-        for tag, dfr in (("d1", delta), ("d2", delta2)):
-            staged = os.path.join(base, f"staged_{tag}")
-            os.makedirs(staged)
-            wdir = os.path.join(base, f"w_{tag}")
-            dfr.coalesce(1).write.mode("overwrite").parquet(wdir)
-            shutil.copy(
-                glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
-                os.path.join(staged, "000.parquet"),
-            )
-            t0 = time.perf_counter()
-            incremental_neardup_sink(
-                spark.readStream.schema(dfr.schema).parquet(staged),
-                base_dir=base,
-                timeout_sec=3600,
-                n_buckets=buckets,
-                eval_docs=eval_docs,
-            )
-            t_legs.append(round(time.perf_counter() - t0, 2))
-        t_delta = min(t_legs)
+        # window-qualified fresh-delta legs (r11 verdict #2): each leg
+        # sentinel-bracketed, contended legs re-run on the NEXT fresh
+        # delta, committed number = min of CLEAN legs
+        surv_progression: list[int] = []
+        count_before = [rows]
+
+        def make_leg(i: int, dfr):
+            def leg() -> float:
+                staged = os.path.join(base, f"staged_d{i}")
+                os.makedirs(staged)
+                wdir = os.path.join(base, f"w_d{i}")
+                dfr.coalesce(1).write.mode("overwrite").parquet(wdir)
+                shutil.copy(
+                    glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
+                    os.path.join(staged, "000.parquet"),
+                )
+                t0 = time.perf_counter()
+                incremental_neardup_sink(
+                    spark.readStream.schema(dfr.schema).parquet(staged),
+                    base_dir=base,
+                    timeout_sec=3600,
+                    n_buckets=buckets,
+                    eval_docs=eval_docs,
+                )
+                dt = time.perf_counter() - t0
+                now = read_snapshot(spark, docs_dir).count()
+                surv_progression.append(now - count_before[0])
+                count_before[0] = now
+                return dt
+
+            return leg
+
+        t_delta, window_tag, legs = bench.qualified_legs(
+            qual, [make_leg(i, d) for i, d in enumerate(deltas)]
+        )
+        surv_by_delta[scale] = surv_progression
 
         corpus = read_snapshot(spark, docs_dir)
         n_final = corpus.count()
         survivors = n_final - rows
         assert survivors > 0, survivors
-        survivors_seen.add(survivors)
         # the planted doc was rejected by decontamination
         planted_id = delta.orderBy("doc_id").limit(1).collect()[0]["doc_id"]
         assert (
@@ -216,9 +238,9 @@ def main() -> None:
         assert n_postings == 4 * rows + 4 * survivors, (n_postings, survivors)
 
         print(
-            f"{scale}: 2 deltas x {DELTA_DOCS} docs -> {survivors} "
-            f"survivors (1 decontaminated): legs {t_legs} -> "
-            f"{t_delta:.2f}s",
+            f"{scale}: {len(legs)} deltas x {DELTA_DOCS} docs -> "
+            f"{survivors} survivors (1 decontaminated): legs {legs} -> "
+            f"{t_delta:.2f}s [{window_tag}]",
             flush=True,
         )
         results[scale] = {
@@ -228,38 +250,47 @@ def main() -> None:
             "index_buckets": idx_buckets,
             "seed_sec": round(t_seed, 2),
             "delta_sec": round(t_delta, 2),
-            "delta_legs": t_legs,
+            "delta_legs": legs,
+            "window": window_tag,
             "survivors": survivors,
         }
         shutil.rmtree(base, ignore_errors=True)
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
-    assert len(survivors_seen) == 1, survivors_seen  # same funnel outcome
+    # same funnel outcome per COMMON delta at both scales (leg counts
+    # may differ when the qualifier retries a contended leg)
+    common = min(len(v) for v in surv_by_delta.values())
+    assert (
+        surv_by_delta["1x"][:common] == surv_by_delta["10x"][:common]
+    ), surv_by_delta
 
     r1, r10 = results["1x"], results["10x"]
     ratio = round(r10["delta_sec"] / max(r1["delta_sec"], 1e-9), 2)
+
+    def legfmt(r):
+        return ", ".join(
+            f"{g['sec']}s [{g['window']}]" for g in r["delta_legs"]
+        )
+
     section = f"""
-## Composed curation sink: full funnel delta wall vs corpus scale (round 11)
+## Composed curation sink: full funnel delta wall vs corpus scale (round 12, window-qualified)
 
 incremental_neardup_sink with ALL FOUR funnel stages active — quality
 gate, bucket-pruned exact seen-before anti-join, band-index near-dup
-probe, and benchmark DECONTAMINATION — re-measured after the r10
-verdict #2/#4 changes: the two append merges' write phases run
-concurrently with pointers swapping in contract order, the band leg
-derives from survivors ∪ re-delivered committed rows (pre-commit
-frames), and the band index's bucket count is DERIVED conf-free
-(derive_index_buckets — the B ≥ bands·delta rule that removes the
-pinned-64 bucket-cap artifact behind round 10's 1.30x residual).
-Same decade protocol (synthetic seeds, one planted contamination
-asserted at both scales); the committed delta leg is the MIN over two
-genuinely fresh 40-document deltas per scale (legs recorded in the
-JSON line) — single samples are one co-tenant window away from
-garbage.
+probe, and benchmark DECONTAMINATION.  Same decade protocol as rounds
+10-11 (synthetic seeds, derived geometry, one planted contamination
+asserted at both scales), but the legs are now SENTINEL-QUALIFIED
+(r11 verdict #2 — the bench.py window qualifier ported into this
+sweep): every leg is bracketed by sentinel probes, a contended leg
+re-runs on the NEXT fresh 40-document delta in-invocation, and the
+committed number is the min of CLEAN legs only.  Per-leg window tags
+are recorded below and in the JSON line — the hand-discard
+adjudication of earlier rounds is mechanical now.
 
-| corpus | band postings | index buckets | delta leg (s) | survivors |
-|---|---|---|---|---|
-| {r1['rows']:,} docs | {r1['postings']:,} | {r1['index_buckets']} | {r1['delta_sec']} | {r1['survivors']} (1 decontaminated) |
-| {r10['rows']:,} docs (10x) | {r10['postings']:,} | {r10['index_buckets']} | {r10['delta_sec']} | {r10['survivors']} (1 decontaminated) |
+| corpus | band postings | index buckets | delta leg (s) | window | legs | survivors |
+|---|---|---|---|---|---|---|
+| {r1['rows']:,} docs | {r1['postings']:,} | {r1['index_buckets']} | {r1['delta_sec']} | {r1['window']} | {legfmt(r1)} | {r1['survivors']} (1 decontaminated) |
+| {r10['rows']:,} docs (10x) | {r10['postings']:,} | {r10['index_buckets']} | {r10['delta_sec']} | {r10['window']} | {legfmt(r10)} | {r10['survivors']} (1 decontaminated) |
 
 Delta-leg ratio at 10x the corpus: {ratio}x (1.0 = flat).  The
 decontamination stage touches no corpus-sized structure (delta
@@ -270,7 +301,20 @@ adopt-committed-layout rule), not by this sweep's conf.
 """
     with open(Path(_REPO, "SCALE.md"), "a") as fh:
         fh.write(section)
-    print(json.dumps({"metric": "curation_full_sweep", **results, "delta_ratio_10x": ratio}))
+    print(
+        json.dumps(
+            {
+                "metric": "curation_full_sweep",
+                **results,
+                "delta_ratio_10x": ratio,
+                "sentinel": {
+                    "floor": round(qual.floor, 4),
+                    "limit": round(qual.limit, 4),
+                    "samples": [round(s, 3) for s in qual.samples],
+                },
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

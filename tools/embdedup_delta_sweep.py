@@ -50,6 +50,7 @@ WORK = "/tmp/embdedup_delta_sweep"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 DELTA_VECS = 40
 BANDS = 3
+MAX_LEGS = 4  # fresh deltas available per scale; stop at 2 clean
 
 
 def main() -> None:
@@ -62,6 +63,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.shuffle.partitions", "128")
 
+    import bench
+
     from arrow_experiments_spark.operators.dedup import derive_lsh_bits
     from arrow_experiments_spark.operators.similarity import lsh_bucket_col
     from arrow_experiments_spark.streaming.egress import (
@@ -73,17 +76,27 @@ def main() -> None:
     from arrow_experiments_spark.tables import table
 
     emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
-    delta = emb.orderBy("vec_id").limit(DELTA_VECS).persist()
-    delta.count()
-    # a SECOND fresh delta (disjoint ids) for the min-of-two leg below
-    delta_max = delta.agg(F.max("vec_id")).collect()[0][0]
-    delta2 = (
-        emb.filter(F.col("vec_id") > delta_max)
-        .orderBy("vec_id")
-        .limit(DELTA_VECS)
-        .persist()
-    )
-    delta2.count()
+    # MAX_LEGS genuinely fresh 40-vector deltas (disjoint id slices) —
+    # the window qualifier re-runs a contended leg with the NEXT fresh
+    # delta, never a replay (a replay is an idempotent skip, not a
+    # measurement).  The same slices serve both scales so per-delta
+    # survivor counts are cross-scale comparable.
+    head = emb.orderBy("vec_id").limit(DELTA_VECS * MAX_LEGS).collect()
+    assert len(head) == DELTA_VECS * MAX_LEGS
+    deltas = [
+        spark.createDataFrame(
+            head[i * DELTA_VECS:(i + 1) * DELTA_VECS], emb.schema
+        ).persist()
+        for i in range(MAX_LEGS)
+    ]
+    for d in deltas:
+        d.count()
+    delta = deltas[0]
+
+    # sentinel window qualifier, ported from bench.py (r11 verdict #2):
+    # each measured leg is bracketed by probes; contended legs re-run
+    # on fresh deltas in-invocation; committed stat = min of CLEAN legs
+    qual = bench.sweep_qualifier(spark)
 
     # warm-up: throwaway sink run (codegen + stream machinery)
     warm = os.path.join(WORK, "warm")
@@ -106,7 +119,7 @@ def main() -> None:
     shutil.rmtree(warm, ignore_errors=True)
 
     results = {}
-    survivors_seen = set()
+    surv_by_delta: dict[str, list[int]] = {}  # scale -> survivors per leg
     for scale, rows, buckets in (("1x", 2_000_000, 64), ("10x", 20_000_000, 640)):
         bits = derive_lsh_bits(rows, 2000)
         # conf-free index geometry (r10 verdict #4): the cell index's
@@ -193,38 +206,51 @@ def main() -> None:
         t_unpruned = time.perf_counter() - t0
         assert n_hits == 0  # disjoint by construction
 
-        # TWO fresh-delta legs, committed number = their MIN: a single
-        # sample per scale is one co-tenant window away from garbage
-        # (the bench.py window-qualification lesson applied here); each
-        # leg is a genuinely new 40-vector delta, so both exercise the
-        # full gate + fused-merge path against the committed corpus
-        t_legs = []
-        staged_files = []
-        for tag, dfr in (("d1", delta), ("d2", delta2)):
-            staged_i = os.path.join(base, f"staged_{tag}")
-            os.makedirs(staged_i)
-            wdir = os.path.join(base, f"w_{tag}")
-            dfr.coalesce(1).write.mode("overwrite").parquet(wdir)
-            src = glob.glob(os.path.join(wdir, "part-*.parquet"))[0]
-            shutil.copy(src, os.path.join(staged_i, "000.parquet"))
-            staged_files.append(src)
-            t0 = time.perf_counter()
-            incremental_embedding_dedup_sink(
-                spark.readStream.schema(dfr.schema).parquet(staged_i),
-                base_dir=base,
-                timeout_sec=3600,
-                n_buckets=buckets,
-                bands=BANDS,
-                bits=bits,
-            )
-            t_legs.append(round(time.perf_counter() - t0, 2))
-        t_delta = min(t_legs)
+        # window-qualified fresh-delta legs (r11 verdict #2): each leg
+        # is sentinel-bracketed; a contended leg re-runs on the NEXT
+        # fresh delta in-invocation; committed number = min of CLEAN
+        # legs (min-of-2-clean replaces the hand-adjudicated
+        # min-over-N of rounds 9-11).  Every leg exercises the full
+        # gate + fused-merge path against the committed corpus.
+        staged_files: list[str] = []
+        surv_progression: list[int] = []
+        count_before = [rows]
+
+        def make_leg(i: int, dfr):
+            def leg() -> float:
+                staged_i = os.path.join(base, f"staged_d{i}")
+                os.makedirs(staged_i)
+                wdir = os.path.join(base, f"w_d{i}")
+                dfr.coalesce(1).write.mode("overwrite").parquet(wdir)
+                src = glob.glob(os.path.join(wdir, "part-*.parquet"))[0]
+                shutil.copy(src, os.path.join(staged_i, "000.parquet"))
+                staged_files.append(src)
+                t0 = time.perf_counter()
+                incremental_embedding_dedup_sink(
+                    spark.readStream.schema(dfr.schema).parquet(staged_i),
+                    base_dir=base,
+                    timeout_sec=3600,
+                    n_buckets=buckets,
+                    bands=BANDS,
+                    bits=bits,
+                )
+                dt = time.perf_counter() - t0
+                now = read_snapshot(spark, vecs_dir).count()
+                surv_progression.append(now - count_before[0])
+                count_before[0] = now
+                return dt
+
+            return leg
+
+        t_delta, window_tag, legs = bench.qualified_legs(
+            qual, [make_leg(i, d) for i, d in enumerate(deltas)]
+        )
+        surv_by_delta[scale] = surv_progression
 
         vecs = read_snapshot(spark, vecs_dir)
         n_final = vecs.count()
         survivors = n_final - rows
         assert survivors > 0, survivors
-        survivors_seen.add(survivors)
         index = read_snapshot(spark, cells_dir)
         n_postings = index.count()
         assert n_postings == BANDS * rows + BANDS * survivors, n_postings
@@ -246,9 +272,10 @@ def main() -> None:
         assert read_snapshot(spark, cells_dir).count() == n_postings
 
         print(
-            f"{scale}: 2 deltas x {DELTA_VECS} vectors -> {survivors} "
-            f"survivors: legs {t_legs} -> {t_delta:.2f}s (unpruned "
-            f"full-index probe ref {t_unpruned:.2f}s)",
+            f"{scale}: {len(legs)} deltas x {DELTA_VECS} vectors -> "
+            f"{survivors} survivors: legs {legs} -> {t_delta:.2f}s "
+            f"[{window_tag}] (unpruned full-index probe ref "
+            f"{t_unpruned:.2f}s)",
             flush=True,
         )
         results[scale] = {
@@ -259,40 +286,50 @@ def main() -> None:
             "bits": bits,
             "seed_sec": round(t_seed, 2),
             "delta_sec": round(t_delta, 2),
-            "delta_legs": t_legs,
+            "delta_legs": legs,
+            "window": window_tag,
             "survivors": survivors,
             "unpruned_probe_sec": round(t_unpruned, 2),
         }
         shutil.rmtree(base, ignore_errors=True)
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
-    assert len(survivors_seen) == 1, survivors_seen  # same gate outcome
+    # same gate outcome per COMMON delta at both scales (scales may run
+    # different leg counts when the qualifier retries a contended leg)
+    common = min(len(v) for v in surv_by_delta.values())
+    assert (
+        surv_by_delta["1x"][:common] == surv_by_delta["10x"][:common]
+    ), surv_by_delta
 
     r1, r10 = results["1x"], results["10x"]
+
+    def legfmt(r):
+        return ", ".join(
+            f"{g['sec']}s [{g['window']}]" for g in r["delta_legs"]
+        )
+
     lines = [
         "",
-        "## Streaming embedding dedup gate: delta wall vs corpus scale (round 11)",
+        "## Streaming embedding dedup gate: delta wall vs corpus scale (round 12, window-qualified)",
         "",
-        "incremental_embedding_dedup_sink re-measured after the r10-verdict-#2",
-        "floor cuts: (1) the gate plan persists BEFORE the broadcast-size",
-        "probe (its eager count was re-executing the full gate once per",
-        "batch); (2) the two insert-only append merges' WRITE phases run",
-        "CONCURRENTLY (defer_commit) with the pointers swapping in contract",
-        "order, and the posting source is survivors ∪ re-delivered committed",
-        "rows (pre-commit frames only) instead of a read-back of the",
-        "just-committed snapshot; (3) the cell index's bucket count is",
-        "DERIVED conf-free (derive_index_buckets: postings/50k floored at",
-        "4·bands·delta — r10 verdict #4), so the delta's probe prunes to a",
-        "fraction of the index at BOTH scales instead of scanning the whole",
-        "1x slice.  Same protocol as rounds 9-10 (same 40-vector real",
-        "delta, disjoint seed cells, survivor set asserted identical).",
+        "Same decade protocol as rounds 9-11 (synthetic disjoint-cell",
+        "seeds, real 40-vector deltas, derived geometry) but the legs are",
+        "now SENTINEL-QUALIFIED (r11 verdict #2 — the bench.py window",
+        "qualifier ported into this sweep): every leg is bracketed by",
+        "sentinel probes, a contended leg re-runs on the NEXT fresh delta",
+        "in-invocation, and the committed number is the min of CLEAN legs",
+        "only — the min-over-N + hand-discard adjudication of earlier",
+        "rounds is mechanical now.  Per-leg window tags are recorded here",
+        "and in the JSON line.",
         "",
-        "| corpus | cell postings | index buckets | bits | delta leg (s) | unpruned index probe alone (s) |",
-        "|---|---|---|---|---|---|",
+        "| corpus | cell postings | index buckets | bits | delta leg (s) | window | legs | unpruned index probe alone (s) |",
+        "|---|---|---|---|---|---|---|---|",
         f"| {r1['rows']:,} vectors | {r1['postings']:,} | {r1['index_buckets']} "
-        f"| {r1['bits']} | {r1['delta_sec']} | {r1['unpruned_probe_sec']} |",
+        f"| {r1['bits']} | {r1['delta_sec']} | {r1['window']} | {legfmt(r1)} "
+        f"| {r1['unpruned_probe_sec']} |",
         f"| {r10['rows']:,} vectors (10×) | {r10['postings']:,} | {r10['index_buckets']} "
-        f"| {r10['bits']} | **{r10['delta_sec']}** | {r10['unpruned_probe_sec']} |",
+        f"| {r10['bits']} | **{r10['delta_sec']}** | {r10['window']} | {legfmt(r10)} "
+        f"| {r10['unpruned_probe_sec']} |",
         "",
         f"Delta-leg ratio at 10× the corpus: "
         f"{r10['delta_sec'] / max(r1['delta_sec'], 1e-9):.2f}× (1.0 = flat).",
@@ -306,7 +343,19 @@ def main() -> None:
     ]
     with open(Path(_REPO, "SCALE.md"), "a") as fh:
         fh.write("\n".join(lines))
-    print(json.dumps({"metric": "embdedup_delta_sweep", **results}))
+    print(
+        json.dumps(
+            {
+                "metric": "embdedup_delta_sweep",
+                **results,
+                "sentinel": {
+                    "floor": round(qual.floor, 4),
+                    "limit": round(qual.limit, 4),
+                    "samples": [round(s, 3) for s in qual.samples],
+                },
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ from arrow_experiments_spark.session import build_session
 WORK = "/tmp/neardup_delta_sweep"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 DELTA_DOCS = 40
+MAX_LEGS = 4  # fresh deltas available per scale; stop at 2 clean
 
 
 def main() -> None:
@@ -57,6 +58,8 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = build_session(app_name="neardup_delta_sweep")
     spark.sparkContext.setLogLevel("ERROR")
+
+    import bench
 
     from arrow_experiments_spark.functions.text import (
         minhash_sig,
@@ -73,9 +76,25 @@ def main() -> None:
     from arrow_experiments_spark.tables import table
 
     docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
-    delta = docs.orderBy("doc_id").limit(DELTA_DOCS).persist()
-    delta.count()
+    # MAX_LEGS genuinely fresh 40-document deltas (disjoint id slices):
+    # the window qualifier re-runs a contended leg with the NEXT fresh
+    # delta, never a replay.  Same slices at both scales so per-delta
+    # survivor counts are cross-scale comparable.
+    head = docs.orderBy("doc_id").limit(DELTA_DOCS * MAX_LEGS).collect()
+    assert len(head) == DELTA_DOCS * MAX_LEGS
+    deltas = [
+        spark.createDataFrame(
+            head[i * DELTA_DOCS:(i + 1) * DELTA_DOCS], docs.schema
+        ).persist()
+        for i in range(MAX_LEGS)
+    ]
+    for d in deltas:
+        d.count()
+    delta = deltas[0]
     sig_cols = [f"s{i}" for i in range(_N_SIGS)]
+
+    # sentinel window qualifier, ported from bench.py (r11 verdict #2)
+    qual = bench.sweep_qualifier(spark)
 
     # the delta's band rows, for the unpruned-probe reference (same
     # derivation the sink runs)
@@ -135,6 +154,7 @@ def main() -> None:
     shutil.rmtree(warm, ignore_errors=True)
 
     results = {}
+    surv_by_delta: dict[str, list[int]] = {}  # scale -> survivors per leg
     for scale, rows, buckets in (("1x", 2_000_000, 64), ("10x", 20_000_000, 640)):
         # conf-free band-index geometry (r10 verdict #4) — same public
         # derivation the sink applies at attach; the sink then ADOPTS
@@ -186,23 +206,42 @@ def main() -> None:
             flush=True,
         )
 
-        # the measured leg: the real sink end-to-end on the 40-doc delta
-        staged = os.path.join(base, "staged")
-        os.makedirs(staged)
-        wdir = os.path.join(base, "w_delta")
-        delta.coalesce(1).write.mode("overwrite").parquet(wdir)
-        shutil.copy(
-            glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
-            os.path.join(staged, "000.parquet"),
+        # window-qualified fresh-delta legs (r11 verdict #2): each leg
+        # runs the real sink end-to-end on a fresh 40-doc delta between
+        # sentinel probes; contended legs re-run on the NEXT fresh
+        # delta; committed number = min of CLEAN legs
+        staged_files: list[str] = []
+        surv_progression: list[int] = []
+        count_before = [rows]
+
+        def make_leg(i: int, dfr):
+            def leg() -> float:
+                staged_i = os.path.join(base, f"staged_d{i}")
+                os.makedirs(staged_i)
+                wdir = os.path.join(base, f"w_d{i}")
+                dfr.coalesce(1).write.mode("overwrite").parquet(wdir)
+                src = glob.glob(os.path.join(wdir, "part-*.parquet"))[0]
+                shutil.copy(src, os.path.join(staged_i, "000.parquet"))
+                staged_files.append(src)
+                t0 = time.perf_counter()
+                incremental_neardup_sink(
+                    spark.readStream.schema(dfr.schema).parquet(staged_i),
+                    base_dir=base,
+                    timeout_sec=3600,
+                    n_buckets=buckets,
+                )
+                dt = time.perf_counter() - t0
+                now = read_snapshot(spark, docs_dir).count()
+                surv_progression.append(now - count_before[0])
+                count_before[0] = now
+                return dt
+
+            return leg
+
+        t_delta, window_tag, legs = bench.qualified_legs(
+            qual, [make_leg(i, d) for i, d in enumerate(deltas)]
         )
-        t0 = time.perf_counter()
-        incremental_neardup_sink(
-            spark.readStream.schema(delta.schema).parquet(staged),
-            base_dir=base,
-            timeout_sec=3600,
-            n_buckets=buckets,
-        )
-        t_delta = time.perf_counter() - t0
+        surv_by_delta[scale] = surv_progression
 
         corpus = read_snapshot(spark, docs_dir)
         n_final = corpus.count()
@@ -222,13 +261,13 @@ def main() -> None:
         )
         t_unpruned = time.perf_counter() - t0
 
-        # idempotence: re-delivering the same documents adds nothing
-        shutil.copy(
-            glob.glob(os.path.join(wdir, "part-*.parquet"))[0],
-            os.path.join(staged, "001.parquet"),
-        )
+        # idempotence: re-delivering every ingested delta adds nothing
+        staged_all = os.path.join(base, "staged_all")
+        os.makedirs(staged_all)
+        for i, src in enumerate(staged_files):
+            shutil.copy(src, os.path.join(staged_all, f"{i:03d}.parquet"))
         incremental_neardup_sink(
-            spark.readStream.schema(delta.schema).parquet(staged),
+            spark.readStream.schema(delta.schema).parquet(staged_all),
             base_dir=base,
             timeout_sec=3600,
             n_buckets=buckets,
@@ -237,8 +276,9 @@ def main() -> None:
         assert read_snapshot(spark, bands_dir).count() == n_postings
 
         print(
-            f"{scale}: delta {DELTA_DOCS} docs -> {survivors} survivors: "
-            f"{t_delta:.2f}s (unpruned full-index probe ref "
+            f"{scale}: {len(legs)} deltas x {DELTA_DOCS} docs -> "
+            f"{survivors} survivors: legs {legs} -> {t_delta:.2f}s "
+            f"[{window_tag}] (unpruned full-index probe ref "
             f"{t_unpruned:.2f}s, {n_hits} hits)",
             flush=True,
         )
@@ -249,17 +289,30 @@ def main() -> None:
             "index_buckets": idx_buckets,
             "seed_sec": round(t_seed, 2),
             "delta_sec": round(t_delta, 2),
+            "delta_legs": legs,
+            "window": window_tag,
             "survivors": survivors,
             "unpruned_probe_sec": round(t_unpruned, 2),
         }
         shutil.rmtree(base, ignore_errors=True)
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
+    # same gate outcome per COMMON delta at both scales
+    common = min(len(v) for v in surv_by_delta.values())
+    assert (
+        surv_by_delta["1x"][:common] == surv_by_delta["10x"][:common]
+    ), surv_by_delta
 
     r1, r10 = results["1x"], results["10x"]
+
+    def legfmt(r):
+        return ", ".join(
+            f"{g['sec']}s [{g['window']}]" for g in r["delta_legs"]
+        )
+
     lines = [
         "",
-        "## Streaming near-dup gate: delta wall vs corpus scale (round 9)",
+        "## Streaming near-dup gate: delta wall vs corpus scale (round 12, window-qualified)",
         "",
         "incremental_neardup_sink maintains the curated corpus AND its LSH",
         "band index as bucketed versioned snapshots (the index bucketed on",
@@ -267,17 +320,22 @@ def main() -> None:
         "bucket-pruned exact anti-join, one delta-sized MinHash pass, a",
         "bucket-pruned band probe verified by signature agreement against",
         "the postings' denormalized sigs (zero corpus re-tokenization), and",
-        f"two O(delta) version merges.  The SAME {DELTA_DOCS}-document real",
-        "delta runs the full leg against synthetic corpora a decade apart.",
-        "Verified per scale: survivors merged with 4 postings each,",
-        "re-delivery adds zero rows to either snapshot.",
+        "two O(delta) version merges.  Legs are SENTINEL-QUALIFIED (r11",
+        "verdict #2 — the bench.py window qualifier ported here): each",
+        f"fresh {DELTA_DOCS}-document real delta is bracketed by sentinel",
+        "probes, contended legs re-run on the next fresh delta, committed",
+        "number = min of CLEAN legs.  Verified per scale: survivors merged",
+        "with 4 postings each, re-delivery adds zero rows to either",
+        "snapshot; per-delta survivor counts asserted equal across scales.",
         "",
-        "| corpus | band postings | buckets | delta leg (s) | unpruned index probe alone (s) |",
-        "|---|---|---|---|---|",
+        "| corpus | band postings | buckets | delta leg (s) | window | legs | unpruned index probe alone (s) |",
+        "|---|---|---|---|---|---|---|",
         f"| {r1['rows']:,} docs | {r1['postings']:,} | {r1['buckets']} "
-        f"| {r1['delta_sec']} | {r1['unpruned_probe_sec']} |",
+        f"| {r1['delta_sec']} | {r1['window']} | {legfmt(r1)} "
+        f"| {r1['unpruned_probe_sec']} |",
         f"| {r10['rows']:,} docs (10×) | {r10['postings']:,} | {r10['buckets']} "
-        f"| **{r10['delta_sec']}** | {r10['unpruned_probe_sec']} |",
+        f"| **{r10['delta_sec']}** | {r10['window']} | {legfmt(r10)} "
+        f"| {r10['unpruned_probe_sec']} |",
         "",
         f"Delta-leg ratio at 10× the corpus: "
         f"{r10['delta_sec'] / max(r1['delta_sec'], 1e-9):.2f}× (1.0 = flat).",
@@ -289,7 +347,19 @@ def main() -> None:
     ]
     with open(Path(_REPO, "SCALE.md"), "a") as fh:
         fh.write("\n".join(lines))
-    print(json.dumps({"metric": "neardup_delta_sweep", **results}))
+    print(
+        json.dumps(
+            {
+                "metric": "neardup_delta_sweep",
+                **results,
+                "sentinel": {
+                    "floor": round(qual.floor, 4),
+                    "limit": round(qual.limit, 4),
+                    "samples": [round(s, 3) for s in qual.samples],
+                },
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
