@@ -277,6 +277,44 @@ class WindowQualifier:
         return self.samples[i] <= self.limit
 
 
+TAIL_COUNT = 10
+
+
+def _tail_rotation(queries) -> list[str]:
+    """r11 verdict #6: ~110 of the 154 registered queries have plan
+    audits but no wall-clock series.  Each round, the TAIL_COUNT
+    non-headline queries that were least recently benched get one
+    window-qualified sample; the ledger is the committed
+    ``BENCH_r*.json`` files' ``tail_queries`` sections (the driver
+    stores the printed JSON line under ``parsed``), never-benched keys
+    first, lexicographic tie-break — the same exactly-predictable LRV
+    total order the oracle rotation uses (registry.all_queries)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    led: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rec, dict):
+            continue
+        parsed = rec.get("parsed", rec)
+        section = parsed.get("tail_queries", {}) if isinstance(parsed, dict) else {}
+        for k in section:
+            led[k] = max(led.get(k, 0), rnd)
+    cands = [n for n in queries if n not in HEADLINE]
+    cands.sort(key=lambda n: (led.get(n, 0), n))
+    return cands[:TAIL_COUNT]
+
+
 def sweep_qualifier(spark) -> "WindowQualifier":
     """The bench's window qualifier packaged for the SCALE sweep tools
     (r11 verdict #2): same sentinel workload (s2_serve_1m_identity —
@@ -890,6 +928,34 @@ def main() -> None:
     floor_watch["s1_replay_100m"] = list(attempts)
     floor_watch["s2_serve_42m_zstd"] = list(_SERVE_42M_ATTEMPTS)
 
+    # r11 verdict #6: rotating TAIL — TAIL_COUNT registered queries
+    # outside the headline get one window-qualified wall-clock sample
+    # per round, least-recently-benched first (_tail_rotation), so
+    # every registered query accrues a time series across rounds
+    # without growing the headline budget.  One bracketed sample per
+    # key, one in-invocation retry if contended, tags like the
+    # headline's.  Kept OUT of `queries`/total so round-over-round
+    # total_sec comparisons are unaffected.
+    tail: dict[str, float] = {}
+    tail_quality: dict[str, str] = {}
+    for name in _tail_rotation(queries):
+        b = qual.probe()
+        v = measure(name)
+        a = qual.probe()
+        if qual.clean(b, a):
+            tail[name] = round(v, 3)
+            tail_quality[name] = "clean"
+            continue
+        b2 = qual.probe()
+        v2 = measure(name)
+        a2 = qual.probe()
+        if qual.clean(b2, a2):
+            tail[name] = round(v2, 3)
+            tail_quality[name] = "rerun_clean"
+        else:
+            tail[name] = round(min(v, v2), 3)
+            tail_quality[name] = "contended"
+
     # The x4 entry is a different metric (4-client aggregate wall), not a
     # fifth headline query — keep it OUT of the total so the
     # round-over-round total_sec comparison isn't conflated (ADVICE r6).
@@ -991,6 +1057,11 @@ def main() -> None:
                 if q in ("contended", "below_band")
             ),
         },
+        # r11 verdict #6: the rotating tail's per-key window tags; the
+        # rotation ledger is the committed BENCH_r*.json tail_queries
+        # sections (see _tail_rotation) — never-benched first, then
+        # least-recently-benched, lexicographic tie-break
+        "tail_quality": tail_quality,
         "sentinel": {
             "name": "s2_serve_1m_identity",
             "samples": [round(s, 3) for s in sentinel_samples],
@@ -1016,6 +1087,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # rotating non-headline segment (r11 verdict #6) —
+                # separate from `queries` so total comparisons hold
+                "tail_queries": tail,
                 "sf": sf,
             }
         )
