@@ -1179,6 +1179,58 @@ def ensure_ivf_index(
         lease.release()
 
 
+def _ivf_probes(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The probe frame the IVF index queries share: the first 10
+    nonzero vectors with their cell assignment under codebook ``k``."""
+    return (
+        _nonzero_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            ivf_cell_col(F.col("embedding"), k).alias("q_cell"),
+            F.col("embedding").alias("q_emb"),
+            norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+
+
+def _ivf_probe_score(idx: DataFrame, probes: DataFrame) -> DataFrame:
+    """Cell-restricted top-3 by snapped cosine over an index postings
+    frame (cell, vec_id, embedding) — the scoring stage shared by
+    ``ann_ivf_index_probe`` (disk index, bucket-pruned) and the
+    transport interop path (postings fetched back through the catalog
+    as Arrow, r11 verdict #5): both paths run EXACTLY this plan, so
+    their parity is a code identity plus the transport round-trip."""
+    c = idx.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell").alias("c_cell"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            c,
+            (F.col("q_cell") == F.col("c_cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            snap6(
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 3
+    )
+
+
 @register(
     "ann_ivf_index_probe",
     "similarity",
@@ -1218,45 +1270,9 @@ def ann_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, cells_dir, _committed_version(cells_dir),
         nb, ["cell", "vec_id"], ["cell"],
     )
-    probes = (
-        _nonzero_embeddings(spark, sf_dir)
-        .filter(F.col("vec_id") < 10)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            ivf_cell_col(F.col("embedding"), k).alias("q_cell"),
-            F.col("embedding").alias("q_emb"),
-            norm(F.col("embedding")).alias("q_norm"),
-        )
-    )
+    probes = _ivf_probes(spark, sf_dir, k)
     probe_bucket = F.pmod(
         F.xxhash64(F.col("q_cell")), F.lit(nb)
     ).cast("int")
     idx = _prune_buckets(idx, probes, probe_bucket)
-    c = idx.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("cell").alias("c_cell"),
-        F.col("embedding").alias("c_emb"),
-        norm(F.col("embedding")).alias("c_norm"),
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(
-            c,
-            (F.col("q_cell") == F.col("c_cell"))
-            & (F.col("query_id") != F.col("neighbor_id")),
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            snap6(
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / (F.col("q_norm") * F.col("c_norm"))
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return scored.select("*", F.row_number().over(w).alias("rnk")).filter(
-        F.col("rnk") <= 3
-    )
+    return _ivf_probe_score(idx, probes)

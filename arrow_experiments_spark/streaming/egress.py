@@ -273,20 +273,36 @@ def _adopted_index_buckets(snapshot_dir: str) -> int | None:
     return int(n) if isinstance(n, int) else None
 
 
-def _parallel_writes(jobs):
-    """Run the multi-table sinks' per-leg WRITE phases concurrently:
-    ``jobs`` is an ordered list of ``(name, thunk)``; each thunk runs a
-    ``_merge_batch(..., defer_commit=True)`` and returns its commit
-    callable (or None).  Spark schedules the legs' jobs onto the same
-    pool, so the wall is the slowest leg, not the sum — the two ~1 s
-    delta writes of a gate micro-batch overlap (r10 verdict #2).
+_PARALLEL_WRITES_CONF = "spark.arrowExperimentsSpark.snapshot.parallelWrites"
 
-    Failure contract mirrors the sequential crash window: results and
-    errors are returned positionally, and the CALLER commits in list
-    order, stopping at the first failed leg — a corpus leg that wrote
+
+def _parallel_writes(jobs, parallel: bool = False):
+    """Run the multi-table sinks' per-leg WRITE phases — each job thunk
+    runs a ``_merge_batch(..., defer_commit=True)`` and returns its
+    commit callable (or None); the CALLER then commits in list order,
+    stopping at the first failed leg, so a corpus leg that wrote
     cleanly commits even when the index leg failed (the index lags by
-    one batch and heals on replay, exactly like a crash between the
-    two sequential merges)."""
+    one batch and heals on replay, exactly like a crash between two
+    sequential merges).  The split-at-the-pointer-swap structure is
+    the r10 #2 correctness win (docs commit before bands without a
+    post-commit read-back) and holds in BOTH execution modes.
+
+    ``parallel=False`` (default) runs the thunks in order on the
+    calling thread.  The r12 steady-state A/B measured the threaded
+    overlap as a net LOSS on local[32] (~13%: sequential 8.6 s vs
+    fused 10.0 s marginal batch, per-batch sentinel-bracketed,
+    SCALE.md round-12 table): two concurrent 128-partition jobs
+    oversubscribe 32 local cores and pay scheduler churn, where on a
+    multi-executor cluster the two delta-sized jobs genuinely overlap
+    idle executors.  So concurrency is a DEPLOYMENT property, not a
+    default: sinks resolve it from the
+    ``spark.arrowExperimentsSpark.snapshot.parallelWrites`` conf at
+    attach (set "true" on a real cluster).
+
+    Failure contract in parallel mode mirrors the sequential crash
+    window: results and errors are positional; sequential mode stops
+    at the first error (later legs never wrote — same observable
+    state, the healed replay covers both)."""
     import threading
 
     results: list = [None] * len(jobs)
@@ -297,6 +313,13 @@ def _parallel_writes(jobs):
             results[i] = thunk()
         except BaseException as e:  # noqa: BLE001 — re-raised by caller
             errors[i] = e
+
+    if not parallel:
+        for i, (_n, t) in enumerate(jobs):
+            run(i, t)
+            if errors[i] is not None:
+                break  # match the crash window: later legs never wrote
+        return results, errors
 
     threads = [
         threading.Thread(target=run, args=(i, t), name=f"merge-{n}")
@@ -667,9 +690,10 @@ def _merge_batch(
     under the not-yet-referenced version dir) runs now, and a
     zero-argument ``commit()`` callable is returned that performs the
     fence check, the atomic pointer swap, and the superseded-version
-    prune.  The multi-table sinks use this to run their two legs' write
-    phases CONCURRENTLY (Spark schedules both jobs onto one pool — wall
-    is the max, not the sum) while still committing in the contract
+    prune.  The multi-table sinks use this to decouple their two legs'
+    write phases from the pointer swaps: legs write (sequentially by
+    default; threaded under ``snapshot.parallelWrites`` on clusters —
+    see :func:`_parallel_writes`) and then commit in the contract
     order (corpus before index).  Returns ``None`` instead of the
     callable when there is nothing to commit (empty first batch).  An
     uncommitted write leaves only an unreferenced version dir, which the
@@ -1360,16 +1384,18 @@ def incremental_neardup_sink(
     Both behaviors are the documented ones for their scope, not
     defects.
 
-    FUSED commit (r10 verdict #2): the two legs' WRITE phases run
-    concurrently (``_merge_batch(..., defer_commit=True)`` on two
-    threads — Spark schedules both jobs onto the pool, wall = the
-    slower leg, not the sum), then the pointers swap in contract order:
-    ``docs/`` first, ``bands/`` second.  The band leg's posting source
-    is *survivors ∪ (committed docs ∩ the batch's hashes)* — since the
-    new docs version is exactly (committed ∪ survivors), this is the
-    same posting set the old post-commit read-back produced, but it
-    depends only on PRE-commit frames, which is what lets the writes
-    overlap.
+    FUSED commit (r10 verdict #2): both legs' WRITE phases run before
+    either pointer swaps (``_merge_batch(..., defer_commit=True)``;
+    sequential by default, threaded under ``snapshot.parallelWrites``
+    on clusters — the r12 A/B measured the thread overlap as a net
+    loss on local[32], see :func:`_parallel_writes`), then the
+    pointers swap in contract order: ``docs/`` first, ``bands/``
+    second.  The band leg's posting source is *survivors ∪ (committed
+    docs ∩ the batch's hashes)* — since the new docs version is
+    exactly (committed ∪ survivors), this is the same posting set the
+    old post-commit read-back produced, but it depends only on
+    PRE-commit frames, which is what decouples the writes from the
+    commit points.
 
     Crash contract: a crash between the two pointer swaps heals on
     replay — docs skips as already committed, and the re-delivered
@@ -1440,6 +1466,12 @@ def incremental_neardup_sink(
     spark = stream_df.sparkSession
     docs_dir = os.path.join(base_dir, "docs")
     bands_dir = os.path.join(base_dir, "bands")
+    # write-phase concurrency is a deployment property (cluster: true;
+    # local cores oversubscribe — see _parallel_writes), resolved once
+    # at attach
+    par_writes = (
+        str(spark.conf.get(_PARALLEL_WRITES_CONF, "false")).lower() == "true"
+    )
     # ONE lease over base_dir covers BOTH snapshots: the hazard is two
     # writers interleaving docs/ and bands/ commits (a LATEST pointer
     # mixing writers' buckets), which per-subdir leases would not stop.
@@ -1801,7 +1833,7 @@ def incremental_neardup_sink(
                         touched=bands_merge_touched,
                     ),
                 ))
-            commits, errors = _parallel_writes(jobs)
+            commits, errors = _parallel_writes(jobs, parallel=par_writes)
             # commit docs before bands; a failed leg raises before any
             # later leg commits, so the index never leads the corpus
             for commit_fn, err in zip(commits, errors):
@@ -1921,6 +1953,12 @@ def incremental_embedding_dedup_sink(
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
     cells_dir = os.path.join(base_dir, "cells")
+    # write-phase concurrency is a deployment property (cluster: true;
+    # local cores oversubscribe — see _parallel_writes), resolved once
+    # at attach
+    par_writes = (
+        str(spark.conf.get(_PARALLEL_WRITES_CONF, "false")).lower() == "true"
+    )
     # one lease over base_dir covers both snapshots (see
     # incremental_neardup_sink: interleaved vecs/cells commits are the
     # hazard per-subdir leases would miss); size lease_ttl_sec above
@@ -2181,8 +2219,9 @@ def incremental_embedding_dedup_sink(
             # new vecs version is exactly (committed ∪ survivors), this
             # is bit-identical coverage to the old read-back of the
             # POST-commit snapshot — but it depends only on PRE-commit
-            # frames, so the two legs' write phases run CONCURRENTLY
-            # and the pointers swap afterwards in contract order (vecs
+            # frames, so both legs WRITE before either pointer swaps
+            # (threaded only under snapshot.parallelWrites; see
+            # _parallel_writes) in contract order (vecs
             # first).  The re-delivered term is what heals a crash
             # between the two swaps: the replay's batch ids match
             # committed-but-unindexed vecs, whose postings the insert-
@@ -2270,7 +2309,7 @@ def incremental_embedding_dedup_sink(
                         touched=cells_merge_touched,
                     ),
                 ))
-            commits, errors = _parallel_writes(jobs)
+            commits, errors = _parallel_writes(jobs, parallel=par_writes)
             # commit in list order (vecs before cells); a leg that
             # failed raises BEFORE later legs commit, so the index
             # never runs ahead of the corpus
@@ -2520,3 +2559,43 @@ def register_snapshot(registry, name: str, snapshot_dir: str) -> None:
         snapshot_reader_factory(snapshot_dir),
         meta={"kind": "snapshot", "snapshot_dir": snapshot_dir},
     )
+
+
+def register_ivf_index(registry, name: str, base_dir: str) -> None:
+    """Expose the maintained IVF index ARTIFACT through the HTTP
+    catalog (r11 verdict #5 — symmetry with the curated corpus):
+    ``GET /datasets/{name}`` streams the committed (cell, vec_id,
+    embedding) postings, and ``?multipart=1`` prepends the JSON
+    metadata part carrying the index GEOMETRY (``_GEOMETRY.json``'s
+    codebook k plus the committed layout's bucket count) — the
+    reference's multipart shape (JSON part + Arrow part,
+    http/get_multipart/python/server/server.py:131-217) is exactly an
+    index-with-geometry response.  A consumer can rebuild a working
+    probe from the fetched parts alone: assign query cells with the
+    ``k`` in the JSON part, score against the Arrow postings
+    (``similarity._ivf_probe_score`` — parity pinned by
+    ``test_ivf_index_served_through_catalog_probe_parity``).
+
+    The reader resolves LATEST per request (``snapshot_reader_factory``
+    on ``cells/``), so the served postings always track the committed
+    version.  The geometry meta is captured at REGISTRATION: ``k`` is
+    index-lifetime by contract (``_check_geometry`` refuses a
+    different k), and the layout bucket count only changes on a full
+    rebuild — re-register after one, exactly as with any catalog
+    dataset whose identity changed."""
+    import json
+    import os
+
+    cells_dir = os.path.join(base_dir, "cells")
+    meta: dict = {"kind": "ivf_index", "base_dir": base_dir}
+    try:
+        with open(os.path.join(base_dir, "_GEOMETRY.json")) as f:
+            meta["geometry"] = json.load(f)
+    except (OSError, ValueError):
+        pass
+    committed = _committed_version(cells_dir)
+    if committed is not None:
+        rec = _layout_record(os.path.join(cells_dir, committed))
+        if rec:
+            meta["layout"] = rec
+    registry.register(name, snapshot_reader_factory(cells_dir), meta=meta)

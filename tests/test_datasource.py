@@ -324,3 +324,90 @@ def test_ipc_file_http_range_partitioned(spark, small_table):
         assert list(got["a"]) == list(range(5000))
     finally:
         httpd.shutdown()
+
+
+def test_ivf_index_served_through_catalog_probe_parity(spark, tmp_path):
+    """r11 verdict #5: the maintained IVF index artifact is a catalog
+    dataset — fetched via the get_indirect two-step (catalog -> dataset
+    URI) as multipart/mixed (JSON geometry part + Arrow postings part,
+    the reference's index-with-geometry response shape), a probe
+    REBUILT from the fetched parts alone must agree exactly with
+    ann_ivf_index_probe over the on-disk index."""
+    import json
+    import os
+    import urllib.request
+
+    from arrow_experiments_spark.operators.similarity import (
+        _IVF_INDEX_DIR_CONF,
+        _ivf_probe_score,
+        _ivf_probes,
+        ann_ivf_index_probe,
+        ensure_ivf_index,
+    )
+    from arrow_experiments_spark.streaming.egress import register_ivf_index
+    from arrow_experiments_spark.transport.multipart import (
+        parse_multipart,
+        read_arrow_part,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set(_IVF_INDEX_DIR_CONF, str(tmp_path / "idx"))
+    try:
+        base, k = ensure_ivf_index(spark, sf_dir)
+        registry = DatasetRegistry()
+        register_ivf_index(registry, "ivf_index", base)
+        httpd = serve(registry)
+        host, port = httpd.server_address
+        try:
+            # two-step: the catalog names the dataset URI
+            with urllib.request.urlopen(
+                f"http://{host}:{port}/catalog"
+            ) as r:
+                cat = json.loads(r.read())
+            uris = [
+                e["uri"]
+                for e in cat["arrow_stream_files"]
+                if "ivf_index" in e["uri"]
+            ]
+            assert len(uris) == 1, cat
+            # multipart fetch: JSON geometry part + Arrow postings part
+            with urllib.request.urlopen(uris[0] + "?multipart=1") as r:
+                ctype = r.headers["Content-Type"]
+                body = r.read()
+            parts = parse_multipart(body, ctype)
+            meta_raw = parts.get("application/json")
+            assert meta_raw, parts.keys()
+            meta = json.loads(meta_raw[0])
+            assert meta["geometry"]["ivf_k"] == k
+            assert meta["layout"]["n_buckets"] >= 1
+            fetched = read_arrow_part(parts)
+            assert set(fetched.column_names) >= {
+                "cell", "vec_id", "embedding",
+            }
+
+            # rebuild the probe from the FETCHED parts alone: query
+            # cells assigned with the JSON part's k, scoring over the
+            # Arrow part's postings — no disk index touched
+            idx = spark.createDataFrame(fetched.to_pandas())
+            want = ann_ivf_index_probe(spark, sf_dir)
+            got = _ivf_probe_score(
+                idx, _ivf_probes(spark, sf_dir, meta["geometry"]["ivf_k"])
+            )
+            assert got.count() == want.count() > 0
+            assert got.exceptAll(want).count() == 0
+            assert want.exceptAll(got).count() == 0
+            # postings count matches the served snapshot exactly
+            local_n = (
+                spark.read.parquet(
+                    os.path.join(
+                        base,
+                        "cells",
+                        open(os.path.join(base, "cells", "LATEST")).read().strip(),
+                    )
+                ).count()
+            )
+            assert fetched.num_rows == local_n
+        finally:
+            httpd.shutdown()
+    finally:
+        spark.conf.unset(_IVF_INDEX_DIR_CONF)
