@@ -410,6 +410,7 @@ def _anti_join_small_left(
     cols: list[str],
     max_keys: int = 2_000_000,
     return_matched: bool = False,
+    small_rows_max: int | None = None,
 ):
     """``small LEFT ANTI big`` on ``cols`` without shuffling ``big``:
     the delta-vs-snapshot shape of every seen-before gate.  A plain
@@ -442,9 +443,17 @@ def _anti_join_small_left(
     from pyspark.sql import functions as F
 
     keys = small.select(*cols).distinct()
-    if keys.limit(max_keys + 1).count() > max_keys:
-        res = small.join(big, cols, "left_anti")
-        return (res, None) if return_matched else res
+    # ``small_rows_max``: a caller-supplied UPPER BOUND on |small|
+    # (usually the batch row count a probe aggregate already computed
+    # — _touched_list(with_count=True)).  |keys| ≤ |small|, so a bound
+    # within max_keys proves the broadcast path safe WITHOUT the guard
+    # count's own Spark job (~0.7 s of plan-compile per call on a
+    # delta lineage, the r12 floor profile's #3 term).  An over-bound
+    # caller only forfeits the saving: the count job runs as before.
+    if small_rows_max is None or small_rows_max > max_keys:
+        if keys.limit(max_keys + 1).count() > max_keys:
+            res = small.join(big, cols, "left_anti")
+            return (res, None) if return_matched else res
     matched = (
         big.join(F.broadcast(keys), cols, "left_semi").select(*cols).distinct()
     )
@@ -571,7 +580,7 @@ def _geometry_matches(
     ) == (bucket_cols or key_cols)
 
 
-def _touched_list(probe_df, probe_bucket_expr) -> list:
+def _touched_list(probe_df, probe_bucket_expr, with_count: bool = False):
     """The distinct bucket values the probe's rows land in.  Computed
     with a global ``collect_set`` aggregate — map-side partial sets, one
     single-task reduce — instead of ``distinct().collect()``, whose
@@ -580,15 +589,29 @@ def _touched_list(probe_df, probe_bucket_expr) -> list:
     micro-batch runs several).  Result size is bounded by ``n_buckets``
     regardless of batch size, so giant backfill batches are safe.
     Compute ONCE per micro-batch when several legs prune on the same
-    probe."""
+    probe.
+
+    ``with_count=True`` also returns the probe's ROW COUNT from the
+    same aggregate — ``(touched, n_rows)`` — at zero extra jobs.  The
+    r12 floor profile measured each driver-side action on a delta
+    lineage at ~0.35-0.9 s of plan-compile + scheduling regardless of
+    data size, so every count a sink can derive from a job it already
+    runs is a direct cut to the fixed per-batch floor: the gate sinks
+    feed this count to :func:`_anti_join_small_left`'s
+    ``small_rows_max`` (and, scaled by bands, to
+    :func:`_merge_batch`'s ``incoming_rows_max``), eliminating the
+    backfill-guard count jobs entirely on the normal path."""
     from pyspark.sql import functions as F
 
-    row = probe_df.select(probe_bucket_expr.alias("b")).agg(
-        F.collect_set("b").alias("s")
-    ).collect()[0]
+    aggs = [F.collect_set("b").alias("s")]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n"))
+    row = probe_df.select(probe_bucket_expr.alias("b")).agg(*aggs).collect()[0]
     touched = list(row["s"])
     # collect_set drops NULLs; callers' isin() never matched NULL anyway
     # (the NULL-bucket rows are retained by _filter_buckets explicitly)
+    if with_count:
+        return touched, int(row["n"])
     return touched
 
 
@@ -674,6 +697,7 @@ def _merge_batch(
     assume_novel: bool = False,
     touched: "set | None" = None,
     retain_versions: int | None = None,
+    incoming_rows_max: int | None = None,
 ):
     """One keyed merge of ``batch_df`` into the bucketed versioned
     snapshot: write ``v{seq}``, hard-link unchanged files from
@@ -834,7 +858,12 @@ def _merge_batch(
                             )
                             | F.col("_bucket").isNull()
                         ).select(*key_cols)
-                        fresh = _anti_join_small_left(fresh, seen, key_cols)
+                        # incoming_rows_max: the sink's batch-derived
+                        # bound skips the backfill-guard count job
+                        fresh = _anti_join_small_left(
+                            fresh, seen, key_cols,
+                            small_rows_max=incoming_rows_max,
+                        )
                     # assume_novel: the caller GUARANTEES every incoming
                     # key is absent from the committed snapshot — the
                     # gate sinks anti-join their delta against the SAME
@@ -1549,24 +1578,27 @@ def incremental_neardup_sink(
         seq_docs = _alloc_seq(committed_docs, batch_id, ckpt)
         committed_bands = _committed_version(bands_dir)
         seq_bands = _alloc_seq(committed_bands, batch_id, ckpt)
+        pinned = []
+        # ONE md5+xxhash pass over the raw batch serves both legs' hash
+        # pruning (the docs anti-join and the band-leg read-back) AND
+        # yields the batch row count from the same job — the count
+        # bounds every downstream backfill guard (r12 floor cut)
+        hash_touched, n_batch = _touched_list(
+            batch_df, hash_bucket, with_count=True
+        )
         if resolved["bands"] is None:
             adopted = _adopted_index_buckets(bands_dir)
             if adopted is not None:
                 resolved["bands"] = adopted
             else:
-                n_delta = batch_df.count()
                 resolved["bands"] = derive_index_buckets(
-                    _N_BANDS * n_delta, bands=_N_BANDS, delta_rows=n_delta
+                    _N_BANDS * n_batch, bands=_N_BANDS, delta_rows=n_batch
                 )
         bands_buckets = resolved["bands"]
         band_probe_bucket = F.pmod(
             F.xxhash64(F.col("band_idx"), F.col("band_val")),
             F.lit(bands_buckets),
         ).cast("int")
-        pinned = []
-        # ONE md5+xxhash pass over the raw batch serves both legs' hash
-        # pruning (the docs anti-join and the band-leg read-back)
-        hash_touched = _touched_list(batch_df, hash_bucket)
         try:
             survivors = None
             redelivered_hashes = None
@@ -1595,7 +1627,8 @@ def incremental_neardup_sink(
                     # fetches their wide committed rows only when the
                     # set is non-empty (see the embedding sink)
                     firsts, redelivered_hashes = _anti_join_small_left(
-                        firsts, seen, ["content_hash"], return_matched=True
+                        firsts, seen, ["content_hash"], return_matched=True,
+                        small_rows_max=n_batch,
                     )
                     firsts = firsts.persist()
                     pinned.append(firsts)
@@ -1831,6 +1864,10 @@ def incremental_neardup_sink(
                         seq=seq_bands, committed=committed_bands,
                         lease=lease, insert_only=True, defer_commit=True,
                         touched=bands_merge_touched,
+                        # post_src ≤ survivors ∪ re-delivered ≤ 2·batch
+                        # rows, _N_BANDS postings each — a sound bound
+                        # that skips the merge's backfill-guard count
+                        incoming_rows_max=2 * _N_BANDS * n_batch,
                     ),
                 ))
             commits, errors = _parallel_writes(jobs, parallel=par_writes)
@@ -2008,22 +2045,25 @@ def incremental_embedding_dedup_sink(
         seq_vecs = _alloc_seq(committed_vecs, batch_id, ckpt)
         committed_cells = _committed_version(cells_dir)
         seq_cells = _alloc_seq(committed_cells, batch_id, ckpt)
+        pinned = []
+        # one xxhash pass over the raw batch serves both legs' id
+        # pruning AND yields the batch row count (same job) — the
+        # count bounds every downstream backfill guard (r12 floor cut)
+        id_touched, n_batch = _touched_list(
+            batch_df, id_bucket, with_count=True
+        )
         if resolved["cells"] is None:
             adopted = _adopted_index_buckets(cells_dir)
             if adopted is not None:
                 resolved["cells"] = adopted
             else:
-                n_delta = batch_df.count()
                 resolved["cells"] = derive_index_buckets(
-                    bands * n_delta, bands=bands, delta_rows=n_delta
+                    bands * n_batch, bands=bands, delta_rows=n_batch
                 )
         cells_buckets = resolved["cells"]
         cell_probe_bucket = F.pmod(
             F.xxhash64(F.col("band"), F.col("cell")), F.lit(cells_buckets)
         ).cast("int")
-        pinned = []
-        # one xxhash pass over the raw batch serves both legs' id pruning
-        id_touched = _touched_list(batch_df, id_bucket)
         try:
             survivors = None
             redelivered_ids = None
@@ -2065,7 +2105,8 @@ def incremental_embedding_dedup_sink(
                     # wide rows only when it is non-empty, instead of
                     # wide-scanning every touched bucket per batch
                     fresh, redelivered_ids = _anti_join_small_left(
-                        fresh, seen, ["vec_id"], return_matched=True
+                        fresh, seen, ["vec_id"], return_matched=True,
+                        small_rows_max=n_batch,
                     )
                     fresh = fresh.persist()
                     pinned.append(fresh)
@@ -2307,6 +2348,10 @@ def incremental_embedding_dedup_sink(
                         seq=seq_cells, committed=committed_cells,
                         lease=lease, insert_only=True, defer_commit=True,
                         touched=cells_merge_touched,
+                        # post_src ≤ survivors ∪ re-delivered ≤ 2·batch
+                        # rows, bands cells each — a sound bound that
+                        # skips the merge's backfill-guard count job
+                        incoming_rows_max=2 * bands * n_batch,
                     ),
                 ))
             commits, errors = _parallel_writes(jobs, parallel=par_writes)
