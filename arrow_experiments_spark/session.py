@@ -34,6 +34,24 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce small shuffles by DATA SIZE, not down to default
+        # parallelism: a delta-sized reduce stage becomes 1 task instead
+        # of shuffle.partitions tasks (the gate sinks' 1-row floor
+        # measured 14.1 -> 3.9 s steady state under this pair, the
+        # biggest single cut of the r9-r12 floor thread), while
+        # warehouse-scale shuffles stay wide because their bytes exceed
+        # advisoryPartitionSizeInBytes — the per-job scoping the r12
+        # floor profile asked for, by shape instead of by conf.  This is
+        # also Spark's own recommended production posture for
+        # parallelismFirst.  The cached-plan flag extends the same
+        # coalescing to persisted frames (the sinks persist every gate
+        # leg), which otherwise pin pre-AQE partitioning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        )
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
@@ -52,6 +70,18 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # measurement/deployment escape hatch: semicolon-separated k=v list
+    # applied LAST (wins over both defaults and extra_conf) so the sweep
+    # tools can A/B a conf without a code edit, e.g.
+    #   SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.parallelismFirst=false"
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, sep, v = item.partition("=")
+        if not sep:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entries must be key=value, got {item!r}"
+            )
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 
@@ -60,6 +90,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
     driver owns its own SparkSession; these are all SQL confs)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set(
         "spark.sql.sources.parallelPartitionDiscovery.threshold", "16384"
