@@ -287,17 +287,20 @@ def _parallel_writes(jobs, parallel: bool = False):
     the r10 #2 correctness win (docs commit before bands without a
     post-commit read-back) and holds in BOTH execution modes.
 
-    ``parallel=False`` (default) runs the thunks in order on the
-    calling thread.  The r12 steady-state A/B measured the threaded
-    overlap as a net LOSS on local[32] (~13%: sequential 8.6 s vs
-    fused 10.0 s marginal batch, per-batch sentinel-bracketed,
-    SCALE.md round-12 table): two concurrent 128-partition jobs
-    oversubscribe 32 local cores and pay scheduler churn, where on a
-    multi-executor cluster the two delta-sized jobs genuinely overlap
-    idle executors.  So concurrency is a DEPLOYMENT property, not a
-    default: sinks resolve it from the
-    ``spark.arrowExperimentsSpark.snapshot.parallelWrites`` conf at
-    attach (set "true" on a real cluster).
+    ``parallel=False`` runs the thunks in order on the calling
+    thread.  The sinks now default to PARALLEL (the conf
+    ``spark.arrowExperimentsSpark.snapshot.parallelWrites`` defaults
+    "true"; set "false" to serialize): the original r12 A/B measured
+    the thread overlap as a wash-to-loss on local[32] because two
+    concurrent 128-partition write jobs oversubscribed 32 cores — but
+    once size-based shuffle coalescing landed
+    (``coalescePartitions.parallelismFirst=false``, session.py) the
+    delta write legs are ~1-task jobs whose wall is driver plan/commit
+    latency, not CPU, and the same A/B re-measured the overlap as a
+    consistent win (five of six same-day sentinel-bracketed runs:
+    parallel 6.0-9.0 s vs sequential 8.7-15.9 s steady state; SCALE.md
+    round-12 steady-state section).  On a multi-executor cluster the
+    legs overlap idle executors and the win is the same shape.
 
     Failure contract in parallel mode mirrors the sequential crash
     window: results and errors are positional; sequential mode stops
@@ -715,9 +718,9 @@ def _merge_batch(
     zero-argument ``commit()`` callable is returned that performs the
     fence check, the atomic pointer swap, and the superseded-version
     prune.  The multi-table sinks use this to decouple their two legs'
-    write phases from the pointer swaps: legs write (sequentially by
-    default; threaded under ``snapshot.parallelWrites`` on clusters —
-    see :func:`_parallel_writes`) and then commit in the contract
+    write phases from the pointer swaps: legs write (threaded by
+    default; ``snapshot.parallelWrites=false`` serializes — see
+    :func:`_parallel_writes`) and then commit in the contract
     order (corpus before index).  Returns ``None`` instead of the
     callable when there is nothing to commit (empty first batch).  An
     uncommitted write leaves only an unreferenced version dir, which the
@@ -1415,9 +1418,9 @@ def incremental_neardup_sink(
 
     FUSED commit (r10 verdict #2): both legs' WRITE phases run before
     either pointer swaps (``_merge_batch(..., defer_commit=True)``;
-    sequential by default, threaded under ``snapshot.parallelWrites``
-    on clusters — the r12 A/B measured the thread overlap as a net
-    loss on local[32], see :func:`_parallel_writes`), then the
+    threaded by default, serialized under
+    ``snapshot.parallelWrites=false`` — see
+    :func:`_parallel_writes` for the measured history), then the
     pointers swap in contract order: ``docs/`` first, ``bands/``
     second.  The band leg's posting source is *survivors ∪ (committed
     docs ∩ the batch's hashes)* — since the new docs version is
@@ -1495,11 +1498,13 @@ def incremental_neardup_sink(
     spark = stream_df.sparkSession
     docs_dir = os.path.join(base_dir, "docs")
     bands_dir = os.path.join(base_dir, "bands")
-    # write-phase concurrency is a deployment property (cluster: true;
-    # local cores oversubscribe — see _parallel_writes), resolved once
-    # at attach
+    # write-phase overlap defaults ON: with size-coalesced delta stages
+    # the two write legs are ~1-task jobs whose cost is driver/commit
+    # latency, so overlapping them is nearly free on any core count
+    # (see _parallel_writes); set the conf "false" to serialize.
+    # Resolved once at attach.
     par_writes = (
-        str(spark.conf.get(_PARALLEL_WRITES_CONF, "false")).lower() == "true"
+        str(spark.conf.get(_PARALLEL_WRITES_CONF, "true")).lower() == "true"
     )
     # ONE lease over base_dir covers BOTH snapshots: the hazard is two
     # writers interleaving docs/ and bands/ commits (a LATEST pointer
@@ -1990,11 +1995,13 @@ def incremental_embedding_dedup_sink(
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
     cells_dir = os.path.join(base_dir, "cells")
-    # write-phase concurrency is a deployment property (cluster: true;
-    # local cores oversubscribe — see _parallel_writes), resolved once
-    # at attach
+    # write-phase overlap defaults ON: with size-coalesced delta stages
+    # the two write legs are ~1-task jobs whose cost is driver/commit
+    # latency, so overlapping them is nearly free on any core count
+    # (see _parallel_writes); set the conf "false" to serialize.
+    # Resolved once at attach.
     par_writes = (
-        str(spark.conf.get(_PARALLEL_WRITES_CONF, "false")).lower() == "true"
+        str(spark.conf.get(_PARALLEL_WRITES_CONF, "true")).lower() == "true"
     )
     # one lease over base_dir covers both snapshots (see
     # incremental_neardup_sink: interleaved vecs/cells commits are the
@@ -2261,8 +2268,8 @@ def incremental_embedding_dedup_sink(
             # is bit-identical coverage to the old read-back of the
             # POST-commit snapshot — but it depends only on PRE-commit
             # frames, so both legs WRITE before either pointer swaps
-            # (threaded only under snapshot.parallelWrites; see
-            # _parallel_writes) in contract order (vecs
+            # (threaded by default; snapshot.parallelWrites=false
+            # serializes — see _parallel_writes) in contract order (vecs
             # first).  The re-delivered term is what heals a crash
             # between the two swaps: the replay's batch ids match
             # committed-but-unindexed vecs, whose postings the insert-

@@ -414,13 +414,13 @@ def main() -> None:
                     break
             results[kind][scale] = committed
 
-            # stretch A/B at 1x on the embedding sink (r11 verdict #7):
-            # same run shape with the write phases THREADED
-            # (snapshot.parallelWrites=true — the pre-r12 default) vs
-            # the sequential default — fresh deltas come from the
-            # second run's supply when the first attempt was clean (it
-            # is otherwise consumed by the retry; skip then, the A/B
-            # is a stretch)
+            # write-concurrency A/B at 1x on the embedding sink (r11
+            # verdict #7 lineage): the MAIN legs above run the default
+            # (parallel since the coalescing round); this leg re-runs
+            # the same shape with snapshot.parallelWrites=false to keep
+            # the sequential control measured — fresh deltas come from
+            # the second run's supply when the first attempt was clean
+            # (it is otherwise consumed by the retry; skip then)
             if (
                 kind == "embdedup"
                 and scale == "1x"
@@ -431,33 +431,33 @@ def main() -> None:
                     _PARALLEL_WRITES_CONF,
                 )
 
-                spark.conf.set(_PARALLEL_WRITES_CONF, "true")
+                spark.conf.set(_PARALLEL_WRITES_CONF, "false")
                 try:
-                    walls_par, tags_par, _ = run_sink(
+                    walls_seq, tags_seq, _ = run_sink(
                         kind, base, runs_frames[1], buckets, bits
                     )
                 finally:
                     spark.conf.unset(_PARALLEL_WRITES_CONF)
-                par_clean = [
+                seq_clean = [
                     w
-                    for w, t in zip(walls_par[1:], tags_par[1:])
+                    for w, t in zip(walls_seq[1:], tags_seq[1:])
                     if t == "clean"
                 ]
                 ab_result = {
-                    "sequential_steady_sec": committed["steady_sec"],
-                    "parallel_steady_sec": round(
-                        median(par_clean or walls_par[1:]), 2
+                    "parallel_steady_sec": committed["steady_sec"],
+                    "sequential_steady_sec": round(
+                        median(seq_clean or walls_seq[1:]), 2
                     ),
-                    "parallel_marginal_sec": [
-                        round(w, 2) for w in walls_par[1:]
+                    "sequential_marginal_sec": [
+                        round(w, 2) for w in walls_seq[1:]
                     ],
-                    "parallel_marginal_window": tags_par[1:],
+                    "sequential_marginal_window": tags_seq[1:],
                     "window": (
-                        "clean" if len(par_clean) >= 3 else "contended"
+                        "clean" if len(seq_clean) >= 3 else "contended"
                     ),
                 }
-                print(f"A/B sequential {ab_result['sequential_steady_sec']}s"
-                      f" vs parallel {ab_result['parallel_steady_sec']}s "
+                print(f"A/B parallel-default {ab_result['parallel_steady_sec']}s"
+                      f" vs sequential {ab_result['sequential_steady_sec']}s "
                       f"[{ab_result['window']}]", flush=True)
             shutil.rmtree(base, ignore_errors=True)
     spark.stop()
@@ -536,17 +536,17 @@ def main() -> None:
     if ab_result is not None:
         lines += [
             "",
-            "Write-phase concurrency A/B (r11 verdict #7, embedding sink at",
-            "1x, same protocol): sequential (the new r12 default)",
-            f"{ab_result['sequential_steady_sec']}s vs threaded overlap",
-            f"(snapshot.parallelWrites=true) {ab_result['parallel_steady_sec']}s",
-            f"steady state (parallel marginal {ab_result['parallel_marginal_sec']},",
-            f"window {ab_result['window']}).  The overlap is a measured net",
-            "LOSS on local[32] — two concurrent 128-partition jobs",
-            "oversubscribe 32 cores — so concurrency is now a deployment",
-            "conf (cluster: true), not a default; the ordered deferred",
-            "commits (docs-before-bands without read-back) are kept in both",
-            "modes.",
+            "Write-phase concurrency A/B (embedding sink at 1x, same",
+            "protocol): parallel default",
+            f"{ab_result['parallel_steady_sec']}s vs sequential",
+            f"(snapshot.parallelWrites=false) {ab_result['sequential_steady_sec']}s",
+            f"steady state (sequential marginal {ab_result['sequential_marginal_sec']},",
+            f"window {ab_result['window']}).  With size-coalesced delta",
+            "stages the write legs are ~1-task jobs bound by driver",
+            "plan/commit latency, so overlapping them is nearly free —",
+            "the pre-coalescing oversubscription loss no longer applies;",
+            "the ordered deferred commits (docs-before-bands without",
+            "read-back) are identical in both modes.",
         ]
     lines.append("")
     with open(Path(_REPO, "SCALE.md"), "a") as fh:
