@@ -17,6 +17,27 @@ from pyspark.sql import SparkSession
 DEFAULT_BATCH_ROWS = 4096  # reference default batch size (get_simple server.py:35)
 
 
+def _env_extra_conf() -> list[tuple[str, str]]:
+    """Parse the SPARK_GRAFT_EXTRA_CONF escape hatch: a
+    semicolon-separated ``key=value`` list applied LAST (wins over both
+    defaults and ``extra_conf``) so the sweep tools can A/B a conf
+    without a code edit.  Applied by BOTH session entry points —
+    ``build_session`` and ``tune_session`` — so the workflow covers
+    driver-owned sessions too (r12 ADVICE).  Limitation: the ';'
+    separator is not escapable, so a VALUE containing ';' cannot be
+    expressed here — pass those through ``extra_conf``."""
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    pairs: list[tuple[str, str]] = []
+    for item in filter(None, (s.strip() for s in env_conf.split(";"))):
+        k, sep, v = item.partition("=")
+        if not sep:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF entries must be key=value, got {item!r}"
+            )
+        pairs.append((k.strip(), v.strip()))
+    return pairs
+
+
 def build_session(
     app_name: str = "arrow-experiments-spark",
     master: str | None = None,
@@ -83,18 +104,11 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    # measurement/deployment escape hatch: semicolon-separated k=v list
-    # applied LAST (wins over both defaults and extra_conf) so the sweep
-    # tools can A/B a conf without a code edit, e.g.
+    # measurement/deployment escape hatch, applied last (see
+    # _env_extra_conf), e.g.
     #   SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.parallelismFirst=false"
-    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
-    for item in filter(None, (s.strip() for s in env_conf.split(";"))):
-        k, sep, v = item.partition("=")
-        if not sep:
-            raise ValueError(
-                f"SPARK_GRAFT_EXTRA_CONF entries must be key=value, got {item!r}"
-            )
-        builder = builder.config(k.strip(), v.strip())
+    for k, v in _env_extra_conf():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
@@ -114,4 +128,8 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.sources.parallelPartitionDiscovery.threshold", "16384"
     )
+    # same escape hatch as build_session (r12 ADVICE: the A/B-a-conf-
+    # without-a-code-edit workflow must cover driver-owned sessions)
+    for k, v in _env_extra_conf():
+        spark.conf.set(k, v)
     return spark

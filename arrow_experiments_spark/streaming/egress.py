@@ -276,6 +276,35 @@ def _adopted_index_buckets(snapshot_dir: str) -> int | None:
 _PARALLEL_WRITES_CONF = "spark.arrowExperimentsSpark.snapshot.parallelWrites"
 
 
+def _resolve_parallel_writes(spark) -> bool:
+    """Resolve the write-overlap default from the session's coalescing
+    posture.  The parallel default was measured as a win ONLY under
+    size-based shuffle coalescing (the delta write legs become ~1-task
+    jobs bound by driver commit latency); pre-coalescing, the same A/B
+    was a wash-to-loss on local cores because two concurrent wide write
+    jobs oversubscribed them (r12 SCALE.md).  The two defaults are
+    LINKED (r12 ADVICE): a deployment that overrides coalescing off via
+    extra_conf/SPARK_GRAFT_EXTRA_CONF — or a driver-owned session that
+    never ran tune_session — would silently re-enter the measured
+    oversubscription loss under an unconditional "true".  So absent an
+    explicit ``snapshot.parallelWrites`` conf, the default FOLLOWS the
+    coalescing state; an explicit conf always wins."""
+    explicit = spark.conf.get(_PARALLEL_WRITES_CONF, None)
+    if explicit is not None:
+        return str(explicit).lower() == "true"
+
+    def on(conf: str, default: str) -> bool:
+        return str(spark.conf.get(conf, default)).lower() == "true"
+
+    return (
+        on("spark.sql.adaptive.enabled", "false")
+        and on("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        and not on(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+        )
+    )
+
+
 def _parallel_writes(jobs, parallel: bool = False):
     """Run the multi-table sinks' per-leg WRITE phases — each job thunk
     runs a ``_merge_batch(..., defer_commit=True)`` and returns its
@@ -1498,14 +1527,11 @@ def incremental_neardup_sink(
     spark = stream_df.sparkSession
     docs_dir = os.path.join(base_dir, "docs")
     bands_dir = os.path.join(base_dir, "bands")
-    # write-phase overlap defaults ON: with size-coalesced delta stages
-    # the two write legs are ~1-task jobs whose cost is driver/commit
-    # latency, so overlapping them is nearly free on any core count
-    # (see _parallel_writes); set the conf "false" to serialize.
+    # write-phase overlap: defaults ON whenever size-based shuffle
+    # coalescing is active on this session (the two defaults are
+    # LINKED — see _resolve_parallel_writes); an explicit conf wins.
     # Resolved once at attach.
-    par_writes = (
-        str(spark.conf.get(_PARALLEL_WRITES_CONF, "true")).lower() == "true"
-    )
+    par_writes = _resolve_parallel_writes(spark)
     # ONE lease over base_dir covers BOTH snapshots: the hazard is two
     # writers interleaving docs/ and bands/ commits (a LATEST pointer
     # mixing writers' buckets), which per-subdir leases would not stop.
@@ -1995,14 +2021,11 @@ def incremental_embedding_dedup_sink(
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
     cells_dir = os.path.join(base_dir, "cells")
-    # write-phase overlap defaults ON: with size-coalesced delta stages
-    # the two write legs are ~1-task jobs whose cost is driver/commit
-    # latency, so overlapping them is nearly free on any core count
-    # (see _parallel_writes); set the conf "false" to serialize.
+    # write-phase overlap: defaults ON whenever size-based shuffle
+    # coalescing is active on this session (the two defaults are
+    # LINKED — see _resolve_parallel_writes); an explicit conf wins.
     # Resolved once at attach.
-    par_writes = (
-        str(spark.conf.get(_PARALLEL_WRITES_CONF, "true")).lower() == "true"
-    )
+    par_writes = _resolve_parallel_writes(spark)
     # one lease over base_dir covers both snapshots (see
     # incremental_neardup_sink: interleaved vecs/cells commits are the
     # hazard per-subdir leases would miss); size lease_ttl_sec above

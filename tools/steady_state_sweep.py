@@ -24,9 +24,11 @@ protocol: synthetic 2M/20M corpora, real deltas, derived geometry):
 EVERY batch is sentinel-bracketed with the bench window qualifier (r11
 verdict #2) via a progress-listener probe; a run with fewer than 3
 clean marginal batches re-runs once on the next set of fresh deltas.
-The stretch A/B (r11 verdict #7) isolates the write-phase overlap: the
-same embedding-sink run with ``snapshot.parallelWrites=true`` (the
-pre-r12 threaded default) vs the sequential default, at 1x.
+The write-concurrency A/B (r11 verdict #7 lineage) isolates the
+write-phase overlap: the MAIN legs run under the current parallel
+default (``snapshot.parallelWrites=true`` since the r12 coalescing
+round); a control leg re-runs the same embedding-sink shape at 1x with
+``snapshot.parallelWrites=false`` (the sequential control).
 
 Usage: python tools/steady_state_sweep.py
 Appends a section to SCALE.md and prints one JSON line.
