@@ -277,6 +277,117 @@ class WindowQualifier:
         return self.samples[i] <= self.limit
 
 
+class BandwidthSentinel:
+    """IN-LEG sentinel (r12 verdict Wrong #2): the loopback sentinel is
+    cache-resident CPU + socket, so the box's co-tenant phases —
+    memory-bandwidth-like, minutes long, inflating Spark walls 2-10× —
+    are INVISIBLE to it even when probed during them (measured r12:
+    46-138 s outlier batches with clean brackets on 6-12 s code).  This
+    probe measures what those phases actually steal: a 128 MiB int64
+    copy (256 MiB of DRAM traffic — far beyond LLC), timed as GB/s, run
+    at ~1 Hz on a background thread DURING each leg.
+
+    Calibration (measured r13, quiet box): idle 16-20 GB/s; during
+    busy Spark compute legs the per-probe series stays 14-16 GB/s with
+    ISOLATED dips to 3.7-7.1 (the engine's own shuffle/Arrow bursts),
+    so the per-leg statistic is the MEDIAN — engine self-use never
+    depresses the median below ~14 while a minutes-long co-tenant
+    phase depresses every probe in the window.  A leg is flagged when
+    its median falls under ``REL_BAND`` × the run reference (p90 of
+    all probes); legs with fewer than ``MIN_SAMPLES`` probes
+    (sub-second legs) stay governed by the bracketing loopback
+    sentinel alone.  A run contended END-TO-END self-reports through
+    the committed absolute reference (GB/s), the same posture as the
+    loopback sentinel's committed floor."""
+
+    BUF_MB = 128
+    REL_BAND = 0.5
+    MIN_SAMPLES = 2
+    INTERVAL_SEC = 1.0
+
+    def __init__(self):
+        import numpy as np
+
+        n = self.BUF_MB * 1024 * 1024 // 8
+        self._src = np.ones(n, dtype=np.int64)
+        self._dst = np.empty_like(self._src)
+        self.samples: list[tuple[float, float]] = []  # (monotonic, GB/s)
+        self.probe()  # fault in both buffers' pages (first copy ~50× slow)
+        self.samples.clear()
+
+    def probe(self) -> float:
+        import numpy as np
+
+        t0 = time.perf_counter()
+        np.copyto(self._dst, self._src)
+        dt = time.perf_counter() - t0
+        bw = self._src.nbytes * 2 / 1e9 / max(dt, 1e-9)
+        self.samples.append((time.monotonic(), bw))
+        return bw
+
+    @property
+    def reference(self) -> float:
+        """p90 of all probes this run — the quiet-box bandwidth."""
+        vals = sorted(bw for _, bw in self.samples)
+        return vals[int(len(vals) * 0.9)] if vals else 0.0
+
+    def leg_clean(self, bws: list[float]):
+        """True/False verdict for a leg's in-leg series; None when the
+        leg was too short to judge (defer to the bracketing sentinel)."""
+        if len(bws) < self.MIN_SAMPLES:
+            return None
+        s = sorted(bws)
+        med = s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+        return med >= self.REL_BAND * self.reference
+
+    def between(self, t0: float, t1: float) -> list[float]:
+        """Probes recorded in the monotonic interval [t0, t1]."""
+        return [bw for t, bw in self.samples if t0 <= t <= t1]
+
+    def window(self) -> "_BwWindow":
+        return _BwWindow(self)
+
+
+class _BwWindow:
+    """Context manager: background ~1 Hz bandwidth probes for one leg."""
+
+    def __init__(self, sentinel: BandwidthSentinel):
+        self.sentinel = sentinel
+        self.bws: list[float] = []
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def run():
+            while not self._stop.is_set():
+                self.bws.append(self.sentinel.probe())
+                self._stop.wait(self.sentinel.INTERVAL_SEC)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join()
+        return False
+
+    def clean(self):
+        return self.sentinel.leg_clean(self.bws)
+
+
+def bw_sentinel() -> BandwidthSentinel:
+    """The in-leg sentinel packaged for the sweep tools (r12 verdict
+    Wrong #2), like sweep_qualifier packages the loopback sentinel.
+    Three seed probes anchor the run reference before the first leg."""
+    s = BandwidthSentinel()
+    for _ in range(3):
+        s.probe()
+    return s
+
+
 TAIL_COUNT = 10
 
 
@@ -330,7 +441,7 @@ def sweep_qualifier(spark) -> "WindowQualifier":
     return qual
 
 
-def qualified_legs(qual, leg_fns, min_clean: int = 2):
+def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
     """Sentinel-bracket a sweep's measurement legs (r11 verdict #2 —
     the SCALE sweeps used to commit min-over-N-legs and adjudicate
     9-69 s spreads by hand).  ``leg_fns`` are zero-arg callables that
@@ -341,17 +452,32 @@ def qualified_legs(qual, leg_fns, min_clean: int = 2):
     exhausted.  Returns ``(committed_sec, tag, legs)`` where ``legs``
     is ``[{"sec": s, "window": "clean"|"contended"}, ...]``; the
     committed number is the MIN of clean legs ("clean"), else the min
-    of everything ("contended" — flagged, never silently trusted)."""
+    of everything ("contended" — flagged, never silently trusted).
+
+    Pass ``bw`` (a ``BandwidthSentinel``) to also sample memory
+    bandwidth INSIDE each leg (r12 verdict Wrong #2: a co-tenant
+    window that opens and closes inside one leg is invisible to the
+    bracketing probes); a leg whose in-leg bandwidth median falls
+    below the band is contended regardless of its brackets."""
     legs: list[dict] = []
     n_clean = 0
     for fn in leg_fns:
         b = qual.probe()
-        sec = fn()
+        if bw is not None:
+            with bw.window() as w:
+                sec = fn()
+            inleg = w.bws
+        else:
+            sec = fn()
+            inleg = []
         a = qual.probe()
-        ok = qual.clean(b, a)
-        legs.append(
-            {"sec": round(sec, 2), "window": "clean" if ok else "contended"}
+        ok = qual.clean(b, a) and (
+            bw is None or bw.leg_clean(inleg) is not False
         )
+        leg = {"sec": round(sec, 2), "window": "clean" if ok else "contended"}
+        if inleg:
+            leg["bw_med_gbs"] = round(sorted(inleg)[len(inleg) // 2], 1)
+        legs.append(leg)
         n_clean += ok
         if n_clean >= min_clean:
             break
@@ -767,22 +893,42 @@ def main() -> None:
     qual = WindowQualifier(
         lambda: _bench_transport(spark, "s2_serve_1m_identity")
     )
+    # in-leg bandwidth sentinel (r12 verdict Wrong #2): the loopback
+    # sentinel brackets each leg but cannot see a memory-bandwidth
+    # co-tenant phase that opens and closes INSIDE one — these probes
+    # run at ~1 Hz during every measured leg and flag it directly
+    bw = bw_sentinel()
+
+    def measure_inleg(name: str) -> tuple[float, list[float]]:
+        with bw.window() as w:
+            v = measure(name)
+        return v, w.bws
 
     items = ["s1_replay_10m", "s1_replay_10m_x4", *_S2_STRATEGIES, *names]
     passes: list[dict[str, float]] = []
     brackets: list[dict[str, tuple[int, int]]] = []
+    inlegs: list[dict[str, list[float]]] = []
     for i in range(3):
         order = items if i % 2 == 0 else list(reversed(items))
         p: dict[str, float] = {}
         br: dict[str, tuple[int, int]] = {}
+        il: dict[str, list[float]] = {}
         last = qual.probe()
         for name in order:
-            p[name] = measure(name)
+            p[name], il[name] = measure_inleg(name)
             nxt = qual.probe()
             br[name] = (last, nxt)
             last = nxt
         passes.append(p)
         brackets.append(br)
+        inlegs.append(il)
+
+    def leg_ok(p: int, k: str) -> bool:
+        """Bracket-clean AND in-leg-clean (None = leg too short for an
+        in-leg verdict — the brackets govern, as before)."""
+        return qual.clean(*brackets[p][k]) and (
+            bw.leg_clean(inlegs[p][k]) is not False
+        )
 
     def commit_stat(samples: list[float]) -> float:
         # lower-middle of the sorted samples: the median's robustness
@@ -795,24 +941,23 @@ def main() -> None:
     quality: dict[str, str] = {}
     for k in items:
         clean = [
-            passes[p][k]
-            for p in range(len(passes))
-            if qual.clean(*brackets[p][k])
+            passes[p][k] for p in range(len(passes)) if leg_ok(p, k)
         ]
         if clean:
             timings[k] = commit_stat(clean)
             quality[k] = "clean"
             continue
-        # every pass's sample was bracketed by a contended window:
-        # re-run between fresh probes instead of committing any of them
+        # every pass's sample was bracketed by a contended window (or
+        # in-leg flagged): re-run between fresh probes instead of
+        # committing any of them
         rerun_vals: list[float] = []
         tag = "contended"
         for _ in range(2):
             b = qual.probe()
-            v = measure(k)
+            v, il = measure_inleg(k)
             a = qual.probe()
             rerun_vals.append(v)
-            if qual.clean(b, a):
+            if qual.clean(b, a) and bw.leg_clean(il) is not False:
                 timings[k] = round(v, 3)
                 tag = "rerun_clean"
                 break
@@ -890,15 +1035,15 @@ def main() -> None:
         extra: list[tuple[float, bool]] = []
         for _ in range(2):
             b = qual.probe()
-            v = measure(name)
+            v, il = measure_inleg(name)
             a = qual.probe()
-            extra.append((v, qual.clean(b, a)))
+            extra.append(
+                (v, qual.clean(b, a) and bw.leg_clean(il) is not False)
+            )
         samples = [p[name] for p in passes] + [v for v, _ in extra]
         floor_watch[name] = [round(s, 3) for s in samples]
         clean_samples = [
-            passes[p][name]
-            for p in range(len(passes))
-            if qual.clean(*brackets[p][name])
+            passes[p][name] for p in range(len(passes)) if leg_ok(p, name)
         ] + [v for v, ok in extra if ok]
         if quality.get(name) == "rerun_clean":
             # the commit loop already replaced this key's contended
@@ -940,16 +1085,16 @@ def main() -> None:
     tail_quality: dict[str, str] = {}
     for name in _tail_rotation(queries):
         b = qual.probe()
-        v = measure(name)
+        v, il = measure_inleg(name)
         a = qual.probe()
-        if qual.clean(b, a):
+        if qual.clean(b, a) and bw.leg_clean(il) is not False:
             tail[name] = round(v, 3)
             tail_quality[name] = "clean"
             continue
         b2 = qual.probe()
-        v2 = measure(name)
+        v2, il2 = measure_inleg(name)
         a2 = qual.probe()
-        if qual.clean(b2, a2):
+        if qual.clean(b2, a2) and bw.leg_clean(il2) is not False:
             tail[name] = round(v2, 3)
             tail_quality[name] = "rerun_clean"
         else:
@@ -1056,6 +1201,28 @@ def main() -> None:
                 for k, q in quality.items()
                 if q in ("contended", "below_band")
             ),
+            # r12 verdict Wrong #2: the in-leg bandwidth sentinel — a
+            # leg is clean only if its brackets are quiet AND its
+            # in-leg DRAM-copy bandwidth median stays in band, so a
+            # co-tenant window inside one leg can no longer commit a
+            # clean-tagged outlier
+            "inleg": {
+                "buf_mb": BandwidthSentinel.BUF_MB,
+                "rel_band": BandwidthSentinel.REL_BAND,
+                "interval_sec": BandwidthSentinel.INTERVAL_SEC,
+                "min_samples": BandwidthSentinel.MIN_SAMPLES,
+                "reference_gbs": round(bw.reference, 1),
+                "n_probes": len(bw.samples),
+                "bracket_clean_but_inleg_flagged": sorted(
+                    {
+                        k
+                        for p in range(len(passes))
+                        for k in items
+                        if qual.clean(*brackets[p][k])
+                        and bw.leg_clean(inlegs[p][k]) is False
+                    }
+                ),
+            },
         },
         # r11 verdict #6: the rotating tail's per-key window tags; the
         # rotation ledger is the committed BENCH_r*.json tail_queries

@@ -87,6 +87,7 @@ def main() -> None:
 
     queries = all_queries()
     qual = bench.sweep_qualifier(spark)
+    bw = bench.bw_sentinel()
 
     for conf, val in _HELD:
         spark.conf.set(conf, val)
@@ -120,12 +121,14 @@ def main() -> None:
             for arm in ("new", "old"):
                 set_arm(arm)
                 b = qual.probe()
-                sec = one_leg(name)
+                with bw.window() as w:
+                    sec = one_leg(name)
                 a = qual.probe()
+                ok = qual.clean(b, a) and bw.leg_clean(w.bws) is not False
                 legs[arm].append(
                     {
                         "sec": round(sec, 3),
-                        "window": "clean" if qual.clean(b, a) else "contended",
+                        "window": "clean" if ok else "contended",
                     }
                 )
         committed: dict[str, float] = {}

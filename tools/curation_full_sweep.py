@@ -80,6 +80,7 @@ def main() -> None:
 
     # sentinel window qualifier, ported from bench.py (r11 verdict #2)
     qual = bench.sweep_qualifier(spark)
+    bw = bench.bw_sentinel()
 
     # benchmark set: 20 real docs outside the delta, PLUS one delta
     # doc's text (the planted contamination — exactly one rejection)
@@ -221,7 +222,7 @@ def main() -> None:
             return leg
 
         t_delta, window_tag, legs = bench.qualified_legs(
-            qual, [make_leg(i, d) for i, d in enumerate(deltas)]
+            qual, [make_leg(i, d) for i, d in enumerate(deltas)], bw=bw
         )
         surv_by_delta[scale] = surv_progression
 

@@ -97,6 +97,7 @@ def main() -> None:
     # each measured leg is bracketed by probes; contended legs re-run
     # on fresh deltas in-invocation; committed stat = min of CLEAN legs
     qual = bench.sweep_qualifier(spark)
+    bw = bench.bw_sentinel()
 
     # warm-up: throwaway sink run (codegen + stream machinery)
     warm = os.path.join(WORK, "warm")
@@ -243,7 +244,7 @@ def main() -> None:
             return leg
 
         t_delta, window_tag, legs = bench.qualified_legs(
-            qual, [make_leg(i, d) for i, d in enumerate(deltas)]
+            qual, [make_leg(i, d) for i, d in enumerate(deltas)], bw=bw
         )
         surv_by_delta[scale] = surv_progression
 

@@ -95,6 +95,7 @@ def main() -> None:
 
     # sentinel window qualifier, ported from bench.py (r11 verdict #2)
     qual = bench.sweep_qualifier(spark)
+    bw = bench.bw_sentinel()
 
     # the delta's band rows, for the unpruned-probe reference (same
     # derivation the sink runs)
@@ -239,7 +240,7 @@ def main() -> None:
             return leg
 
         t_delta, window_tag, legs = bench.qualified_legs(
-            qual, [make_leg(i, d) for i, d in enumerate(deltas)]
+            qual, [make_leg(i, d) for i, d in enumerate(deltas)], bw=bw
         )
         surv_by_delta[scale] = surv_progression
 

@@ -22,8 +22,13 @@ protocol: synthetic 2M/20M corpora, real deltas, derived geometry):
   (``eval_docs``) — the full 4-stage curation funnel.
 
 EVERY batch is sentinel-bracketed with the bench window qualifier (r11
-verdict #2) via a progress-listener probe; a run with fewer than 3
-clean marginal batches re-runs once on the next set of fresh deltas.
+verdict #2) via a progress-listener probe, AND judged against the
+IN-BATCH memory-bandwidth sentinel (r12 verdict Wrong #2: a co-tenant
+phase that opens and closes inside one batch is invisible to the
+bracketing probes — bench.BandwidthSentinel samples DRAM-copy GB/s at
+~1 Hz through the whole run and each batch's window must keep its
+median in band); a run with fewer than 3 clean marginal batches
+re-runs once on the next set of fresh deltas.
 The write-concurrency A/B (r11 verdict #7 lineage) isolates the
 write-phase overlap: the MAIN legs run under the current parallel
 default (``snapshot.parallelWrites=true`` since the r12 coalescing
@@ -116,7 +121,9 @@ def make_probe_listener(qual):
                     bid = p["batchId"]
                 except Exception:
                     bid = getattr(p, "batchId", len(self.marks))
-                self.marks.append((bid, qual.probe()))
+                # (batchId, bracket probe idx, monotonic mark) — the
+                # mark bounds the batch's in-leg bandwidth window
+                self.marks.append((bid, qual.probe(), time.monotonic()))
 
         def onQueryIdle(self, event):
             pass
@@ -168,6 +175,7 @@ def main() -> None:
     from arrow_experiments_spark.tables import table
 
     qual = bench.sweep_qualifier(spark)
+    bw = bench.bw_sentinel()
 
     # ---- fresh-delta supplies (two runs' worth per sink) ----
     emb = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
@@ -311,6 +319,9 @@ def main() -> None:
         listener = make_probe_listener(qual)
         spark.streams.addListener(listener)
         b0 = qual.probe()
+        t_run0 = time.monotonic()
+        bww = bw.window()
+        bww.__enter__()
         try:
             t0 = time.perf_counter()
             if kind == "embdedup":
@@ -332,16 +343,20 @@ def main() -> None:
             ):
                 time.sleep(0.1)
         finally:
+            bww.__exit__(None, None, None)
             spark.streams.removeListener(listener)
         walls = batch_walls(q)
         assert len(walls) == len(frames), walls
         marks = sorted(listener.marks)
         assert len(marks) == len(walls), (marks, walls)
         tags = []
-        prev = b0
-        for _bid, after in marks:
-            tags.append("clean" if qual.clean(prev, after) else "contended")
-            prev = after
+        prev, prev_t = b0, t_run0
+        for _bid, after, t_mark in marks:
+            ok = qual.clean(prev, after) and (
+                bw.leg_clean(bw.between(prev_t, t_mark)) is not False
+            )
+            tags.append("clean" if ok else "contended")
+            prev, prev_t = after, t_mark
         return walls, tags, total
 
     # warm-up: throwaway attach per sink kind (session codegen)
@@ -482,6 +497,7 @@ def main() -> None:
                     "sentinel": {
                         "floor": round(qual.floor, 4),
                         "limit": round(qual.limit, 4),
+                        "bw_reference_gbs": round(bw.reference, 1),
                     },
                 }
             )
@@ -563,6 +579,7 @@ def main() -> None:
                     "floor": round(qual.floor, 4),
                     "limit": round(qual.limit, 4),
                     "samples": [round(s, 3) for s in qual.samples],
+                    "bw_reference_gbs": round(bw.reference, 1),
                 },
             }
         )
