@@ -272,6 +272,35 @@ def lsh_cells_col(emb: F.Column, bands: int, bits: int) -> F.Column:
     return _cells(emb)
 
 
+def lsh_cells_col_nullsafe(emb: F.Column, bands: int, bits: int) -> F.Column:
+    """:func:`lsh_cells_col` for frames that may still carry NULL
+    embeddings — rows without a computable cell get NULL (the in-plan
+    fold's own degradation) instead of the kernel's diagnosable raise.
+    Needed because Catalyst extracts a PythonUDF out of any ``when()``
+    guard and evaluates it on every row, so the null gate cannot live
+    in the plan.  Non-NULL rows are bit-identical to ``lsh_cells_col``
+    (same kernel on the compacted block).  Used by the gate sinks'
+    fused raw-batch probe, which runs BEFORE the direction gate."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _cells(e: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = pd.Series([None] * len(e), dtype=object)
+        mask = e.notna().to_numpy()
+        if mask.any():
+            vals = lsh_cells_np(e[mask], bands, bits)
+            # per-index iat assignment: a masked bulk-assign of a list
+            # of arrays is broadcast ELEMENT-wise by pandas (ints land
+            # where arrays belong)
+            for i, row in zip(np.flatnonzero(mask), vals):
+                out.iat[int(i)] = row
+        return out
+
+    return _cells(emb)
+
+
 def _bucket_sql(emb: str) -> str:
     return lsh_bucket_sql(emb, 0)
 

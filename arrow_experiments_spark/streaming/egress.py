@@ -2016,7 +2016,10 @@ def incremental_embedding_dedup_sink(
 
     from arrow_experiments_spark.functions.numeric import snap6
     from arrow_experiments_spark.functions.vectors import dot, norm
-    from arrow_experiments_spark.operators.similarity import lsh_cells_col
+    from arrow_experiments_spark.operators.similarity import (
+        lsh_cells_col,
+        lsh_cells_col_nullsafe,
+    )
 
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
@@ -2066,6 +2069,48 @@ def incremental_embedding_dedup_sink(
     # from the first batch's shape (see docstring)
     resolved = {"cells": index_buckets}
 
+    def fused_probe(batch_df: DataFrame, cells_buckets: int):
+        """ONE job, THREE outputs (the r12 'next floor lever',
+        SCALE.md): the raw batch's id buckets, its cell-index buckets,
+        and its row count — fusing the cells probe that previously ran
+        as its own job serialized behind the fresh/dcells persists.
+        Soundness: the raw batch's cells are a SUPERSET of the gated
+        delta's (fresh picks one of the raw rows per vec_id, so every
+        fresh embedding is probed here; NULL embeddings contribute no
+        cell via the null-safe kernel; re-delivered rows only WIDEN
+        the set), and both the bucket-pruned index read and
+        ``_merge_batch``'s ``touched`` accept any superset — extra
+        buckets are read (and, with zero incoming rows, re-linked)
+        but never missed.  Count: ``posexplode_outer`` emits exactly
+        one band-0 row per non-NULL embedding and one NULL-pos row
+        per NULL one, so the band-0/NULL sum is the raw row count."""
+        ex = batch_df.select(
+            id_bucket.alias("_idb"),
+            F.posexplode_outer(
+                lsh_cells_col_nullsafe(F.col("embedding"), bands, bits)
+            ).alias("_band", "_cell"),
+        )
+        row = ex.agg(
+            F.collect_set("_idb").alias("ids"),
+            F.collect_set(
+                F.pmod(
+                    F.xxhash64(F.col("_band"), F.col("_cell")),
+                    F.lit(cells_buckets),
+                ).cast("int")
+            ).alias("cells"),
+            F.sum(
+                F.when(
+                    F.col("_band").isNull() | (F.col("_band") == 0), 1
+                ).otherwise(0)
+            ).alias("n"),
+        ).collect()[0]
+        # NULL-embedding rows hash (NULL, NULL) to a real bucket value
+        # under xxhash64 — harmless for a superset, but fresh carries
+        # no such rows, so keep the set tight by construction: the
+        # collect above can include that one spurious bucket only when
+        # the batch had NULL embeddings; superset semantics cover it.
+        return list(row["ids"]), list(row["cells"]), int(row["n"] or 0)
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
@@ -2076,28 +2121,58 @@ def incremental_embedding_dedup_sink(
         committed_cells = _committed_version(cells_dir)
         seq_cells = _alloc_seq(committed_cells, batch_id, ckpt)
         pinned = []
-        # one xxhash pass over the raw batch serves both legs' id
-        # pruning AND yields the batch row count (same job) — the
-        # count bounds every downstream backfill guard (r12 floor cut)
-        id_touched, n_batch = _touched_list(
-            batch_df, id_bucket, with_count=True
-        )
         if resolved["cells"] is None:
-            adopted = _adopted_index_buckets(cells_dir)
-            if adopted is not None:
-                resolved["cells"] = adopted
-            else:
+            # layout adoption is a driver-side record read — do it
+            # BEFORE the probe so the fused path has the cell geometry
+            resolved["cells"] = _adopted_index_buckets(cells_dir)
+        cells_touched = None
+        # The fused probe (r12's recorded floor lever) measured a WASH
+        # in the r13 paired A/B (alternating in-session arms, 12
+        # marginal batches each: min 6.37 s fused vs 6.30 s two-pass;
+        # SCALE.md "Fused cells probe: paired A/B") — the eliminated
+        # probe job's cells compute moved into the fused aggregate and
+        # the dcells materialization moved downstream, conserving work
+        # exactly as the r12 guard-count lesson predicts.  Default is
+        # therefore the simpler two-pass shape; the fused path stays
+        # behind this conf for re-measurement on other hardware, where
+        # a higher per-action scheduling cost would tilt it.
+        fuse = (
+            str(
+                spark.conf.get(
+                    "spark.arrowExperimentsSpark.embdedup.fusedProbe", "false"
+                )
+            ).lower()
+            == "true"
+        )
+        if resolved["cells"] is not None and fuse:
+            # steady state: one xxhash+cells pass over the raw batch
+            # serves the id pruning, the CELL-INDEX pruning, and the
+            # batch row count — three outputs, one job (the r12 floor
+            # lever; previously the cells probe was its own job
+            # serialized behind the fresh/dcells persists)
+            cells_buckets = resolved["cells"]
+            id_touched, cells_touched, n_batch = fused_probe(
+                batch_df, cells_buckets
+            )
+        else:
+            # two-pass probe: the very first batch of a brand-new index
+            # (the cell geometry DERIVES from this batch's count), or
+            # the fusion hatch off — id probe here, cells probe from
+            # the gated delta below
+            id_touched, n_batch = _touched_list(
+                batch_df, id_bucket, with_count=True
+            )
+            if resolved["cells"] is None:
                 resolved["cells"] = derive_index_buckets(
                     bands * n_batch, bands=bands, delta_rows=n_batch
                 )
-        cells_buckets = resolved["cells"]
+            cells_buckets = resolved["cells"]
         cell_probe_bucket = F.pmod(
             F.xxhash64(F.col("band"), F.col("cell")), F.lit(cells_buckets)
         ).cast("int")
         try:
             survivors = None
             redelivered_ids = None
-            cells_touched = None
             postings_from_survivors_only = False
             if seq_vecs is not None:
                 # deterministic one-row-per-vec_id: a duplicated id in one
@@ -2153,11 +2228,16 @@ def incremental_embedding_dedup_sink(
                     cells_buckets, cell_keys, cell_buckets,
                 )
                 if idx is not None:
-                    # the delta's cell-bucket set, computed ONCE: it
-                    # prunes the probe here and (when the posting source
-                    # is survivors alone, a subset of dcells) is handed
-                    # to the cells merge so it skips its own probe job
-                    cells_touched = _touched_list(dcells, cell_probe_bucket)
+                    # the delta's cell-bucket set: normally precomputed
+                    # by the FUSED raw-batch probe above (a superset of
+                    # dcells' buckets — extra buckets read, never
+                    # missed); the dcells-derived probe remains only
+                    # for the first-ever batch, whose geometry was not
+                    # known before the id probe ran
+                    if cells_touched is None:
+                        cells_touched = _touched_list(
+                            dcells, cell_probe_bucket
+                        )
                     # deliberately NOT persisted — see the band-index
                     # note in incremental_neardup_sink: the count and
                     # the join are narrow column-pruned scans; a persist

@@ -301,6 +301,7 @@ class BandwidthSentinel:
     loopback sentinel's committed floor."""
 
     BUF_MB = 128
+    GATHER_MB = 32
     REL_BAND = 0.5
     MIN_SAMPLES = 2
     INTERVAL_SEC = 1.0
@@ -311,8 +312,21 @@ class BandwidthSentinel:
         n = self.BUF_MB * 1024 * 1024 // 8
         self._src = np.ones(n, dtype=np.int64)
         self._dst = np.empty_like(self._src)
-        self.samples: list[tuple[float, float]] = []  # (monotonic, GB/s)
-        self.probe()  # fault in both buffers' pages (first copy ~50× slow)
+        # second, RECORDED-ONLY series (r13): a random-gather probe —
+        # memory-LATENCY-sensitive where the sequential copy is
+        # bandwidth-sensitive.  Observed r13: 10-30 s batches on 6-7 s
+        # code passed both the loopback brackets AND the copy-median
+        # band, so whatever those phases steal is not plain DRAM
+        # bandwidth; the gather series is recorded alongside to test
+        # (post-hoc, across rounds) whether latency contention is the
+        # missing signal before promoting it to a verdict input.
+        gn = self.GATHER_MB * 1024 * 1024 // 8
+        rng = np.random.default_rng(7)
+        self._gidx = rng.permutation(gn).astype(np.int64)
+        self._gout = np.empty_like(self._gidx)
+        # (monotonic, copy GB/s, gather GB/s)
+        self.samples: list[tuple[float, float, float]] = []
+        self.probe()  # fault in all buffers' pages (first touch ~50× slow)
         self.samples.clear()
 
     def probe(self) -> float:
@@ -322,13 +336,23 @@ class BandwidthSentinel:
         np.copyto(self._dst, self._src)
         dt = time.perf_counter() - t0
         bw = self._src.nbytes * 2 / 1e9 / max(dt, 1e-9)
-        self.samples.append((time.monotonic(), bw))
+        t1 = time.perf_counter()
+        np.take(self._gidx, self._gidx, out=self._gout)
+        gdt = time.perf_counter() - t1
+        gbw = self._gidx.nbytes * 2 / 1e9 / max(gdt, 1e-9)
+        self.samples.append((time.monotonic(), bw, gbw))
         return bw
 
     @property
     def reference(self) -> float:
-        """p90 of all probes this run — the quiet-box bandwidth."""
-        vals = sorted(bw for _, bw in self.samples)
+        """p90 of all copy probes this run — the quiet-box bandwidth."""
+        vals = sorted(s[1] for s in self.samples)
+        return vals[int(len(vals) * 0.9)] if vals else 0.0
+
+    @property
+    def gather_reference(self) -> float:
+        """p90 of the recorded-only gather series."""
+        vals = sorted(s[2] for s in self.samples)
         return vals[int(len(vals) * 0.9)] if vals else 0.0
 
     def leg_clean(self, bws: list[float]):
@@ -341,8 +365,13 @@ class BandwidthSentinel:
         return med >= self.REL_BAND * self.reference
 
     def between(self, t0: float, t1: float) -> list[float]:
-        """Probes recorded in the monotonic interval [t0, t1]."""
-        return [bw for t, bw in self.samples if t0 <= t <= t1]
+        """Copy probes recorded in the monotonic interval [t0, t1]."""
+        return [s[1] for s in self.samples if t0 <= s[0] <= t1]
+
+    def gather_between(self, t0: float, t1: float) -> list[float]:
+        """Gather probes (the recorded-only latency series) in the
+        monotonic interval [t0, t1]."""
+        return [s[2] for s in self.samples if t0 <= s[0] <= t1]
 
     def window(self) -> "_BwWindow":
         return _BwWindow(self)
@@ -358,6 +387,7 @@ class _BwWindow:
     def __enter__(self):
         import threading
 
+        self.t0 = time.monotonic()
         self._stop = threading.Event()
 
         def run():
@@ -372,10 +402,16 @@ class _BwWindow:
     def __exit__(self, *exc):
         self._stop.set()
         self._thread.join()
+        self.t1 = time.monotonic()
         return False
 
     def clean(self):
         return self.sentinel.leg_clean(self.bws)
+
+    def gathers(self) -> list[float]:
+        """The recorded-only gather series for this window (post-hoc
+        correlation diagnostics — not a verdict input)."""
+        return self.sentinel.gather_between(self.t0, self.t1)
 
 
 def bw_sentinel() -> BandwidthSentinel:
@@ -477,6 +513,10 @@ def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
         leg = {"sec": round(sec, 2), "window": "clean" if ok else "contended"}
         if inleg:
             leg["bw_med_gbs"] = round(sorted(inleg)[len(inleg) // 2], 1)
+            g = getattr(w, "gathers", lambda: [])()
+            if g:
+                # recorded-only latency series (see BandwidthSentinel)
+                leg["gather_med_gbs"] = round(sorted(g)[len(g) // 2], 2)
         legs.append(leg)
         n_clean += ok
         if n_clean >= min_clean:

@@ -23,7 +23,7 @@ import bench
 
 def _stub_sentinel(ref_bw: float = 16.0) -> bench.BandwidthSentinel:
     s = bench.BandwidthSentinel.__new__(bench.BandwidthSentinel)
-    s.samples = [(float(i), ref_bw) for i in range(10)]
+    s.samples = [(float(i), ref_bw, ref_bw / 8) for i in range(10)]
     return s
 
 
@@ -46,6 +46,7 @@ def test_between_selects_interval():
     s = _stub_sentinel()
     assert s.between(2.0, 4.0) == [16.0, 16.0, 16.0]
     assert s.between(100.0, 200.0) == []
+    assert s.gather_between(2.0, 3.0) == [2.0, 2.0]
 
 
 def test_window_samples_during_leg():

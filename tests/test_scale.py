@@ -391,6 +391,39 @@ def test_curate_composite_is_single_scan(spark):
         spark.catalog.clearCache()
 
 
+def test_agg_approx_plan_is_sketch_path(spark):
+    """r12 verdict #5: agg_approx (the slowest r12 tail key at 1.871 s)
+    must run its sketches on the ObjectHashAggregate partial-merge path
+    — approx_count_distinct's HLL++ and percentile_approx's KLL are
+    TypedImperativeAggregates, so a HashAggregate/SortAggregate there
+    would mean Spark fell back to sort-based merge.  The EXACT distinct
+    count and exact percentile in the same plan are the query's own
+    tolerance anchors (its semantics IS sketch-vs-exact), not a
+    fallback.  Also pins the two-aggregation SPLIT: countDistinct
+    rewrites through Expand, and a percentile_approx sharing that
+    Aggregate builds its accuracy-10000 sketch once per (group,
+    distinct-key) partial group — measured 41 s vs 2 s at sf0.1."""
+    import re
+
+    from arrow_experiments_spark.registry import all_queries
+
+    df = all_queries()["agg_approx"].build(spark, SF_DIR_T2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ObjectHashAggregate" in plan, plan[:3000]
+    low = plan.lower()
+    assert "partial_approx_count_distinct" in low, plan[:3000]
+    assert "partial_percentile_approx" in low, plan[:3000]
+    # the split shape: TWO separate lineitem scans feeding independent
+    # aggregate chains (one carries the count-distinct Expand, the
+    # other the percentile sketches) joined on the 3-row group key —
+    # a single combined scan would mean the Expand regression returned
+    read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(read_schemas) == 2, read_schemas
+    assert "Expand" in plan, plan[:3000]
+
+
 def test_twa_bucketed_is_two_level(spark):
     """The bucketed TWA's scale contract: the event-scale sort window is
     keyed (event_type, bucket) — the plan must carry two Window nodes
@@ -680,6 +713,46 @@ def test_lsh_cells_kernel_matches_in_plan_buckets(spark):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_lsh_cells_nullsafe_matches_and_tolerates_nulls(spark):
+    """lsh_cells_col_nullsafe (the embedding sink's FUSED raw-batch
+    probe kernel, r13) must be bit-identical to lsh_cells_col on
+    non-NULL rows and yield NULL — not raise — on NULL embeddings:
+    the fused probe runs BEFORE the direction gate, so raw batches
+    reach it ungated."""
+    from arrow_experiments_spark.operators.similarity import (
+        lsh_cells_col,
+        lsh_cells_col_nullsafe,
+    )
+    from arrow_experiments_spark.tables import table
+
+    emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
+    bands, bits = 3, 10
+    # interleave NULL rows among real ones (Arrow batches see mixes)
+    mixed = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 3 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    got = mixed.select(
+        "vec_id",
+        lsh_cells_col_nullsafe(F.col("embedding"), bands, bits).alias("c"),
+    ).collect()
+    want = {
+        r["vec_id"]: r["c"]
+        for r in emb.filter(F.col("vec_id") % 3 != 0)
+        .select(
+            "vec_id", lsh_cells_col(F.col("embedding"), bands, bits).alias("c")
+        )
+        .collect()
+    }
+    for r in got:
+        if r["vec_id"] % 3 == 0:
+            assert r["c"] is None, r
+        else:
+            assert r["c"] == want[r["vec_id"]], r
 
 
 def test_auto_ivf_oracle_green_above_threshold(spark, tmp_path):

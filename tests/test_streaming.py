@@ -832,7 +832,10 @@ def test_incremental_neardup_sink_band_leg_heals_after_crash(spark, tmp_path):
     assert index.count() == 8  # 4 postings x 2 docs, rebuilt
 
 
-def test_incremental_embedding_dedup_sink_gates_by_cosine(spark, tmp_path):
+@pytest.mark.parametrize("fused", [False, True])
+def test_incremental_embedding_dedup_sink_gates_by_cosine(
+    spark, tmp_path, fused, request
+):
     """SemDeDup at ingest: scaled copies of a retained vector (cosine
     exactly 1 — same direction, same LSH cells at every band) drop at
     the cell-index probe; orthogonal basis vectors (cosine 0) are
@@ -840,7 +843,14 @@ def test_incremental_embedding_dedup_sink_gates_by_cosine(spark, tmp_path):
     a re-ingested vec_id is dropped by the first-seen anti-join even
     with a different embedding; within one batch the lower vec_id of a
     qualifying pair wins.  The cell index stays consistent: 3 postings
-    (bands) per retained vector, embeddings denormalized in."""
+    (bands) per retained vector, embeddings denormalized in.
+
+    Parametrized over the fused raw-batch probe hatch (r13,
+    ``embdedup.fusedProbe`` — default two-pass after the wash A/B):
+    both probe shapes must gate identically, including the fused arm's
+    batch-1 two-pass FALLBACK (geometry derives from the first batch)
+    and its NULL-embedding tolerance (b2 carries a zero-norm row; the
+    fused probe sees raw ungated rows)."""
     import glob
     import os
     import shutil
@@ -848,6 +858,16 @@ def test_incremental_embedding_dedup_sink_gates_by_cosine(spark, tmp_path):
     from arrow_experiments_spark.streaming.egress import (
         incremental_embedding_dedup_sink,
         read_snapshot,
+    )
+
+    spark.conf.set(
+        "spark.arrowExperimentsSpark.embdedup.fusedProbe",
+        "true" if fused else "false",
+    )
+    request.addfinalizer(
+        lambda: spark.conf.unset(
+            "spark.arrowExperimentsSpark.embdedup.fusedProbe"
+        )
     )
 
     def basis(i, scale=1.0):
@@ -2200,6 +2220,44 @@ def test_merge_batch_precomputed_touched_superset(spark, tmp_path):
         want_dup = (3, 0, "b3") if mode == "insert" else (3, 1, "dup")
         assert want_dup in snaps["own"]
         assert (20, 1, "new") in snaps["own"]
+
+    # r13 (the fused-probe prerequisite): the full-range superset above
+    # names buckets with ZERO incoming rows — the fused raw-batch probe
+    # hands exactly such supersets to the merge (raw cells ⊇ survivor
+    # cells).  Beyond row equality, the zero-row touched buckets must
+    # not COST anything in insert-only mode: under the compaction
+    # threshold they stay hard-linked (same inode), not rewritten.
+    import pyspark.sql.functions as F
+
+    probe = batch(delta_rows).withColumn(
+        "_b", F.pmod(F.xxhash64("k"), F.lit(8)).cast("int")
+    )
+    delta_buckets = {r["_b"] for r in probe.select("_b").collect()}
+    v0 = str(tmp_path / "insert_superset" / "v0")
+    v1 = str(tmp_path / "insert_superset" / "v1")
+    committed_buckets = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(v0)
+        if d.startswith("_bucket=")
+    }
+    zero_row_buckets = committed_buckets - delta_buckets
+    assert zero_row_buckets, "fixture must leave some buckets untouched"
+    for b in zero_row_buckets:
+        d0, d1 = (
+            os.path.join(v, f"_bucket={b}") for v in (v0, v1)
+        )
+        inos0 = {
+            os.stat(os.path.join(d0, f)).st_ino
+            for f in os.listdir(d0) if f.endswith(".parquet")
+        }
+        inos1 = {
+            os.stat(os.path.join(d1, f)).st_ino
+            for f in os.listdir(d1) if f.endswith(".parquet")
+        }
+        assert inos0 == inos1, (
+            f"zero-incoming-row touched bucket {b} must hard-link, "
+            "not rewrite"
+        )
 
     # compaction still triggers off a superset: threshold 1 with two
     # files in bucket 0 forces the rewrite even though the delta's own
