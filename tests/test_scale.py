@@ -416,12 +416,14 @@ def test_agg_approx_plan_is_sketch_path(spark):
     assert "partial_approx_count_distinct" in low, plan[:3000]
     assert "partial_percentile_approx" in low, plan[:3000]
     # the split shape: TWO separate lineitem scans feeding independent
-    # aggregate chains (one carries the count-distinct Expand, the
-    # other the percentile sketches) joined on the 3-row group key —
-    # a single combined scan would mean the Expand regression returned
+    # aggregate chains (one carries the count-distinct rewrite — a
+    # two-level HashAggregate in Spark 4's single-distinct form — the
+    # other the percentile sketches) joined on the 3-row group key.  A
+    # single combined scan would mean the rewrite regression returned:
+    # a percentile_approx sharing the distinct Aggregate builds its
+    # accuracy-10000 sketch once per (group, distinct-key) partial.
     read_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert len(read_schemas) == 2, read_schemas
-    assert "Expand" in plan, plan[:3000]
 
 
 def test_twa_bucketed_is_two_level(spark):
