@@ -269,12 +269,18 @@ def main() -> None:
     ratio = round(r10["delta_sec"] / max(r1["delta_sec"], 1e-9), 2)
 
     def legfmt(r):
-        return ", ".join(
-            f"{g['sec']}s [{g['window']}]" for g in r["delta_legs"]
-        )
+        def one(g):
+            extra = (
+                f", gather {g['gather_med_gbs']}"
+                if "gather_med_gbs" in g
+                else ""
+            )
+            return f"{g['sec']}s [{g['window']}{extra}]"
+
+        return ", ".join(one(g) for g in r["delta_legs"])
 
     section = f"""
-## Composed curation sink: full funnel delta wall vs corpus scale (round 12, window-qualified)
+## Composed curation sink: full funnel delta wall vs corpus scale (round 13)
 
 incremental_neardup_sink with ALL FOUR funnel stages active — quality
 gate, bucket-pruned exact seen-before anti-join, band-index near-dup
@@ -282,11 +288,12 @@ probe, and benchmark DECONTAMINATION.  Same decade protocol as rounds
 10-11 (synthetic seeds, derived geometry, one planted contamination
 asserted at both scales), but the legs are now SENTINEL-QUALIFIED
 (r11 verdict #2 — the bench.py window qualifier ported into this
-sweep): every leg is bracketed by sentinel probes, a contended leg
-re-runs on the NEXT fresh 40-document delta in-invocation, and the
-committed number is the min of CLEAN legs only.  Per-leg window tags
-are recorded below and in the JSON line — the hand-discard
-adjudication of earlier rounds is mechanical now.
+sweep): every leg is bracketed by sentinel probes AND sampled
+in-leg (DRAM-copy verdict + the recorded-only random-gather latency
+series — r13), a contended leg re-runs on the NEXT fresh 40-document
+delta in-invocation, and the committed number is the min of CLEAN
+legs only.  Per-leg window tags and in-leg medians are recorded below
+and in the JSON line.
 
 | corpus | band postings | index buckets | delta leg (s) | window | legs | survivors |
 |---|---|---|---|---|---|---|
