@@ -129,7 +129,20 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.sources.parallelPartitionDiscovery.threshold", "16384"
     )
     # same escape hatch as build_session (r12 ADVICE: the A/B-a-conf-
-    # without-a-code-edit workflow must cover driver-owned sessions)
+    # without-a-code-edit workflow must cover driver-owned sessions).
+    # Static/core confs cannot be set on a live session — the builder
+    # path warns and continues, so this path must too, or the same env
+    # var would work against factory sessions and crash against
+    # driver-owned ones (and skip the remaining entries).
+    import warnings
+
     for k, v in _env_extra_conf():
-        spark.conf.set(k, v)
+        try:
+            spark.conf.set(k, v)
+        except Exception as e:  # noqa: BLE001 — static-conf rejection
+            warnings.warn(
+                f"SPARK_GRAFT_EXTRA_CONF: cannot set {k!r} on a live "
+                f"session ({e}); ignored",
+                stacklevel=2,
+            )
     return spark

@@ -293,15 +293,18 @@ def _resolve_parallel_writes(spark) -> bool:
     if explicit is not None:
         return str(explicit).lower() == "true"
 
-    def on(conf: str, default: str) -> bool:
-        return str(spark.conf.get(conf, default)).lower() == "true"
+    def on(conf: str) -> bool:
+        # no fallback argument: these are REGISTERED SQL confs, and
+        # conf.get(key) returns the EFFECTIVE value (Spark's own
+        # default when unset) — a fallback would shadow it (a bare
+        # session reports adaptive.enabled 'true' while
+        # conf.get(key, 'false') returns 'false')
+        return str(spark.conf.get(conf)).lower() == "true"
 
     return (
-        on("spark.sql.adaptive.enabled", "false")
-        and on("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        and not on(
-            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
-        )
+        on("spark.sql.adaptive.enabled")
+        and on("spark.sql.adaptive.coalescePartitions.enabled")
+        and not on("spark.sql.adaptive.coalescePartitions.parallelismFirst")
     )
 
 

@@ -731,12 +731,16 @@ def test_lsh_cells_nullsafe_matches_and_tolerates_nulls(spark):
 
     emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
     bands, bits = 3, 10
-    # interleave NULL rows among real ones (Arrow batches see mixes)
+    # interleave NULL and EMPTY rows among real ones (Arrow batches see
+    # mixes; the direction gate tolerates both, so the fused probe must)
     mixed = emb.withColumn(
         "embedding",
-        F.when(F.col("vec_id") % 3 == 0, F.lit(None)).otherwise(
-            F.col("embedding")
-        ),
+        F.when(F.col("vec_id") % 3 == 0, F.lit(None))
+        .when(
+            F.col("vec_id") % 3 == 1,
+            F.array().cast("array<float>"),
+        )
+        .otherwise(F.col("embedding")),
     )
     got = mixed.select(
         "vec_id",
@@ -744,15 +748,15 @@ def test_lsh_cells_nullsafe_matches_and_tolerates_nulls(spark):
     ).collect()
     want = {
         r["vec_id"]: r["c"]
-        for r in emb.filter(F.col("vec_id") % 3 != 0)
+        for r in emb.filter(F.col("vec_id") % 3 == 2)
         .select(
             "vec_id", lsh_cells_col(F.col("embedding"), bands, bits).alias("c")
         )
         .collect()
     }
     for r in got:
-        if r["vec_id"] % 3 == 0:
-            assert r["c"] is None, r
+        if r["vec_id"] % 3 != 2:
+            assert r["c"] is None, r  # NULL and empty both degrade to NULL
         else:
             assert r["c"] == want[r["vec_id"]], r
 

@@ -884,6 +884,8 @@ def test_incremental_embedding_dedup_sink_gates_by_cosine(
             (10, basis(0, 2.0)),   # scaled copy of vec 0 -> cosine 1 -> drop
             (11, basis(4)),        # orthogonal -> retained
             (12, [0.0] * 64),      # zero norm -> direction gate
+            (13, []),              # EMPTY -> direction gate (norm 0); the
+                                   # fused probe must tolerate it raw (r13)
         ]
     )
     b3 = frame(

@@ -66,6 +66,14 @@ ALL_CONFS = [
 # both arms, so a single-conf A/B isolates that conf's marginal cost
 # against the shipped posture).
 _only = os.environ.get("CONF_AB_CONFS", "")
+if _only:
+    _known = {s for s, *_ in ALL_CONFS}
+    _bad = [t for t in _only.split(",") if t not in _known]
+    if _bad:
+        raise SystemExit(
+            f"CONF_AB_CONFS entries must be comma-separated names from "
+            f"{sorted(_known)}, got {_bad!r}"
+        )
 CONFS = [
     (c, n, o) for s, c, n, o in ALL_CONFS
     if not _only or s in _only.split(",")
@@ -171,9 +179,13 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
-    if sys.argv[1:]:
+    if sys.argv[1:] or _only:
+        # restricted run (explicit keys, or a CONF_AB_CONFS factorial
+        # slice): JSON only — the committed SCALE.md section's
+        # narrative describes the FULL conf-set A/B and must not be
+        # appended from a single-conf decomposition
         return
-    # default-set run owns the committed SCALE.md section
+    # default full-set run owns the committed SCALE.md section
     lines = [
         "",
         "## Round-12 conf set adjudicated on the regressed headline keys"

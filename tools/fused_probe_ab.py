@@ -48,9 +48,9 @@ FUSE_CONF = "spark.arrowExperimentsSpark.embdedup.fusedProbe"
 
 
 def median(vals):
-    s = sorted(vals)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    import statistics
+
+    return statistics.median(vals)
 
 
 def main() -> None:

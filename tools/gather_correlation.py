@@ -40,8 +40,9 @@ CYCLE_SEC = 90.0
 
 
 def med(vals):
-    s = sorted(vals)
-    return s[len(s) // 2] if s else None
+    import statistics
+
+    return statistics.median(vals) if vals else None
 
 
 def main() -> None:
@@ -88,6 +89,10 @@ def main() -> None:
             time.sleep(max(0.0, CYCLE_SEC - (time.monotonic() - cycle_t0)))
     spark.stop()
 
+    if not points:
+        print(json.dumps({"metric": "gather_correlation", "n": 0,
+                          "error": "no points collected (minutes <= 0?)"}))
+        return
     copy_ref = sorted(p["copy_med"] for p in points)[int(len(points) * 0.9)]
     gather_ref = sorted(p["gather_med"] for p in points)[
         int(len(points) * 0.9)
