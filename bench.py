@@ -978,9 +978,21 @@ def main() -> None:
     # run at ~1 Hz during every measured leg and flag it directly
     bw = bw_sentinel()
 
+    gather_meds: dict[str, list] = {}
+
     def measure_inleg(name: str) -> tuple[float, list[float]]:
+        import statistics
+
         with bw.window() as w:
             v = measure(name)
+        # recorded-only latency diagnostics (r13): per-leg gather
+        # medians accumulate per key so a cross-round adjudication of
+        # any odd BENCH number can check the latency-phase signature
+        # without re-running anything
+        g = w.gathers()
+        gather_meds.setdefault(name, []).append(
+            round(statistics.median(g), 2) if g else None
+        )
         return v, w.bws
 
     items = ["s1_replay_10m", "s1_replay_10m_x4", *_S2_STRATEGIES, *names]
@@ -1291,7 +1303,11 @@ def main() -> None:
                 "interval_sec": BandwidthSentinel.INTERVAL_SEC,
                 "min_samples": BandwidthSentinel.MIN_SAMPLES,
                 "reference_gbs": round(bw.reference, 1),
+                "gather_reference_gbs": round(bw.gather_reference, 2),
                 "n_probes": len(bw.samples),
+                # per-key per-leg gather medians (recorded-only latency
+                # series; None = leg too short for a probe)
+                "gather_med_by_key": gather_meds,
                 "bracket_clean_but_inleg_flagged": sorted(
                     {
                         k
