@@ -303,6 +303,8 @@ class BandwidthSentinel:
     BUF_MB = 128
     GATHER_MB = 32
     REL_BAND = 0.5
+    # gather promotion band (None = recorded-only; see leg_clean_full)
+    GATHER_BAND: float | None = None
     MIN_SAMPLES = 2
     INTERVAL_SEC = 1.0
 
@@ -364,11 +366,18 @@ class BandwidthSentinel:
         p90 = vals[int(len(vals) * 0.9)] if vals else 0.0
         return max(p90, self.REF_FLOOR_GBS)
 
+    # gather anchor, same self-normalization rationale as REF_FLOOR_GBS
+    # (this box gathers ~1.5-2.2 GB/s-equivalent quiet at 32 MiB)
+    GATHER_REF_FLOOR_GBS = float(
+        os.environ.get("SPARK_GRAFT_GATHER_REF_FLOOR", "1.0")
+    )
+
     @property
     def gather_reference(self) -> float:
-        """p90 of the recorded-only gather series."""
+        """p90 of the gather series, anchored from below."""
         vals = sorted(s[2] for s in self.samples)
-        return vals[int(len(vals) * 0.9)] if vals else 0.0
+        p90 = vals[int(len(vals) * 0.9)] if vals else 0.0
+        return max(p90, self.GATHER_REF_FLOOR_GBS)
 
     def leg_clean(self, bws: list[float]):
         """True/False verdict for a leg's in-leg series; None when the
@@ -381,6 +390,26 @@ class BandwidthSentinel:
         if len(bws) < self.MIN_SAMPLES:
             return None
         return statistics.median(bws) >= self.REL_BAND * self.reference
+
+    def leg_clean_full(self, bws: list[float], gathers: list[float]):
+        """Copy verdict AND (when promoted) the gather verdict: a leg
+        is contended if either series' median falls under its band.
+        ``GATHER_BAND = None`` keeps the gather series recorded-only
+        (the r13 default while the correlation dataset accrues);
+        setting a number promotes it."""
+        import statistics
+
+        copy_verdict = self.leg_clean(bws)
+        if self.GATHER_BAND is None:
+            return copy_verdict
+        if len(gathers) < self.MIN_SAMPLES:
+            return copy_verdict
+        gather_ok = statistics.median(gathers) >= (
+            self.GATHER_BAND * self.gather_reference
+        )
+        if copy_verdict is None:
+            return gather_ok
+        return copy_verdict and gather_ok
 
     def between(self, t0: float, t1: float) -> list[float]:
         """Copy probes recorded in the monotonic interval [t0, t1]."""
@@ -516,7 +545,7 @@ def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
     import statistics
 
     legs: list[dict] = []
-    inlegs: list[list[float]] = []
+    inlegs: list[tuple[list[float], list[float]]] = []
     brackets: list[tuple[int, int]] = []
     n_clean = 0
     for fn in leg_fns:
@@ -529,18 +558,17 @@ def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
             sec = fn()
             inleg = []
         a = qual.probe()
+        gathers = getattr(w, "gathers", lambda: [])() if bw is not None else []
         ok = qual.clean(b, a) and (
-            bw is None or bw.leg_clean(inleg) is not False
+            bw is None or bw.leg_clean_full(inleg, gathers) is not False
         )
         leg = {"sec": round(sec, 2)}
         if inleg:
             leg["bw_med_gbs"] = round(statistics.median(inleg), 1)
-            g = getattr(w, "gathers", lambda: [])()
-            if g:
-                # recorded-only latency series (see BandwidthSentinel)
-                leg["gather_med_gbs"] = round(statistics.median(g), 2)
+            if gathers:
+                leg["gather_med_gbs"] = round(statistics.median(gathers), 2)
         legs.append(leg)
-        inlegs.append(inleg)
+        inlegs.append((inleg, gathers))
         brackets.append((b, a))
         # the in-flight verdict only steers the early-break; the
         # COMMITTED verdicts are re-derived below
@@ -555,9 +583,9 @@ def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
     # later quiet probe raises the reference and retroactively flags
     # them — the committed number is then "contended", flagged, never
     # silently trusted.
-    for leg, inleg, (b, a) in zip(legs, inlegs, brackets):
+    for leg, (inleg, gathers), (b, a) in zip(legs, inlegs, brackets):
         ok = qual.clean(b, a) and (
-            bw is None or bw.leg_clean(inleg) is not False
+            bw is None or bw.leg_clean_full(inleg, gathers) is not False
         )
         leg["window"] = "clean" if ok else "contended"
     clean_vals = [g["sec"] for g in legs if g["window"] == "clean"]
@@ -980,20 +1008,19 @@ def main() -> None:
 
     gather_meds: dict[str, list] = {}
 
-    def measure_inleg(name: str) -> tuple[float, list[float]]:
+    def measure_inleg(name: str):
         import statistics
 
         with bw.window() as w:
             v = measure(name)
-        # recorded-only latency diagnostics (r13): per-leg gather
-        # medians accumulate per key so a cross-round adjudication of
-        # any odd BENCH number can check the latency-phase signature
-        # without re-running anything
+        # latency diagnostics (r13): per-leg gather medians accumulate
+        # per key so a cross-round adjudication of any odd BENCH number
+        # can check the latency-phase signature without re-running
         g = w.gathers()
         gather_meds.setdefault(name, []).append(
             round(statistics.median(g), 2) if g else None
         )
-        return v, w.bws
+        return v, (w.bws, g)
 
     items = ["s1_replay_10m", "s1_replay_10m_x4", *_S2_STRATEGIES, *names]
     passes: list[dict[str, float]] = []
@@ -1018,7 +1045,7 @@ def main() -> None:
         """Bracket-clean AND in-leg-clean (None = leg too short for an
         in-leg verdict — the brackets govern, as before)."""
         return qual.clean(*brackets[p][k]) and (
-            bw.leg_clean(inlegs[p][k]) is not False
+            bw.leg_clean_full(*inlegs[p][k]) is not False
         )
 
     def commit_stat(samples: list[float]) -> float:
@@ -1048,7 +1075,7 @@ def main() -> None:
             v, il = measure_inleg(k)
             a = qual.probe()
             rerun_vals.append(v)
-            if qual.clean(b, a) and bw.leg_clean(il) is not False:
+            if qual.clean(b, a) and bw.leg_clean_full(*il) is not False:
                 timings[k] = round(v, 3)
                 tag = "rerun_clean"
                 break
@@ -1129,7 +1156,7 @@ def main() -> None:
             v, il = measure_inleg(name)
             a = qual.probe()
             extra.append(
-                (v, qual.clean(b, a) and bw.leg_clean(il) is not False)
+                (v, qual.clean(b, a) and bw.leg_clean_full(*il) is not False)
             )
         samples = [p[name] for p in passes] + [v for v, _ in extra]
         floor_watch[name] = [round(s, 3) for s in samples]
@@ -1178,14 +1205,14 @@ def main() -> None:
         b = qual.probe()
         v, il = measure_inleg(name)
         a = qual.probe()
-        if qual.clean(b, a) and bw.leg_clean(il) is not False:
+        if qual.clean(b, a) and bw.leg_clean_full(*il) is not False:
             tail[name] = round(v, 3)
             tail_quality[name] = "clean"
             continue
         b2 = qual.probe()
         v2, il2 = measure_inleg(name)
         a2 = qual.probe()
-        if qual.clean(b2, a2) and bw.leg_clean(il2) is not False:
+        if qual.clean(b2, a2) and bw.leg_clean_full(*il2) is not False:
             tail[name] = round(v2, 3)
             tail_quality[name] = "rerun_clean"
         else:
@@ -1300,6 +1327,7 @@ def main() -> None:
             "inleg": {
                 "buf_mb": BandwidthSentinel.BUF_MB,
                 "rel_band": BandwidthSentinel.REL_BAND,
+                "gather_band": BandwidthSentinel.GATHER_BAND,
                 "interval_sec": BandwidthSentinel.INTERVAL_SEC,
                 "min_samples": BandwidthSentinel.MIN_SAMPLES,
                 "reference_gbs": round(bw.reference, 1),
@@ -1314,7 +1342,7 @@ def main() -> None:
                         for p in range(len(passes))
                         for k in items
                         if qual.clean(*brackets[p][k])
-                        and bw.leg_clean(inlegs[p][k]) is False
+                        and bw.leg_clean_full(*inlegs[p][k]) is False
                     }
                 ),
             },

@@ -42,6 +42,26 @@ def test_leg_clean_verdicts():
     assert s.leg_clean([band, band]) is True
 
 
+def test_leg_clean_full_gather_promotion():
+    """GATHER_BAND=None keeps the gather series recorded-only (verdict
+    = the copy verdict); a promoted band ANDs the two medians, and a
+    too-short gather series defers to copy alone."""
+    s = _stub_sentinel(16.0)  # copy ref 16, gather ref max(2.0, floor)
+    good_copy, bad_gather = [15.0, 15.5], [0.1, 0.1]
+    assert s.leg_clean_full(good_copy, bad_gather) is True  # recorded-only
+    try:
+        bench.BandwidthSentinel.GATHER_BAND = 0.4
+        ref = s.gather_reference
+        assert s.leg_clean_full(good_copy, bad_gather) is False
+        assert s.leg_clean_full(good_copy, [0.9 * ref, 0.9 * ref]) is True
+        # short gather series: copy verdict governs
+        assert s.leg_clean_full(good_copy, [0.1]) is True
+        # copy unknown + gather known: gather governs
+        assert s.leg_clean_full([], bad_gather) is False
+    finally:
+        bench.BandwidthSentinel.GATHER_BAND = None
+
+
 def test_between_selects_interval():
     s = _stub_sentinel()
     assert s.between(2.0, 4.0) == [16.0, 16.0, 16.0]
@@ -87,7 +107,7 @@ def test_qualified_legs_inleg_flag_overrides_clean_brackets():
         def window(self):
             return self._W()
 
-        def leg_clean(self, bws):
+        def leg_clean_full(self, bws, gathers):
             return False
 
     sec, tag, legs = bench.qualified_legs(

@@ -132,7 +132,7 @@ def main() -> None:
                 with bw.window() as w:
                     sec = one_leg(name)
                 a = qual.probe()
-                ok = qual.clean(b, a) and bw.leg_clean(w.bws) is not False
+                ok = qual.clean(b, a) and bw.leg_clean_full(w.bws, w.gathers()) is not False
                 legs[arm].append(
                     {
                         "sec": round(sec, 3),

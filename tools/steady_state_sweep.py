@@ -383,7 +383,11 @@ def main() -> None:
         prev, prev_t = b0, t_run0
         for _bid, after, t_mark in marks:
             ok = qual.clean(prev, after) and (
-                bw.leg_clean(bw.between(prev_t, t_mark)) is not False
+                bw.leg_clean_full(
+                    bw.between(prev_t, t_mark),
+                    bw.gather_between(prev_t, t_mark),
+                )
+                is not False
             )
             tags.append("clean" if ok else "contended")
             prev, prev_t = after, t_mark
