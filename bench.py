@@ -303,7 +303,11 @@ class BandwidthSentinel:
     BUF_MB = 128
     GATHER_MB = 32
     REL_BAND = 0.5
-    # gather promotion band (None = recorded-only; see leg_clean_full)
+    # gather promotion band — None = recorded-only.  Promotion was
+    # evaluated and REJECTED on a 67-point correlation dataset (r13,
+    # SCALE.md "Gather-probe promotion: REJECTED on data"): half the
+    # quiet legs show collapsed gather, so any useful band false-flags
+    # 32-53% of commit-worthy legs.  The hook stays for other hardware.
     GATHER_BAND: float | None = None
     MIN_SAMPLES = 2
     INTERVAL_SEC = 1.0
