@@ -610,7 +610,7 @@ def main() -> None:
 
     lines = [
         "",
-        "## Steady-state per-batch cost of the gate sinks (round 12)",
+        "## Steady-state per-batch cost of the gate sinks (round 13 confirmation)",
         "",
         "r11 verdict #1: the per-leg sweeps conflate the ~1.8 s per-attach",
         "plan compile and stream start/stop with the deployed cadence.  This",
