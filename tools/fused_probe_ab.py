@@ -1,9 +1,12 @@
 #!/usr/bin/env python
 """Paired in-session A/B of the fused cells probe (r12 'next floor
-lever', shipped r13): the embedding gate's touched CELL buckets are now
-computed in the same aggregate as the id buckets and the batch row
-count (three outputs, one job) instead of a separate probe job
-serialized behind the fresh/dcells persists.
+lever').  Fused = the embedding gate's touched CELL buckets computed
+in the same aggregate as the id buckets and the batch row count
+(three outputs, one job) instead of a separate probe job serialized
+behind the fresh/dcells persists.  OUTCOME (r13): a WASH — min 6.37 s
+fused vs 6.30 s two-pass over 12 paired marginal batches — so the
+two-pass probe stays the default and the fused path ships behind
+``embdedup.fusedProbe`` (SCALE.md "Fused cells probe: paired A/B").
 
 The r12 guard-count lesson says job elimination conserves work unless
 the job was pure overhead — so this is measured, not assumed, and
