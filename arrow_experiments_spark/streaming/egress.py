@@ -293,18 +293,31 @@ def _resolve_parallel_writes(spark) -> bool:
     if explicit is not None:
         return str(explicit).lower() == "true"
 
-    def on(conf: str) -> bool:
-        # no fallback argument: these are REGISTERED SQL confs, and
-        # conf.get(key) returns the EFFECTIVE value (Spark's own
-        # default when unset) — a fallback would shadow it (a bare
-        # session reports adaptive.enabled 'true' while
-        # conf.get(key, 'false') returns 'false')
-        return str(spark.conf.get(conf)).lower() == "true"
+    def on(conf: str, unreadable_default: bool) -> bool:
+        # no fallback ARGUMENT to conf.get: these are REGISTERED SQL
+        # confs, and conf.get(key) returns the EFFECTIVE value (Spark's
+        # own default when unset) — a get-fallback would shadow it (a
+        # bare session reports adaptive.enabled 'true' while
+        # conf.get(key, 'false') returns 'false').  But on a build
+        # where the key is UNREGISTERED (a conf that postdates the
+        # Spark version, or a Connect session with restricted conf
+        # access) the lookup raises — fall back to the documented
+        # Spark default then, which resolves the overall expression to
+        # sequential writes, the safe direction (r13 ADVICE).
+        try:
+            val = spark.conf.get(conf)
+        except Exception:  # noqa: BLE001 — unregistered key / restricted access
+            return unreadable_default
+        return str(val).lower() == "true"
 
     return (
-        on("spark.sql.adaptive.enabled")
-        and on("spark.sql.adaptive.coalescePartitions.enabled")
-        and not on("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        on("spark.sql.adaptive.enabled", True)
+        and on("spark.sql.adaptive.coalescePartitions.enabled", True)
+        # parallelismFirst defaults true in Spark, so an unreadable key
+        # resolves the conjunction to False → sequential writes
+        and not on(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", True
+        )
     )
 
 

@@ -332,6 +332,18 @@ class BandwidthSentinel:
         self._gout = np.empty_like(self._gidx)
         # (monotonic, copy GB/s, gather GB/s)
         self.samples: list[tuple[float, float, float]] = []
+        # env floors read at CONSTRUCTION, not import (r13 ADVICE): a
+        # sweep tool that sets SPARK_GRAFT_BW_REF_FLOOR after importing
+        # bench must still see it at sentinel build time.  The class
+        # attributes below remain the documented defaults.
+        self.REF_FLOOR_GBS = float(
+            os.environ.get("SPARK_GRAFT_BW_REF_FLOOR", str(self.REF_FLOOR_GBS))
+        )
+        self.GATHER_REF_FLOOR_GBS = float(
+            os.environ.get(
+                "SPARK_GRAFT_GATHER_REF_FLOOR", str(self.GATHER_REF_FLOOR_GBS)
+            )
+        )
         self.probe()  # fault in all buffers' pages (first touch ~50× slow)
         self.samples.clear()
 
@@ -359,8 +371,9 @@ class BandwidthSentinel:
     # everything would flag until SPARK_GRAFT_BW_REF_FLOOR is
     # recalibrated — the intended failure direction (flagged, never
     # silently trusted), same posture as the loopback band constants
-    # above, which are equally box-calibrated.
-    REF_FLOOR_GBS = float(os.environ.get("SPARK_GRAFT_BW_REF_FLOOR", "12"))
+    # above, which are equally box-calibrated.  The class value is the
+    # default; __init__ overrides from the env at construction time.
+    REF_FLOOR_GBS = 12.0
 
     @property
     def reference(self) -> float:
@@ -371,10 +384,9 @@ class BandwidthSentinel:
         return max(p90, self.REF_FLOOR_GBS)
 
     # gather anchor, same self-normalization rationale as REF_FLOOR_GBS
-    # (this box gathers ~1.5-2.2 GB/s-equivalent quiet at 32 MiB)
-    GATHER_REF_FLOOR_GBS = float(
-        os.environ.get("SPARK_GRAFT_GATHER_REF_FLOOR", "1.0")
-    )
+    # (this box gathers ~1.5-2.2 GB/s-equivalent quiet at 32 MiB);
+    # default here, env override in __init__
+    GATHER_REF_FLOOR_GBS = 1.0
 
     @property
     def gather_reference(self) -> float:
@@ -528,6 +540,28 @@ def sweep_qualifier(spark) -> "WindowQualifier":
     return qual
 
 
+def commit_stat(samples: list[float]) -> float:
+    """The COMMITTED statistic: MIN of the (window-qualified clean)
+    samples.  r14 (verdict #1): the box's co-tenant phases inflate
+    mildly (1.5-1.9×) below every probe's detection threshold, so any
+    order statistic above the min embeds phase inflation — the box-noise
+    protocol's conclusion (SCALE.md gather rejection; three rounds of
+    paired A/Bs) is that min over clean legs is the only load-bearing
+    statistic on this box.  Round-over-round DRIFT is watched via
+    drift_stat in BENCH_DETAIL instead, where r11-r13's committed
+    lower-middle keeps its series."""
+    return round(min(samples), 3)
+
+
+def drift_stat(samples: list[float]) -> float:
+    """The drift-watch statistic (BENCH_DETAIL ``drift_watch``): the
+    lower-middle of the sorted samples — r11-r13's committed statistic,
+    kept as a series so a real level shift (tight spread, higher
+    middle) still separates from a lucky-min mask."""
+    s = sorted(samples)
+    return round(s[(len(s) - 1) // 2], 3)
+
+
 def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
     """Sentinel-bracket a sweep's measurement legs (r11 verdict #2 —
     the SCALE sweeps used to commit min-over-N-legs and adjudicate
@@ -551,18 +585,20 @@ def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
     legs: list[dict] = []
     inlegs: list[tuple[list[float], list[float]]] = []
     brackets: list[tuple[int, int]] = []
-    n_clean = 0
-    for fn in leg_fns:
+    fns = iter(leg_fns)
+
+    def run_leg(fn) -> bool:
+        """Run one leg; record it; return the PROVISIONAL verdict."""
         b = qual.probe()
         if bw is not None:
             with bw.window() as w:
                 sec = fn()
             inleg = w.bws
+            gathers = getattr(w, "gathers", lambda: [])()
         else:
             sec = fn()
-            inleg = []
+            inleg, gathers = [], []
         a = qual.probe()
-        gathers = getattr(w, "gathers", lambda: [])() if bw is not None else []
         ok = qual.clean(b, a) and (
             bw is None or bw.leg_clean_full(inleg, gathers) is not False
         )
@@ -574,27 +610,50 @@ def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
         legs.append(leg)
         inlegs.append((inleg, gathers))
         brackets.append((b, a))
-        # the in-flight verdict only steers the early-break; the
-        # COMMITTED verdicts are re-derived below
-        n_clean += ok
+        return ok
+
+    def finalize() -> int:
+        """Re-derive every leg's verdict with the CURRENT (end-of-run)
+        bandwidth reference and rewrite the tags; returns the clean
+        count.  A run whose start falls inside a co-tenant phase would
+        otherwise self-normalize (the reference p90 is phase-depressed
+        when the early legs are judged, so contaminated legs tag clean
+        and the early-break stops the run); re-deriving after all legs
+        means a later quiet probe raises the reference and
+        retroactively flags them."""
+        n = 0
+        for leg, (inleg, gathers), (b, a) in zip(legs, inlegs, brackets):
+            ok = qual.clean(b, a) and (
+                bw is None or bw.leg_clean_full(inleg, gathers) is not False
+            )
+            leg["window"] = "clean" if ok else "contended"
+            n += ok
+        return n
+
+    # the in-flight verdicts only steer the early-break; the COMMITTED
+    # verdicts are re-derived by finalize()
+    n_clean = 0
+    for fn in fns:
+        n_clean += run_leg(fn)
         if n_clean >= min_clean:
             break
-    # Final verdicts with the END-OF-RUN bandwidth reference: a run
-    # whose start falls inside a co-tenant phase would otherwise
-    # self-normalize (the reference p90 is phase-depressed when the
-    # early legs are judged, so contaminated legs tag clean and the
-    # early-break stops the run).  Re-deriving after all legs means a
-    # later quiet probe raises the reference and retroactively flags
-    # them — the committed number is then "contended", flagged, never
-    # silently trusted.
-    for leg, (inleg, gathers), (b, a) in zip(legs, inlegs, brackets):
-        ok = qual.clean(b, a) and (
-            bw is None or bw.leg_clean_full(inleg, gathers) is not False
-        )
-        leg["window"] = "clean" if ok else "contended"
+    # r13 ADVICE: the re-derivation can only get STRICTER (the
+    # reference rises as quiet probes accrue), so a retro-flagged leg
+    # can leave fewer than min_clean survivors — keep consuming the
+    # remaining leg supply until the FINAL verdicts hold min_clean
+    # clean legs or the supply is exhausted.
+    while finalize() < min_clean:
+        fn = next(fns, None)
+        if fn is None:
+            break
+        run_leg(fn)
     clean_vals = [g["sec"] for g in legs if g["window"] == "clean"]
     if clean_vals:
-        return min(clean_vals), "clean", legs
+        # supply exhausted below the promised sample count: still a
+        # min-over-clean commit, but tagged so consumers know the
+        # sample was thinner than asked (r13 ADVICE)
+        tag = "clean" if len(clean_vals) >= min_clean else "clean_partial"
+        return min(clean_vals), tag, legs
     return min(g["sec"] for g in legs), "contended", legs
 
 
@@ -1052,21 +1111,16 @@ def main() -> None:
             bw.leg_clean_full(*inlegs[p][k]) is not False
         )
 
-    def commit_stat(samples: list[float]) -> float:
-        # lower-middle of the sorted samples: the median's robustness
-        # for 3, the min for 2, identity for 1 — never rewards a lucky
-        # outlier twice, never averages two windows together
-        s = sorted(samples)
-        return round(s[(len(s) - 1) // 2], 3)
-
     timings: dict[str, float] = {}
     quality: dict[str, str] = {}
+    drift_watch: dict[str, float] = {}
     for k in items:
         clean = [
             passes[p][k] for p in range(len(passes)) if leg_ok(p, k)
         ]
         if clean:
             timings[k] = commit_stat(clean)
+            drift_watch[k] = drift_stat(clean)
             quality[k] = "clean"
             continue
         # every pass's sample was bracketed by a contended window (or
@@ -1081,12 +1135,13 @@ def main() -> None:
             rerun_vals.append(v)
             if qual.clean(b, a) and bw.leg_clean_full(*il) is not False:
                 timings[k] = round(v, 3)
+                drift_watch[k] = round(v, 3)
                 tag = "rerun_clean"
                 break
         if tag != "rerun_clean":
-            timings[k] = commit_stat(
-                [p[k] for p in passes] + rerun_vals
-            )
+            all_vals = [p[k] for p in passes] + rerun_vals
+            timings[k] = commit_stat(all_vals)
+            drift_watch[k] = drift_stat(all_vals)
         quality[k] = tag
     # reference-scale S1 (single run, after the passes so its 3 GiB of
     # I/O doesn't perturb the small-query timings).  r8 verdict #2: the
@@ -1179,12 +1234,13 @@ def main() -> None:
             floor_watch[name] = [round(s, 3) for s in samples]
         if clean_samples:
             timings[name] = commit_stat(clean_samples)
+            drift_watch[name] = drift_stat(clean_samples)
             # the extra bracketed samples refine, not degrade, the tag
             if quality.get(name) != "rerun_clean":
                 quality[name] = "clean"
         else:
-            ordered = sorted(samples)
-            timings[name] = round(ordered[len(ordered) // 2], 3)
+            timings[name] = commit_stat(samples)
+            drift_watch[name] = drift_stat(samples)
             quality[name] = "contended"
         spread[name] = [
             round(min(samples), 3), round(max(samples), 3)
@@ -1242,13 +1298,25 @@ def main() -> None:
     detail = {
         "spread": spread,
         "total_excludes": sorted(total_excludes),
+        # r14 (verdict #1): the committed statistic moved to MIN over
+        # clean samples (see commit_stat); this series keeps r11-r13's
+        # lower-middle per key, so cross-round drift comparisons against
+        # r11-r13 committed numbers stay apples-to-apples
+        "drift_watch": drift_watch,
         # comparability notes vs earlier rounds' keys
         "notes": [
-            "r11: committed statistic is the lower-middle of the CLEAN"
-            " samples (window-qualified per key; see 'window'), replacing"
-            " the unconditional median-of-3 — in a fully-quiet run the two"
-            " coincide for 3 clean samples and differ by at most the"
-            " min-vs-median gap when one pass was excluded",
+            "r14: committed statistic is the MIN of the CLEAN samples"
+            " (commit_stat) — the box-noise protocol's load-bearing"
+            " statistic (mild 1.5-1.9x phase inflation is invisible to"
+            " every probe tried, so any higher order statistic embeds"
+            " it); r11-r13 committed the lower-middle, which continues"
+            " as BENCH_DETAIL drift_watch — compare r14+ values to"
+            " earlier rounds via that series, not the headline",
+            "r11 (superseded r14): committed statistic was the lower-middle"
+            " of the CLEAN samples (window-qualified per key; see 'window'),"
+            " replacing the unconditional median-of-3 — in a fully-quiet"
+            " run the two coincide for 3 clean samples and differ by at"
+            " most the min-vs-median gap when one pass was excluded",
             "q1/q5 decomposition (r10 verdict #8, measured r11 at sf0.1):"
             " q1 is AGGREGATION-bound, not scan-bound — the filtered 6-col"
             " lineitem scan alone is 0.24 s of the 1.05 s total; the cost"

@@ -116,3 +116,137 @@ def test_qualified_legs_inleg_flag_overrides_clean_brackets():
     assert tag == "contended"
     assert [g["window"] for g in legs] == ["contended", "contended"]
     assert sec == 0.5  # min of everything, flagged
+
+
+class _QuietQual:
+    def __init__(self):
+        self.samples = []
+
+    def probe(self):
+        self.samples.append(0.01)
+        return len(self.samples) - 1
+
+    def clean(self, b, a):
+        return True
+
+
+def test_qualified_legs_retro_flag_consumes_remaining_supply():
+    """r13 ADVICE: the end-of-run re-derivation can only get stricter,
+    so a retro-flagged leg can drop the clean count below min_clean —
+    the function must then keep consuming leg_fns instead of committing
+    'clean' over a thinner-than-promised sample.  This stub flags every
+    leg EXCEPT the most recent one at re-derivation time (the rising-
+    reference shape), so the run must consume the whole 4-leg supply
+    and, still one short of min_clean=2, downgrade to clean_partial."""
+
+    class RetroBw:
+        def __init__(self):
+            self.latest = -1
+
+        def window(self):
+            self.latest += 1
+            outer = self
+
+            class W:
+                bws = [float(outer.latest), float(outer.latest)]
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    return False
+
+                def gathers(self):
+                    return []
+
+            return W()
+
+        def leg_clean_full(self, bws, gathers):
+            return bool(bws) and bws[0] == float(self.latest)
+
+    runs = []
+
+    def make_leg(sec):
+        def leg():
+            runs.append(sec)
+            return sec
+
+        return leg
+
+    sec, tag, legs = bench.qualified_legs(
+        _QuietQual(),
+        [make_leg(s) for s in (0.5, 0.6, 0.7, 0.4)],
+        bw=RetroBw(),
+    )
+    assert len(runs) == 4  # supply consumed past the early break
+    assert tag == "clean_partial"  # exhausted with 1 < min_clean survivors
+    assert sec == 0.4  # min over the legs that FINALIZED clean
+    assert [g["window"] for g in legs] == [
+        "contended", "contended", "contended", "clean",
+    ]
+
+
+def test_qualified_legs_stable_verdicts_stop_at_min_clean():
+    """When the re-derivation agrees with the in-flight verdicts the
+    early break holds: two clean legs commit, the rest never run."""
+
+    class SteadyBw:
+        def window(self):
+            class W:
+                bws = [16.0, 16.0]
+
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    return False
+
+                def gathers(self):
+                    return []
+
+            return W()
+
+        def leg_clean_full(self, bws, gathers):
+            return True
+
+    runs = []
+
+    def make_leg(sec):
+        def leg():
+            runs.append(sec)
+            return sec
+
+        return leg
+
+    sec, tag, legs = bench.qualified_legs(
+        _QuietQual(),
+        [make_leg(s) for s in (0.5, 0.6, 0.7)],
+        bw=SteadyBw(),
+    )
+    assert len(runs) == 2
+    assert (sec, tag) == (0.5, "clean")
+
+
+def test_commit_and_drift_stats():
+    """r14 verdict #1: the committed statistic is the MIN of the clean
+    samples; the lower-middle (r11-r13's committed statistic) continues
+    as the BENCH_DETAIL drift_watch series."""
+    assert bench.commit_stat([0.61, 0.41, 0.52]) == 0.41
+    assert bench.drift_stat([0.61, 0.41, 0.52]) == 0.52
+    assert bench.drift_stat([0.61, 0.41]) == 0.41  # lower-middle of 2 = min
+    assert bench.commit_stat([0.7]) == bench.drift_stat([0.7]) == 0.7
+
+
+def test_bw_floor_env_read_at_construction(monkeypatch):
+    """r13 ADVICE: the env floors must be read when the sentinel is
+    BUILT, not when bench is imported — sweep tools set the env var
+    after importing bench."""
+    monkeypatch.setenv("SPARK_GRAFT_BW_REF_FLOOR", "34.5")
+    monkeypatch.setenv("SPARK_GRAFT_GATHER_REF_FLOOR", "5.25")
+    s = bench.BandwidthSentinel()
+    assert s.REF_FLOOR_GBS == 34.5
+    assert s.GATHER_REF_FLOOR_GBS == 5.25
+    # class defaults untouched (the __new__-built stubs elsewhere in
+    # this file rely on them)
+    assert bench.BandwidthSentinel.REF_FLOOR_GBS == 12.0
+    assert bench.BandwidthSentinel.GATHER_REF_FLOOR_GBS == 1.0

@@ -121,6 +121,28 @@ def test_parallel_writes_default_follows_coalescing(spark):
         spark.conf.unset(_PARALLEL_WRITES_CONF)
 
 
+def test_parallel_writes_unreadable_conf_falls_back_sequential():
+    """r13 ADVICE: on a Spark build where one of the adaptive confs is
+    unregistered (or a Connect session restricts conf access) the
+    resolver must fall back to the documented Spark default instead of
+    raising — and because parallelismFirst defaults true, an unreadable
+    key resolves to sequential writes, the safe direction."""
+    from arrow_experiments_spark.streaming.egress import (
+        _resolve_parallel_writes,
+    )
+
+    class RaisingConf:
+        def get(self, key, default="sentinel-no-default"):
+            if default != "sentinel-no-default":
+                return default  # the explicit-conf lookup passes None
+            raise Exception(f"unregistered conf: {key}")
+
+    class FakeSpark:
+        conf = RaisingConf()
+
+    assert _resolve_parallel_writes(FakeSpark()) is False
+
+
 def test_extra_conf_env_rejects_malformed(monkeypatch):
     """SPARK_GRAFT_EXTRA_CONF entries must be key=value; a bare token
     fails fast instead of silently configuring nothing."""
