@@ -122,6 +122,12 @@ AUDIT = [
     "agg_pivot",
     "agg_rollup",
 ]
+# r13 verdict #3: the audit covers the FULL registry — every registered
+# query not named above (mostly cheap scalar/set/window/join plans) is
+# appended in sorted order in main(), so PLANS.md holds one section per
+# registered query and a regeneration fails loudly if any is missing.
+# The explicit list above keeps its curated order (stable diffs for the
+# long-audited sections).
 
 # Queries whose plan legitimately contains a non-equi or cartesian join:
 # broadcast probe-vs-corpus scoring (10 probes), and the 1-row corpus-total
@@ -139,6 +145,13 @@ CARTESIAN_OK = {
     "pipeline_mixture_weights",  # sources x 1-row (n_total, w_sum) frame
     "pipeline_quality_gate_quantile",  # docs x 1-row percentile threshold
     "join_cross_small",  # deliberate 25 x 5 fixed-dim Cartesian
+    # TPC-H scalar-subquery shapes: the nested-loop's build side is an
+    # ungrouped (1-row) HashAggregate under a BroadcastExchange — q11's
+    # global value-concentration threshold, q22's avg(c_acctbal) — so
+    # the big side streams once against exactly one broadcast row at
+    # any SF, the same bounded shape as quality_gate_quantile above
+    "q11_part_value_concentration",
+    "q22_idle_rich_customers",
 }
 
 # Broadcast-hint policy: tables whose cardinality is fixed by the schema
@@ -227,6 +240,11 @@ def main() -> None:
     queries = all_queries()
     builders = {n: queries[n].build for n in queries}
     builders["stateful_user_stats_batch"] = user_stats_batch
+    # full-registry coverage (r13 verdict #3): curated order first, then
+    # every remaining registered query sorted
+    stale = [n for n in AUDIT if n not in builders]
+    assert not stale, f"AUDIT names not in the registry: {stale}"
+    audit_names = AUDIT + sorted(set(builders) - set(AUDIT))
     sections: list[str] = []
     failures: list[str] = []
     # Policy sweep: the broadcast-hint rule holds for EVERY registered
@@ -248,7 +266,7 @@ def main() -> None:
         f"{len(failures)} violation(s)",
         flush=True,
     )
-    for name in AUDIT:
+    for name in audit_names:
         df = builders[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
             df._jdf.queryExecution(), "formatted"
@@ -301,7 +319,7 @@ def main() -> None:
         )
         print(name, "|", "; ".join(checks), flush=True)
     header = (
-        "# PLANS — physical-plan audit of the headline queries\n\n"
+        "# PLANS — physical-plan audit of every registered query\n\n"
         f"Generated by `tools/explain_audit.py` at `{sf_dir}`.  Regenerate\n"
         "after operator changes; review the diff for plan regressions\n"
         "(lost pushdown, a broadcast that became a shuffle, a new nested\n"
@@ -323,10 +341,19 @@ def main() -> None:
             tail = prev[min(idxs) :]
     out.write_text(header + "\n".join(sections) + tail)
     spark.stop()
+    # completeness gate (r13 verdict #3): one section per registered
+    # query (+ the stateful batch twin) or the audit fails
+    missing = [n for n in audit_names if f"## {n}\n" not in "\n".join(sections)]
+    if missing:
+        failures.append(f"missing PLANS.md section(s): {missing}")
+    if len(sections) != len(audit_names):
+        failures.append(
+            f"section count {len(sections)} != audited {len(audit_names)}"
+        )
     if failures:
         print("FAILURES:", *failures, sep="\n  ")
         sys.exit(1)
-    print("audit ok — PLANS.md written")
+    print(f"audit ok — PLANS.md written ({len(sections)} sections)")
 
 
 if __name__ == "__main__":
