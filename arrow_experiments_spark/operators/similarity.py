@@ -272,37 +272,11 @@ def lsh_cells_col(emb: F.Column, bands: int, bits: int) -> F.Column:
     return _cells(emb)
 
 
-def lsh_cells_col_nullsafe(emb: F.Column, bands: int, bits: int) -> F.Column:
-    """:func:`lsh_cells_col` for frames that may still carry NULL or
-    EMPTY embeddings — rows without a computable cell get NULL (the
-    in-plan fold's own degradation) instead of the kernel's diagnosable
-    raise.  Needed because Catalyst extracts a PythonUDF out of any
-    ``when()`` guard and evaluates it on every row, so the null gate
-    cannot live in the plan.  Rows the direction gate would PASS are
-    bit-identical to ``lsh_cells_col`` (same kernel on the compacted
-    block); rows it would drop (NULL, empty — norm 0) get NULL here, so
-    the fused raw-batch probe tolerates exactly the ungated inputs the
-    gate itself tolerates.  Ragged non-empty embeddings still raise the
-    kernel's diagnosable error — they pass the gate and crash the
-    two-pass kernel identically, so parity holds."""
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def _cells(e: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = pd.Series([None] * len(e), dtype=object)
-        mask = (
-            e.notna() & e.map(lambda v: v is not None and len(v) > 0)
-        ).to_numpy()
-        if mask.any():
-            vals = lsh_cells_np(e[mask], bands, bits)
-            # per-index iat assignment: a masked bulk-assign of a list
-            # of arrays is broadcast ELEMENT-wise by pandas (ints land
-            # where arrays belong)
-            for i, row in zip(np.flatnonzero(mask), vals):
-                out.iat[int(i)] = row
-        return out
+# (r14: lsh_cells_col_nullsafe — the NULL-tolerant variant that served
+# the embedding sink's fused raw-batch probe — was deleted with that
+# path after two paired A/Bs measured the fusion as a wash; the gate's
+# direction filter runs before lsh_cells_col, so the strict kernel is
+# the only form the engine needs.)
 
     return _cells(emb)
 

@@ -86,6 +86,19 @@ def build_session(
         # multi-GB shuffles — more tasks, each still seconds long.
         # Override per deployment via extra_conf/SPARK_GRAFT_EXTRA_CONF.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # A small PARALLELISM floor under parallelismFirst=false (r14,
+        # the r13 verdict's untried lever): with pf=false the coalescer
+        # floors at minPartitionNum-or-1, and sub-advisory mid-size
+        # stages (events_session_window's sessionize shuffle at small
+        # SF) collapsed to 1-2 tasks, the one measured cost of the r12
+        # conf set (1.26x).  Floor 8 recovers it (0.86x paired A/B)
+        # while staying inert everywhere it could hurt: the gate sinks'
+        # delta legs floor at 8 near-empty tasks instead of 1
+        # (min-over-clean parity, 6.36 vs 6.90 s, generalized gate-sink
+        # A/B) and four sensitive headline keys measured 0.91-1.06x.
+        # At warehouse scale every real shuffle exceeds 8 partitions
+        # under the 16m advisory, so the floor never binds there.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionNum", "8")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
@@ -124,6 +137,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
     )
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionNum", "8"
+    )
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set(
         "spark.sql.sources.parallelPartitionDiscovery.threshold", "16384"

@@ -2032,10 +2032,7 @@ def incremental_embedding_dedup_sink(
 
     from arrow_experiments_spark.functions.numeric import snap6
     from arrow_experiments_spark.functions.vectors import dot, norm
-    from arrow_experiments_spark.operators.similarity import (
-        lsh_cells_col,
-        lsh_cells_col_nullsafe,
-    )
+    from arrow_experiments_spark.operators.similarity import lsh_cells_col
 
     spark = stream_df.sparkSession
     vecs_dir = os.path.join(base_dir, "vecs")
@@ -2085,48 +2082,6 @@ def incremental_embedding_dedup_sink(
     # from the first batch's shape (see docstring)
     resolved = {"cells": index_buckets}
 
-    def fused_probe(batch_df: DataFrame, cells_buckets: int):
-        """ONE job, THREE outputs (the r12 'next floor lever',
-        SCALE.md): the raw batch's id buckets, its cell-index buckets,
-        and its row count — fusing the cells probe that previously ran
-        as its own job serialized behind the fresh/dcells persists.
-        Soundness: the raw batch's cells are a SUPERSET of the gated
-        delta's (fresh picks one of the raw rows per vec_id, so every
-        fresh embedding is probed here; NULL embeddings contribute no
-        cell via the null-safe kernel; re-delivered rows only WIDEN
-        the set), and both the bucket-pruned index read and
-        ``_merge_batch``'s ``touched`` accept any superset — extra
-        buckets are read (and, with zero incoming rows, re-linked)
-        but never missed.  Count: ``posexplode_outer`` emits exactly
-        one band-0 row per non-NULL embedding and one NULL-pos row
-        per NULL one, so the band-0/NULL sum is the raw row count."""
-        ex = batch_df.select(
-            id_bucket.alias("_idb"),
-            F.posexplode_outer(
-                lsh_cells_col_nullsafe(F.col("embedding"), bands, bits)
-            ).alias("_band", "_cell"),
-        )
-        row = ex.agg(
-            F.collect_set("_idb").alias("ids"),
-            F.collect_set(
-                F.pmod(
-                    F.xxhash64(F.col("_band"), F.col("_cell")),
-                    F.lit(cells_buckets),
-                ).cast("int")
-            ).alias("cells"),
-            F.sum(
-                F.when(
-                    F.col("_band").isNull() | (F.col("_band") == 0), 1
-                ).otherwise(0)
-            ).alias("n"),
-        ).collect()[0]
-        # NULL-embedding rows hash (NULL, NULL) to a real bucket value
-        # under xxhash64 — harmless for a superset, but fresh carries
-        # no such rows, so keep the set tight by construction: the
-        # collect above can include that one spurious bucket only when
-        # the batch had NULL embeddings; superset semantics cover it.
-        return list(row["ids"]), list(row["cells"]), int(row["n"] or 0)
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
 
@@ -2141,48 +2096,31 @@ def incremental_embedding_dedup_sink(
             # layout adoption is a driver-side record read — do it
             # BEFORE the probe so the fused path has the cell geometry
             resolved["cells"] = _adopted_index_buckets(cells_dir)
+        # Two-pass probe: id probe on the raw batch here, cells probe
+        # from the gated delta below.  r12 recorded a FUSED one-job
+        # variant (id buckets + cell buckets + row count in one
+        # aggregate) as the next floor lever; it shipped behind a conf
+        # and measured a WASH in TWO paired A/Bs (r13: min 6.37 fused
+        # vs 6.30 two-pass over 12 marginal batches/arm; r14 re-run at
+        # equal evidence quality: min 6.41 fused vs 6.11 two-pass,
+        # 6/12 vs 10/12 clean) — the eliminated probe job's compute
+        # moved into the fused aggregate and the dcells
+        # materialization moved downstream, conserving work exactly as
+        # the r12 guard-count lesson predicts.  The fused path was
+        # DELETED (r14 verdict #4) rather than carried as a
+        # dead-unless-remeasured branch in the hottest sink; the A/B
+        # harness survives as tools/fused_probe_ab.py.
         cells_touched = None
-        # The fused probe (r12's recorded floor lever) measured a WASH
-        # in the r13 paired A/B (alternating in-session arms, 12
-        # marginal batches each: min 6.37 s fused vs 6.30 s two-pass;
-        # SCALE.md "Fused cells probe: paired A/B") — the eliminated
-        # probe job's cells compute moved into the fused aggregate and
-        # the dcells materialization moved downstream, conserving work
-        # exactly as the r12 guard-count lesson predicts.  Default is
-        # therefore the simpler two-pass shape; the fused path stays
-        # behind this conf for re-measurement on other hardware, where
-        # a higher per-action scheduling cost would tilt it.
-        fuse = (
-            str(
-                spark.conf.get(
-                    "spark.arrowExperimentsSpark.embdedup.fusedProbe", "false"
-                )
-            ).lower()
-            == "true"
+        id_touched, n_batch = _touched_list(
+            batch_df, id_bucket, with_count=True
         )
-        if resolved["cells"] is not None and fuse:
-            # steady state: one xxhash+cells pass over the raw batch
-            # serves the id pruning, the CELL-INDEX pruning, and the
-            # batch row count — three outputs, one job (the r12 floor
-            # lever; previously the cells probe was its own job
-            # serialized behind the fresh/dcells persists)
-            cells_buckets = resolved["cells"]
-            id_touched, cells_touched, n_batch = fused_probe(
-                batch_df, cells_buckets
+        if resolved["cells"] is None:
+            # first-ever batch of a brand-new index: the cell geometry
+            # DERIVES from this batch's count
+            resolved["cells"] = derive_index_buckets(
+                bands * n_batch, bands=bands, delta_rows=n_batch
             )
-        else:
-            # two-pass probe: the very first batch of a brand-new index
-            # (the cell geometry DERIVES from this batch's count), or
-            # the fusion hatch off — id probe here, cells probe from
-            # the gated delta below
-            id_touched, n_batch = _touched_list(
-                batch_df, id_bucket, with_count=True
-            )
-            if resolved["cells"] is None:
-                resolved["cells"] = derive_index_buckets(
-                    bands * n_batch, bands=bands, delta_rows=n_batch
-                )
-            cells_buckets = resolved["cells"]
+        cells_buckets = resolved["cells"]
         cell_probe_bucket = F.pmod(
             F.xxhash64(F.col("band"), F.col("cell")), F.lit(cells_buckets)
         ).cast("int")
@@ -2244,12 +2182,9 @@ def incremental_embedding_dedup_sink(
                     cells_buckets, cell_keys, cell_buckets,
                 )
                 if idx is not None:
-                    # the delta's cell-bucket set: normally precomputed
-                    # by the FUSED raw-batch probe above (a superset of
-                    # dcells' buckets — extra buckets read, never
-                    # missed); the dcells-derived probe remains only
-                    # for the first-ever batch, whose geometry was not
-                    # known before the id probe ran
+                    # the delta's cell-bucket set, derived from dcells
+                    # (the gated delta) — the second pass of the
+                    # two-pass probe
                     if cells_touched is None:
                         cells_touched = _touched_list(
                             dcells, cell_probe_bucket

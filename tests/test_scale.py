@@ -717,50 +717,6 @@ def test_lsh_cells_kernel_matches_in_plan_buckets(spark):
     assert want.exceptAll(got).count() == 0
 
 
-def test_lsh_cells_nullsafe_matches_and_tolerates_nulls(spark):
-    """lsh_cells_col_nullsafe (the embedding sink's FUSED raw-batch
-    probe kernel, r13) must be bit-identical to lsh_cells_col on
-    non-NULL rows and yield NULL — not raise — on NULL embeddings:
-    the fused probe runs BEFORE the direction gate, so raw batches
-    reach it ungated."""
-    from arrow_experiments_spark.operators.similarity import (
-        lsh_cells_col,
-        lsh_cells_col_nullsafe,
-    )
-    from arrow_experiments_spark.tables import table
-
-    emb = table(spark, SF_DIR_T2, "embeddings").select("vec_id", "embedding")
-    bands, bits = 3, 10
-    # interleave NULL and EMPTY rows among real ones (Arrow batches see
-    # mixes; the direction gate tolerates both, so the fused probe must)
-    mixed = emb.withColumn(
-        "embedding",
-        F.when(F.col("vec_id") % 3 == 0, F.lit(None))
-        .when(
-            F.col("vec_id") % 3 == 1,
-            F.array().cast("array<float>"),
-        )
-        .otherwise(F.col("embedding")),
-    )
-    got = mixed.select(
-        "vec_id",
-        lsh_cells_col_nullsafe(F.col("embedding"), bands, bits).alias("c"),
-    ).collect()
-    want = {
-        r["vec_id"]: r["c"]
-        for r in emb.filter(F.col("vec_id") % 3 == 2)
-        .select(
-            "vec_id", lsh_cells_col(F.col("embedding"), bands, bits).alias("c")
-        )
-        .collect()
-    }
-    for r in got:
-        if r["vec_id"] % 3 != 2:
-            assert r["c"] is None, r  # NULL and empty both degrade to NULL
-        else:
-            assert r["c"] == want[r["vec_id"]], r
-
-
 def test_auto_ivf_oracle_green_above_threshold(spark, tmp_path):
     """The IVF seat of the geometry-parametric contract: on a corpus
     above the k-derivation threshold (40,960 rows → k = 21 > the floor

@@ -832,10 +832,7 @@ def test_incremental_neardup_sink_band_leg_heals_after_crash(spark, tmp_path):
     assert index.count() == 8  # 4 postings x 2 docs, rebuilt
 
 
-@pytest.mark.parametrize("fused", [False, True])
-def test_incremental_embedding_dedup_sink_gates_by_cosine(
-    spark, tmp_path, fused, request
-):
+def test_incremental_embedding_dedup_sink_gates_by_cosine(spark, tmp_path):
     """SemDeDup at ingest: scaled copies of a retained vector (cosine
     exactly 1 — same direction, same LSH cells at every band) drop at
     the cell-index probe; orthogonal basis vectors (cosine 0) are
@@ -845,12 +842,9 @@ def test_incremental_embedding_dedup_sink_gates_by_cosine(
     qualifying pair wins.  The cell index stays consistent: 3 postings
     (bands) per retained vector, embeddings denormalized in.
 
-    Parametrized over the fused raw-batch probe hatch (r13,
-    ``embdedup.fusedProbe`` — default two-pass after the wash A/B):
-    both probe shapes must gate identically, including the fused arm's
-    batch-1 two-pass FALLBACK (geometry derives from the first batch)
-    and its NULL-embedding tolerance (b2 carries a zero-norm row; the
-    fused probe sees raw ungated rows)."""
+    (r13-r14 carried a fused raw-batch probe variant behind a conf,
+    parametrized here; two paired A/Bs measured it as a wash and the
+    path was deleted — the two-pass probe below is the only shape.)"""
     import glob
     import os
     import shutil
@@ -858,16 +852,6 @@ def test_incremental_embedding_dedup_sink_gates_by_cosine(
     from arrow_experiments_spark.streaming.egress import (
         incremental_embedding_dedup_sink,
         read_snapshot,
-    )
-
-    spark.conf.set(
-        "spark.arrowExperimentsSpark.embdedup.fusedProbe",
-        "true" if fused else "false",
-    )
-    request.addfinalizer(
-        lambda: spark.conf.unset(
-            "spark.arrowExperimentsSpark.embdedup.fusedProbe"
-        )
     )
 
     def basis(i, scale=1.0):

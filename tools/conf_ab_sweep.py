@@ -52,7 +52,8 @@ DEFAULT_KEYS = [
 
 # (short name, conf, new value, old value).  Old = the r11 session
 # defaults (parallelismFirst/cachedPlan at Spark defaults, advisory at
-# Spark's 64m default — session.py r11 set none of the three).
+# Spark's 64m default — session.py r11 set none of the three).  The
+# special value "<unset>" clears the conf (Spark's own default).
 ALL_CONFS = [
     ("pf", "spark.sql.adaptive.coalescePartitions.parallelismFirst",
      "false", "true"),
@@ -60,6 +61,13 @@ ALL_CONFS = [
      "true", "false"),
     ("advisory", "spark.sql.adaptive.advisoryPartitionSizeInBytes",
      "16m", "64m"),
+    # r13 verdict Wrong #3 lever: with parallelismFirst=false the
+    # coalescer floors at minPartitionNum-or-1; a small floor could
+    # recover events_session_window's measured 1.26x small-SF cost
+    # without re-enabling parallelism-first globally.  MINPN env
+    # overrides the candidate floor value.
+    ("minpn", "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+     os.environ.get("MINPN", "8"), "<unset>"),
 ]
 # CONF_AB_CONFS=pf,advisory restricts the TOGGLED set for factorial
 # decomposition (the un-toggled confs stay at their NEW defaults in
@@ -74,13 +82,16 @@ if _only:
             f"CONF_AB_CONFS entries must be comma-separated names from "
             f"{sorted(_known)}, got {_bad!r}"
         )
+# minpn is a CANDIDATE lever, not a shipped session default — it only
+# toggles when explicitly named, and is never held at "new" either
+_CANDIDATES = {"minpn"}
 CONFS = [
     (c, n, o) for s, c, n, o in ALL_CONFS
-    if not _only or s in _only.split(",")
+    if (s in _only.split(",") if _only else s not in _CANDIDATES)
 ]
 _HELD = [
     (c, n) for s, c, n, o in ALL_CONFS
-    if _only and s not in _only.split(",")
+    if _only and s not in _only.split(",") and s not in _CANDIDATES
 ]
 
 LEGS_PER_ARM = 3
@@ -102,7 +113,11 @@ def main() -> None:
 
     def set_arm(arm: str) -> None:
         for conf, new, old in CONFS:
-            spark.conf.set(conf, new if arm == "new" else old)
+            val = new if arm == "new" else old
+            if val == "<unset>":
+                spark.conf.unset(conf)
+            else:
+                spark.conf.set(conf, val)
 
     def one_leg(name: str) -> float:
         t0 = time.perf_counter()

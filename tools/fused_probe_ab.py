@@ -1,24 +1,32 @@
 #!/usr/bin/env python
-"""Paired in-session A/B of the fused cells probe (r12 'next floor
-lever').  Fused = the embedding gate's touched CELL buckets computed
-in the same aggregate as the id buckets and the batch row count
-(three outputs, one job) instead of a separate probe job serialized
-behind the fresh/dcells persists.  OUTCOME (r13): a WASH — min 6.37 s
-fused vs 6.30 s two-pass over 12 paired marginal batches — so the
-two-pass probe stays the default and the fused path ships behind
-``embdedup.fusedProbe`` (SCALE.md "Fused cells probe: paired A/B").
+"""Paired in-session A/B of any conf's effect on the embedding gate
+sink's per-batch floor — the protocol that adjudicated (and killed)
+the fused cells probe.
 
-The r12 guard-count lesson says job elimination conserves work unless
-the job was pure overhead — so this is measured, not assumed, and
-under the paired box-noise protocol: ONE session, ONE seeded 2M
-corpus, FOUR alternating attach+7-batch runs (fused, two-pass, fused,
-two-pass — the ``spark.arrowExperimentsSpark.embdedup.fusedProbe``
-hatch toggles in-session), fresh 40-row deltas per run, every batch
+History: r12 recorded the fused probe (touched CELL buckets computed
+in the same aggregate as the id buckets and the batch row count —
+three outputs, one job) as the next floor lever; r13 shipped it
+behind ``embdedup.fusedProbe`` and this tool measured a WASH (min
+6.37 s fused vs 6.30 s two-pass over 12 paired marginal batches, but
+only 5/12 clean on the fused arm); the r14 quiet-window re-run at
+equal evidence quality confirmed it (min 6.41 fused vs 6.11
+two-pass, 6/12 vs 10/12 clean) and the fused path was DELETED from
+the engine (r13 verdict #4) — job elimination conserves work unless
+the job was pure overhead, the r12 guard-count lesson, measured
+twice.
+
+The harness survives because the protocol generalizes: ONE session,
+ONE seeded 2M corpus, FOUR alternating attach+7-batch runs with
+AB_CONF toggled between AB_NEW (arm_a) and AB_OLD (arm_b) in-session
+("<unset>" clears the conf), fresh 40-row deltas per run, every batch
 bracket- AND in-batch-bandwidth-qualified, committed statistic =
-median (and min) over each arm's clean marginal batches.
+median (and min) over each arm's clean marginal batches.  First
+generalized use: the minPartitionNum coalescing-floor neutrality
+check (r13 verdict #5).
 
-Usage: python tools/fused_probe_ab.py
-Prints one JSON line and appends a SCALE.md section.
+Usage: AB_CONF=<spark conf> AB_NEW=<val> AB_OLD=<val|<unset>> \\
+           python tools/fused_probe_ab.py
+Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -47,7 +55,18 @@ N_RUNS = 4  # fused, two-pass, fused, two-pass
 BANDS = 3
 ROWS = 2_000_000
 BUCKETS = 64
-FUSE_CONF = "spark.arrowExperimentsSpark.embdedup.fusedProbe"
+# The toggled conf: required — the original fusedProbe toggle no
+# longer exists in the engine (the fused path was deleted r14).
+AB_CONF = os.environ.get("AB_CONF", "")
+AB_NEW = os.environ.get("AB_NEW", "")
+AB_OLD = os.environ.get("AB_OLD", "<unset>")
+AB_ARMS = ("arm_a", "arm_b")
+if not AB_CONF or not AB_NEW:
+    raise SystemExit(
+        "AB_CONF and AB_NEW are required (AB_OLD defaults to '<unset>'): "
+        "the harness A/Bs any runtime-settable conf against the gate "
+        "sink's per-batch floor — see the module docstring"
+    )
 
 
 def median(vals):
@@ -217,10 +236,15 @@ def main() -> None:
     )
     shutil.rmtree(warm, ignore_errors=True)
 
-    arms = {"fused": [], "two_pass": []}
-    order = ["fused", "two_pass", "fused", "two_pass"]
+    arm_a, arm_b = AB_ARMS
+    arms = {arm_a: [], arm_b: []}
+    order = [arm_a, arm_b, arm_a, arm_b]
     for run_idx, (arm, frames) in enumerate(zip(order, runs)):
-        spark.conf.set(FUSE_CONF, "true" if arm == "fused" else "false")
+        val = AB_NEW if arm == arm_a else AB_OLD
+        if val == "<unset>":
+            spark.conf.unset(AB_CONF)
+        else:
+            spark.conf.set(AB_CONF, val)
         walls, tags, = run_once(run_idx, frames)
         arms[arm].append(
             {
@@ -234,7 +258,7 @@ def main() -> None:
             f"{[round(w, 2) for w in walls[1:]]} {tags[1:]}",
             flush=True,
         )
-    spark.conf.unset(FUSE_CONF)
+    spark.conf.unset(AB_CONF)
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
@@ -257,6 +281,7 @@ def main() -> None:
         }
     out = {
         "metric": "fused_probe_ab",
+        "ab_conf": {AB_CONF: {"a": AB_NEW, "b": AB_OLD}},
         "order": order,
         **committed,
         "runs": arms,
@@ -268,31 +293,10 @@ def main() -> None:
         },
     }
     print(json.dumps(out))
-
-    f, t = committed["fused"], committed["two_pass"]
-    lines = [
-        "",
-        "## Fused cells probe: paired A/B (round 13)",
-        "",
-        "The r12 'next floor lever', shipped and MEASURED under the paired",
-        "protocol: one session, one seeded 2M corpus, four alternating",
-        "attach+7-batch runs (fused, two-pass, fused, two-pass — the",
-        f"`{FUSE_CONF}` hatch), fresh 40-row deltas per run, every batch",
-        "bracket- and in-batch-bandwidth-qualified.  Fused = touched cell",
-        "buckets computed in the same aggregate as id buckets + row count",
-        "(one job); two-pass = the r12 shape (a separate cells probe job",
-        "serialized behind the fresh/dcells persists).",
-        "",
-        "| arm | steady (s, median of clean marginals) | min | clean/total |",
-        "|---|---|---|---|",
-        f"| fused | **{f['steady_sec']}** | {f['min_sec']}"
-        f" | {f['n_clean']}/{f['n_total']} |",
-        f"| two-pass | {t['steady_sec']} | {t['min_sec']}"
-        f" | {t['n_clean']}/{t['n_total']} |",
-        "",
-    ]
-    with open(Path(_REPO, "SCALE.md"), "a") as fh:
-        fh.write("\n".join(lines))
+    # JSON only: committed SCALE.md entries are hand-written, citing
+    # the printed line (the original r13 fused-probe section was
+    # tool-appended; that one-shot block was removed with the fused
+    # path)
 
 
 if __name__ == "__main__":
