@@ -303,11 +303,20 @@ class BandwidthSentinel:
     BUF_MB = 128
     GATHER_MB = 32
     REL_BAND = 0.5
-    # gather promotion band — None = recorded-only.  Promotion was
-    # evaluated and REJECTED on a 67-point correlation dataset (r13,
-    # SCALE.md "Gather-probe promotion: REJECTED on data"): half the
-    # quiet legs show collapsed gather, so any useful band false-flags
-    # 32-53% of commit-worthy legs.  The hook stays for other hardware.
+    # gather promotion band — None = recorded-only, and FINAL (r14).
+    # Promotion was evaluated on two independent correlation datasets
+    # and rejected twice, for opposite failure modes: r13 (67 points,
+    # one mixed-runtime leg) — half the QUIET legs showed collapsed
+    # gather, so any useful band false-flags 32-53% of commit-worthy
+    # legs; r14 (67 points, a JVM-only leg and a Python-only leg per
+    # cycle, tools/data_gather_correlation_r14.jsonl) — quiet cycles
+    # never collapsed but even the best band missed half the inflated
+    # cycles (9/17 under 0.25x), and the "phase steals Python latency
+    # without slowing the JVM" hypothesis was refuted outright (zero
+    # cycles of Python-only inflation; the JVM leg inflates at least
+    # as often).  The signal is inconsistent across legs and days —
+    # closed as a verdict input; the series stays recorded as a
+    # post-hoc diagnostic (SCALE.md "Gather promotion: closed").
     GATHER_BAND: float | None = None
     MIN_SAMPLES = 2
     INTERVAL_SEC = 1.0
