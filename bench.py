@@ -496,7 +496,11 @@ def bw_sentinel() -> BandwidthSentinel:
     return s
 
 
-TAIL_COUNT = 10
+# 15/round (was 10 through r13): 90 registered non-headline keys had
+# no wall-clock series entering r14 and 10/round would not close the
+# gap by r20 — 15 exactly does.  Tail keys are mostly sub-second plans
+# at sf0.1, so the extra 5 cost ~1 min/round of budget.
+TAIL_COUNT = 15
 
 
 def _tail_rotation(queries) -> list[str]:
