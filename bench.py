@@ -1099,6 +1099,20 @@ def main() -> None:
         return v, (w.bws, g)
 
     items = ["s1_replay_10m", "s1_replay_10m_x4", *_S2_STRATEGIES, *names]
+    # WARM PASS (r14): run every item once, untimed, before the three
+    # recorded passes.  The r14 certification data showed pass-1
+    # samples structurally slower on the heavier keys (per-session
+    # codegen + parquet page cache — e.g. dedup_minhash_lsh spread
+    # [1.22, 3.97] on an otherwise idle box, and re-running with a
+    # warm page cache did not close it, so it is codegen, not IO).
+    # Those cold samples never win the min (the committed statistic)
+    # but they pollute the spread/drift series and block spread-based
+    # certification.  The bench's declared object is STEADY-STATE
+    # timings — the reference's own protocol pre-materializes before
+    # timing (get_simple server.py:144) — so the warm pass aligns the
+    # measurement with the declaration at ~25% extra wall.
+    for name in items:
+        measure(name)
     passes: list[dict[str, float]] = []
     brackets: list[dict[str, tuple[int, int]]] = []
     inlegs: list[dict[str, list[float]]] = []
@@ -1275,6 +1289,7 @@ def main() -> None:
     tail: dict[str, float] = {}
     tail_quality: dict[str, str] = {}
     for name in _tail_rotation(queries):
+        measure(name)  # warm (codegen/footers) — same r14 warm-pass rule
         b = qual.probe()
         v, il = measure_inleg(name)
         a = qual.probe()
@@ -1318,6 +1333,11 @@ def main() -> None:
         "drift_watch": drift_watch,
         # comparability notes vs earlier rounds' keys
         "notes": [
+            "r14: a WARM PASS (every item once, untimed) precedes the"
+            " three recorded passes, so all recorded samples are"
+            " steady-state — pass-1 codegen/page-cache cost no longer"
+            " widens the spread/drift series (it never affected the"
+            " committed min)",
             "r14: committed statistic is the MIN of the CLEAN samples"
             " (commit_stat) — the box-noise protocol's load-bearing"
             " statistic (mild 1.5-1.9x phase inflation is invisible to"
