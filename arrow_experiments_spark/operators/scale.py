@@ -10,12 +10,29 @@ partitions for skew joins).
 
 from __future__ import annotations
 
+import shutil
+from pathlib import Path
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from arrow_experiments_spark.functions.numeric import dsum
 from arrow_experiments_spark.registry import register
 from arrow_experiments_spark.tables import table
+
+
+def drop_table_and_location(spark: SparkSession, table_name: str) -> None:
+    """Drop a managed table AND its warehouse directory.  A killed earlier
+    run can leave the table's location on disk while the fresh session's
+    catalog has no such table — then ``DROP TABLE IF EXISTS`` is a no-op
+    and the next ``saveAsTable`` raises ``LOCATION_ALREADY_EXISTS``.  One
+    leftover directory must never be able to fail a rerun."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(urlparse(warehouse).path or warehouse) / table_name.lower()
+    if loc.exists():
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -30,6 +47,7 @@ def write_bucketed(
     co-location is computed once at write time and amortized over every
     downstream join (the standard layout for 100 TB fact tables that are
     repeatedly joined on the same key)."""
+    drop_table_and_location(df.sparkSession, table_name)
     writer = df.write.mode("overwrite").format("parquet")
     writer = writer.bucketBy(n_buckets, bucket_col)
     if sort_col:

@@ -278,8 +278,6 @@ def lsh_cells_col(emb: F.Column, bands: int, bits: int) -> F.Column:
 # direction filter runs before lsh_cells_col, so the strict kernel is
 # the only form the engine needs.)
 
-    return _cells(emb)
-
 
 def _bucket_sql(emb: str) -> str:
     return lsh_bucket_sql(emb, 0)

@@ -2093,8 +2093,10 @@ def incremental_embedding_dedup_sink(
         seq_cells = _alloc_seq(committed_cells, batch_id, ckpt)
         pinned = []
         if resolved["cells"] is None:
-            # layout adoption is a driver-side record read — do it
-            # BEFORE the probe so the fused path has the cell geometry
+            # layout adoption is a driver-side record read — it must
+            # precede the geometry-derivation check below so a restarted
+            # sink reuses the on-disk index layout instead of deriving a
+            # fresh one from its first batch
             resolved["cells"] = _adopted_index_buckets(cells_dir)
         # Two-pass probe: id probe on the raw batch here, cells probe
         # from the gated delta below.  r12 recorded a FUSED one-job

@@ -37,6 +37,35 @@ def bucketed_tables(spark, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
 
 
+def test_write_bucketed_survives_stale_warehouse_dir(spark):
+    """r14 verdict #1: a killed run leaves the table's warehouse directory
+    on disk while a fresh session's catalog has no such table — DROP TABLE
+    IF EXISTS is then a no-op and saveAsTable raises
+    LOCATION_ALREADY_EXISTS.  Plant exactly that state and require
+    write_bucketed to succeed anyway (twice, to prove reruns are safe)."""
+    import shutil
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    name = "stale_wh_victim"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = Path(urlparse(warehouse).path or warehouse) / name
+    # the leftover: a location with data but no catalog entry
+    loc.mkdir(parents=True, exist_ok=True)
+    (loc / "part-00000-dead.parquet").write_bytes(b"not a parquet file")
+    try:
+        df = table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+        write_bucketed(df, name, "o_orderkey", n_buckets=4)
+        assert spark.table(name).count() == df.count()
+        # and a rerun over its own previous output is equally safe
+        write_bucketed(df, name, "o_orderkey", n_buckets=4)
+        assert spark.table(name).count() == df.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     li_t, ord_t = bucketed_tables
     # force the sort-merge path (at real scale neither side broadcasts);

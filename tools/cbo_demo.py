@@ -27,6 +27,7 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from arrow_experiments_spark.operators.scale import drop_table_and_location
 from arrow_experiments_spark.session import build_session
 from arrow_experiments_spark.tables import table
 
@@ -56,7 +57,7 @@ def main() -> None:
     spark = build_session(app_name="cbo_demo")
     spark.sparkContext.setLogLevel("ERROR")
     for t in _TABLES:
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        drop_table_and_location(spark, t)  # stale-warehouse-proof rerun
         table(spark, sf_dir, t).write.saveAsTable(t)
 
     def optimized() -> str:

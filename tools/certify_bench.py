@@ -122,7 +122,9 @@ def main() -> None:
 
     keys: dict[str, dict] = {}
     for k, v in bench_out["queries"].items():
-        q = quality.get(k, "clean")
+        # a key with NO window evidence must not certify (refusing is the
+        # safe direction) — default to a non-clean sentinel, not "clean"
+        q = quality.get(k, "unknown")
         sp = spread.get(k)
         spread_ok = sp is None or (
             sp[1] <= SPREAD_BAND * sp[0] + SPREAD_SLACK_SEC
@@ -148,14 +150,40 @@ def main() -> None:
             prev = json.load(open(prev_path)).get("keys", {})
         except (OSError, ValueError):
             prev = {}
+        stale_limit = int(os.environ.get("CARRY_STALE_LIMIT", "3"))
         for k, old in prev.items():
             new = keys.get(k)
             if not old.get("certified"):
                 continue
-            if new is None or not new["certified"] or new["sec"] > old["sec"]:
-                old = dict(old)
-                old["carried_from_prior_run"] = True
-                keys[k] = old
+            if new is not None and new["certified"]:
+                if new["sec"] > old["sec"]:
+                    # keep the lower certified floor; the key re-certified
+                    # THIS run, so the carry is fresh, not stale
+                    kept = dict(old)
+                    kept["carried_from_prior_run"] = True
+                    kept["carried_runs"] = 0
+                    kept["current_run"] = {
+                        "sec": new["sec"], "quality": new["quality"],
+                        "spread": new["spread"], "certified": True,
+                    }
+                    keys[k] = kept
+                continue  # else: new run set a lower floor — keep it
+            # The current run FAILED (or dropped) this key.  Carrying a
+            # prior floor is defensible only for a bounded streak — a key
+            # that permanently regresses must not stay certified forever
+            # at a stale floor.  Record the failing current result
+            # alongside the carry so the trace is auditable.
+            kept = dict(old)
+            kept["carried_from_prior_run"] = True
+            kept["carried_runs"] = old.get("carried_runs", 0) + 1
+            kept["current_run"] = None if new is None else {
+                "sec": new["sec"], "quality": new["quality"],
+                "spread": new["spread"], "certified": False,
+            }
+            if kept["carried_runs"] > stale_limit:
+                kept["certified"] = False
+                kept["stale_floor"] = True
+            keys[k] = kept
     n_cert = sum(1 for r in keys.values() if r["certified"])
     out = {
         "metric": "certify_bench",

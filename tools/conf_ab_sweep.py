@@ -82,8 +82,12 @@ if _only:
             f"CONF_AB_CONFS entries must be comma-separated names from "
             f"{sorted(_known)}, got {_bad!r}"
         )
-# minpn is a CANDIDATE lever, not a shipped session default — it only
-# toggles when explicitly named, and is never held at "new" either
+# minpn SHIPPED as a build_session default in r14 (minPartitionNum=8,
+# session.py) — it stays out of CONFS/_HELD not because it's a candidate
+# but because build_session already supplies 8 in BOTH arms, so toggling
+# or holding it here would double-apply the shipped default; an old-arm
+# reproduction therefore matches shipped-defaults-minus-the-toggled-conf.
+# Name it in CONF_AB_CONFS to A/B the floor itself (MINPN overrides).
 _CANDIDATES = {"minpn"}
 CONFS = [
     (c, n, o) for s, c, n, o in ALL_CONFS
