@@ -11,6 +11,7 @@ protocol (elapsed seconds, http/get_simple/README.md:37).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -573,6 +574,60 @@ def drift_stat(samples: list[float]) -> float:
     middle) still separates from a lucky-min mask."""
     s = sorted(samples)
     return round(s[(len(s) - 1) // 2], 3)
+
+
+def drift_anchors(
+    base: str | None = None,
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-key drift anchors (r14 verdict #5): the CERTIFIED floors from
+    BENCH_QUIET.json (quiet-window provenance — the formal anchor) and
+    the best-ever committed values across all BENCH_r*.json (headline +
+    tail sections — the fallback for never-certified keys)."""
+    base = base or os.path.dirname(os.path.abspath(__file__))
+    certified: dict[str, float] = {}
+    try:
+        with open(os.path.join(base, "BENCH_QUIET.json")) as fh:
+            for k, r in json.load(fh).get("keys", {}).items():
+                if r.get("certified"):
+                    certified[k] = float(r["sec"])
+    except (OSError, ValueError):
+        pass
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(base, "BENCH_r*.json"))):
+        try:
+            parsed = json.load(open(path)).get("parsed") or {}
+        except (OSError, ValueError):
+            continue
+        for section in ("queries", "tail_queries"):
+            for k, v in (parsed.get(section) or {}).items():
+                if isinstance(v, (int, float)):
+                    best[k] = min(best.get(k, float("inf")), float(v))
+    return certified, best
+
+
+def vs_floor(
+    vals: dict[str, float],
+    certified: dict[str, float],
+    best: dict[str, float],
+) -> dict[str, dict]:
+    """Each key's committed value vs its drift anchor: the certified
+    floor when one exists, else best-ever committed, else no anchor
+    (first-ever timing — the next round's anchor is this value)."""
+    out: dict[str, dict] = {}
+    for k, v in vals.items():
+        if k in certified:
+            anchor, src = certified[k], "certified"
+        elif k in best:
+            anchor, src = best[k], "best_ever"
+        else:
+            out[k] = {"ratio": None, "anchor": "none"}
+            continue
+        out[k] = {
+            "ratio": round(v / anchor, 3) if anchor > 0 else None,
+            "anchor": src,
+            "floor_sec": round(anchor, 3),
+        }
+    return out
 
 
 def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
@@ -1323,9 +1378,19 @@ def main() -> None:
     # the window, losing the headline value and early query medians).  The
     # stdout line stays COMPACT — {metric, value, unit, queries, sf} only —
     # and everything diagnostic goes to BENCH_DETAIL.json next to bench.py.
+    _certified, _best = drift_anchors()
     detail = {
         "spread": spread,
         "total_excludes": sorted(total_excludes),
+        # r14 verdict #5: the formal drift anchor — committed value vs the
+        # CERTIFIED floor (BENCH_QUIET.json, quiet-window provenance),
+        # falling back to best-ever committed only for never-certified
+        # keys, for headline AND tail keys, so the 2x adjudication reads
+        # one field instead of reconstructing the anchor per round
+        "vs_certified_floor": {
+            **vs_floor(timings, _certified, _best),
+            **vs_floor(tail, _certified, _best),
+        },
         # r14 (verdict #1): the committed statistic moved to MIN over
         # clean samples (see commit_stat); this series keeps r11-r13's
         # lower-middle per key, so cross-round drift comparisons against

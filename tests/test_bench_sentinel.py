@@ -237,6 +237,44 @@ def test_commit_and_drift_stats():
     assert bench.commit_stat([0.7]) == bench.drift_stat([0.7]) == 0.7
 
 
+def test_drift_anchors_and_vs_floor(tmp_path):
+    """r14 verdict #5: the formal drift anchor is the certified floor
+    (BENCH_QUIET.json), falling back to best-ever committed (BENCH_r*,
+    headline AND tail sections) only for never-certified keys; a key
+    with neither gets an explicit 'none' anchor, not a silent skip."""
+    import json
+
+    (tmp_path / "BENCH_QUIET.json").write_text(json.dumps({
+        "keys": {
+            "a": {"sec": 0.5, "certified": True},
+            "b": {"sec": 9.9, "certified": False},  # uncertified: ignored
+        }
+    }))
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({
+        "parsed": {"queries": {"a": 0.8, "b": 2.0},
+                   "tail_queries": {"c": 1.5}}
+    }))
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({
+        "parsed": {"queries": {"b": 1.0}}
+    }))
+
+    certified, best = bench.drift_anchors(str(tmp_path))
+    assert certified == {"a": 0.5}
+    assert best == {"a": 0.8, "b": 1.0, "c": 1.5}
+
+    out = bench.vs_floor(
+        {"a": 0.6, "b": 1.2, "c": 1.5, "d": 3.0}, certified, best
+    )
+    # certified floor wins over a lower best-ever? no — certified is the
+    # FORMAL anchor even when best-ever is lower (provenance beats luck)
+    assert out["a"] == {"ratio": 1.2, "anchor": "certified",
+                        "floor_sec": 0.5}
+    assert out["b"] == {"ratio": 1.2, "anchor": "best_ever",
+                        "floor_sec": 1.0}
+    assert out["c"]["ratio"] == 1.0
+    assert out["d"] == {"ratio": None, "anchor": "none"}
+
+
 def test_bw_floor_env_read_at_construction(monkeypatch):
     """r13 ADVICE: the env floors must be read when the sentinel is
     BUILT, not when bench is imported — sweep tools set the env var
