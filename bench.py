@@ -585,13 +585,16 @@ def drift_anchors(
     tail sections — the fallback for never-certified keys)."""
     base = base or os.path.dirname(os.path.abspath(__file__))
     certified: dict[str, float] = {}
-    try:
-        with open(os.path.join(base, "BENCH_QUIET.json")) as fh:
-            for k, r in json.load(fh).get("keys", {}).items():
-                if r.get("certified"):
-                    certified[k] = float(r["sec"])
-    except (OSError, ValueError):
-        pass
+    # BENCH_QUIET (headline, strongest provenance) wins over BENCH_BULK
+    # (registry-wide r15 bulk pass) on overlap — ordered reads + setdefault
+    for name in ("BENCH_QUIET.json", "BENCH_BULK.json"):
+        try:
+            with open(os.path.join(base, name)) as fh:
+                for k, r in json.load(fh).get("keys", {}).items():
+                    if r.get("certified"):
+                        certified.setdefault(k, float(r["sec"]))
+        except (OSError, ValueError):
+            pass
     best: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(base, "BENCH_r*.json"))):
         try:

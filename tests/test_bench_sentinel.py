@@ -258,8 +258,16 @@ def test_drift_anchors_and_vs_floor(tmp_path):
         "parsed": {"queries": {"b": 1.0}}
     }))
 
+    (tmp_path / "BENCH_BULK.json").write_text(json.dumps({
+        "keys": {
+            "a": {"sec": 0.1, "certified": True},   # QUIET wins on overlap
+            "e": {"sec": 0.7, "certified": True},
+            "f": {"sec": 0.2, "certified": False},
+        }
+    }))
+
     certified, best = bench.drift_anchors(str(tmp_path))
-    assert certified == {"a": 0.5}
+    assert certified == {"a": 0.5, "e": 0.7}
     assert best == {"a": 0.8, "b": 1.0, "c": 1.5}
 
     out = bench.vs_floor(

@@ -138,6 +138,85 @@ def test_stateful_user_stats_tws_multi_microbatch(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
 
 
+def test_stateful_user_stats_tws_processor_batch_twin(spark):
+    """r14 verdict #7 (the suite's one skip): the TWS test above needs
+    google.protobuf for the transformWithStateInPandas WIRE protocol,
+    absent in this container — but everything the skip shadows that is
+    OURS is _UserStatsProcessor's accumulation logic.  Drive the
+    processor directly through a fake ValueState handle across multiple
+    micro-batches (including a ns-unit timestamp frame — the unit
+    normalization the processor must do itself) and require the final
+    state to equal the batch aggregate.  What remains protobuf-only is
+    Spark's own serialization layer, not engine behavior."""
+    import numpy as np
+
+    from arrow_experiments_spark.streaming.stateful import (
+        _UserStatsProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    ev = (
+        table(spark, SF_DIR, "events")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+        .filter(F.col("user_id") < 5)
+        .toPandas()
+    )
+    want = {
+        int(uid): (
+            len(g),
+            int(np.floor(g["value"].to_numpy() * 100).astype("int64").sum()),
+            int(g["ts"].to_numpy().astype("datetime64[us]").astype("int64").max()),
+        )
+        for uid, g in ev.groupby("user_id")
+    }
+
+    proc = _UserStatsProcessor()
+    got = {}
+    for uid, g in ev.groupby("user_id"):
+        # fresh state per key, as TWS scopes ValueState per grouping key
+        handle = FakeHandle()
+        proc.init(handle)
+        # three micro-batches; the middle one arrives in ns units
+        # (pandas/pyarrow version-dependent — the processor normalizes)
+        thirds = np.array_split(g, 3)
+        frames = [
+            thirds[0],
+            thirds[1].assign(ts=thirds[1]["ts"].to_numpy().astype("datetime64[ns]")),
+            thirds[2],
+        ]
+        emissions = []
+        for f in frames:
+            if len(f) == 0:
+                continue
+            emissions = list(proc.handleInputRows((uid,), iter([f]), None))
+        assert len(emissions) == 1
+        r = emissions[-1].iloc[0]
+        got[int(uid)] = (
+            int(r["n_events"]), int(r["sum_cents"]), int(r["last_ts_us"])
+        )
+        # and state survives micro-batch boundaries: the stored tuple is
+        # exactly the emitted totals
+        assert handle.states["stats"].get() == got[int(uid)]
+    proc.close()
+    assert got == want
+
+
 def test_stream_to_registry_serves_microbatches(spark, events_stream):
     """foreachBatch egress: each micro-batch lands in the registry and is
     fetchable over HTTP as an Arrow stream (Phase 5 serving model)."""
