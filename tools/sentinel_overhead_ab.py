@@ -55,11 +55,17 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    one_leg()  # warm footers/codegen outside the recorded series
+    # r15: THREE warm legs, not one — short keys decay over ~4-6
+    # executions after codegen (C2 promotion; see bench.py's deep-warm
+    # note), and a decaying series would bias whichever arm runs first
+    for _ in range(3):
+        one_leg()
 
     legs: dict[str, list[dict]] = {"on": [], "off": []}
-    for _ in range(legs_per_arm):
-        for arm in ("on", "off"):
+    for i in range(legs_per_arm):
+        # alternate arm order per round: any residual warm-up or phase
+        # drift then splits evenly across arms instead of loading one
+        for arm in (("on", "off") if i % 2 == 0 else ("off", "on")):
             b = qual.probe()
             if arm == "on":
                 with bw.window():
