@@ -633,6 +633,59 @@ def vs_floor(
     return out
 
 
+def accrue_certified(
+    keys: dict[str, dict],
+    prev: dict[str, dict],
+    stale_limit: int = 3,
+) -> dict[str, dict]:
+    """Merge a certification run's per-key records with a prior ledger
+    (shared by tools/certify_bench.py and tools/bulk_bench.py).
+    Semantics (r14 accrual + r15 staleness, ADVICE r14):
+
+    - a key certified by ANY run keeps its LOWEST certified floor;
+    - when the current run certifies slower than the kept floor, the
+      carry is fresh (carried_runs resets to 0) and the current result
+      is recorded alongside;
+    - when the current run FAILS (or drops) a previously-certified key,
+      the carry records the failing current result and survives at most
+      ``stale_limit`` consecutive carries — a permanently-regressed key
+      must not stay certified forever at a stale floor;
+    - an uncertified prior record is kept visible only if the current
+      run did not re-measure the key.
+
+    Mutates and returns ``keys``.
+    """
+    for k, old in prev.items():
+        new = keys.get(k)
+        if not old.get("certified"):
+            if new is None:
+                keys[k] = old
+            continue
+        if new is not None and new.get("certified"):
+            if new["sec"] > old["sec"]:
+                kept = dict(old)
+                kept["carried_from_prior_run"] = True
+                kept["carried_runs"] = 0
+                kept["current_run"] = {
+                    "sec": new["sec"], "quality": new.get("quality"),
+                    "spread": new.get("spread"), "certified": True,
+                }
+                keys[k] = kept
+            continue  # else: new run set a lower floor — keep it
+        kept = dict(old)
+        kept["carried_from_prior_run"] = True
+        kept["carried_runs"] = old.get("carried_runs", 0) + 1
+        kept["current_run"] = None if new is None else {
+            "sec": new["sec"], "quality": new.get("quality"),
+            "spread": new.get("spread"), "certified": False,
+        }
+        if kept["carried_runs"] > stale_limit:
+            kept["certified"] = False
+            kept["stale_floor"] = True
+        keys[k] = kept
+    return keys
+
+
 def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
     """Sentinel-bracket a sweep's measurement legs (r11 verdict #2 —
     the SCALE sweeps used to commit min-over-N-legs and adjudicate

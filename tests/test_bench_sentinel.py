@@ -283,6 +283,53 @@ def test_drift_anchors_and_vs_floor(tmp_path):
     assert out["d"] == {"ratio": None, "anchor": "none"}
 
 
+def test_accrue_certified_ledger_semantics():
+    """The shared certification-ledger merge (certify_bench + bulk_bench,
+    ADVICE r14): lowest certified floor wins; a slower re-certification
+    resets the carry; a failing run is recorded alongside the carry; a
+    floor carried past stale_limit consecutive failing runs expires; an
+    uncertified prior record stays visible only when not re-measured."""
+
+    def run(new, prev, stale=3):
+        return bench.accrue_certified(dict(new), prev, stale_limit=stale)
+
+    cert = {"sec": 0.5, "certified": True}
+
+    # new lower certified floor replaces the old one
+    out = run({"a": {"sec": 0.4, "certified": True}}, {"a": cert})
+    assert out["a"]["sec"] == 0.4 and "carried_from_prior_run" not in out["a"]
+
+    # slower re-certification keeps the old floor, carry is FRESH
+    out = run({"a": {"sec": 0.6, "certified": True, "quality": "clean",
+                     "spread": [0.6, 0.7]}}, {"a": cert})
+    assert out["a"]["sec"] == 0.5
+    assert out["a"]["carried_runs"] == 0
+    assert out["a"]["current_run"]["certified"] is True
+
+    # failing run: floor carried, failure recorded, counter increments
+    fail = {"sec": 0.9, "certified": False, "quality": "clean",
+            "spread": [0.9, 2.0]}
+    out = run({"a": fail}, {"a": cert})
+    assert out["a"]["sec"] == 0.5 and out["a"]["certified"]
+    assert out["a"]["carried_runs"] == 1
+    assert out["a"]["current_run"]["certified"] is False
+
+    # ... and expires after stale_limit consecutive carries
+    carried = dict(cert, carried_runs=3)
+    out = run({"a": fail}, {"a": carried})
+    assert out["a"]["certified"] is False and out["a"]["stale_floor"]
+
+    # dropped key (not re-measured): carried with current_run=None
+    out = run({}, {"a": cert})
+    assert out["a"]["certified"] and out["a"]["current_run"] is None
+
+    # uncertified prior record: visible when dropped, replaced when re-run
+    uncert = {"sec": 1.0, "certified": False}
+    assert run({}, {"b": uncert})["b"] == uncert
+    out = run({"b": {"sec": 0.8, "certified": True}}, {"b": uncert})
+    assert out["b"]["sec"] == 0.8 and out["b"]["certified"]
+
+
 def test_bw_floor_env_read_at_construction(monkeypatch):
     """r13 ADVICE: the env floors must be read when the sentinel is
     BUILT, not when bench is imported — sweep tools set the env var

@@ -173,44 +173,19 @@ def main() -> None:
             "certified": bool(clean_vals) and spread_ok,
         }
 
-    # accrue with the prior BENCH_BULK.json (certify_bench r15 semantics:
-    # lowest certified floor wins; carried floors record the current
-    # failing result and expire after 3 consecutive carries)
+    # accrue with the prior BENCH_BULK.json: lowest certified floor wins;
+    # carried floors record the current failing result and expire after
+    # CARRY_STALE_LIMIT consecutive carries (bench.accrue_certified)
     prev_path = _REPO / "BENCH_BULK.json"
     if prev_path.exists():
         try:
             prev = json.load(open(prev_path)).get("keys", {})
         except (OSError, ValueError):
             prev = {}
-        stale_limit = int(os.environ.get("CARRY_STALE_LIMIT", "3"))
-        for k, old in prev.items():
-            new = keys.get(k)
-            if not old.get("certified"):
-                if new is None:
-                    keys[k] = old  # keep the uncertified record visible
-                continue
-            if new is not None and new["certified"]:
-                if new["sec"] > old["sec"]:
-                    kept = dict(old)
-                    kept["carried_from_prior_run"] = True
-                    kept["carried_runs"] = 0
-                    kept["current_run"] = {
-                        "sec": new["sec"], "quality": new["quality"],
-                        "spread": new["spread"], "certified": True,
-                    }
-                    keys[k] = kept
-                continue
-            kept = dict(old)
-            kept["carried_from_prior_run"] = True
-            kept["carried_runs"] = old.get("carried_runs", 0) + 1
-            kept["current_run"] = None if new is None else {
-                "sec": new["sec"], "quality": new["quality"],
-                "spread": new["spread"], "certified": False,
-            }
-            if kept["carried_runs"] > stale_limit:
-                kept["certified"] = False
-                kept["stale_floor"] = True
-            keys[k] = kept
+        bench.accrue_certified(
+            keys, prev,
+            stale_limit=int(os.environ.get("CARRY_STALE_LIMIT", "3")),
+        )
 
     n_cert = sum(1 for r in keys.values() if r["certified"])
     review = sorted(

@@ -47,6 +47,10 @@ import time
 from pathlib import Path
 
 _REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+import bench  # noqa: E402  (accrue_certified — shared ledger semantics)
 
 LOAD_MAX = float(os.environ.get("LOAD_MAX", "1.0"))
 SPREAD_BAND = float(os.environ.get("SPREAD_BAND", "1.6"))
@@ -164,48 +168,19 @@ def main() -> None:
             ),
         }
     # MERGE with an existing BENCH_QUIET.json: certification accrues —
-    # a key certified by ANY quiet run keeps its lowest certified
-    # floor; a new run can add keys or lower floors, never lose them.
+    # a key certified by ANY quiet run keeps its lowest certified floor;
+    # carried floors record the current failing result and expire after
+    # CARRY_STALE_LIMIT consecutive carries (bench.accrue_certified).
     prev_path = _REPO / "BENCH_QUIET.json"
     if prev_path.exists():
         try:
             prev = json.load(open(prev_path)).get("keys", {})
         except (OSError, ValueError):
             prev = {}
-        stale_limit = int(os.environ.get("CARRY_STALE_LIMIT", "3"))
-        for k, old in prev.items():
-            new = keys.get(k)
-            if not old.get("certified"):
-                continue
-            if new is not None and new["certified"]:
-                if new["sec"] > old["sec"]:
-                    # keep the lower certified floor; the key re-certified
-                    # THIS run, so the carry is fresh, not stale
-                    kept = dict(old)
-                    kept["carried_from_prior_run"] = True
-                    kept["carried_runs"] = 0
-                    kept["current_run"] = {
-                        "sec": new["sec"], "quality": new["quality"],
-                        "spread": new["spread"], "certified": True,
-                    }
-                    keys[k] = kept
-                continue  # else: new run set a lower floor — keep it
-            # The current run FAILED (or dropped) this key.  Carrying a
-            # prior floor is defensible only for a bounded streak — a key
-            # that permanently regresses must not stay certified forever
-            # at a stale floor.  Record the failing current result
-            # alongside the carry so the trace is auditable.
-            kept = dict(old)
-            kept["carried_from_prior_run"] = True
-            kept["carried_runs"] = old.get("carried_runs", 0) + 1
-            kept["current_run"] = None if new is None else {
-                "sec": new["sec"], "quality": new["quality"],
-                "spread": new["spread"], "certified": False,
-            }
-            if kept["carried_runs"] > stale_limit:
-                kept["certified"] = False
-                kept["stale_floor"] = True
-            keys[k] = kept
+        bench.accrue_certified(
+            keys, prev,
+            stale_limit=int(os.environ.get("CARRY_STALE_LIMIT", "3")),
+        )
     n_cert = sum(1 for r in keys.values() if r["certified"])
     out = {
         "metric": "certify_bench",
