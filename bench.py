@@ -1464,6 +1464,16 @@ def main() -> None:
             **vs_floor(timings, _certified, _best),
             **vs_floor(tail, _certified, _best),
         },
+        # keys whose committed value breached the 2x drift gate vs their
+        # anchor this run — the adjudication's one-glance field
+        "drift_breaches": sorted(
+            k
+            for k, r in {
+                **vs_floor(timings, _certified, _best),
+                **vs_floor(tail, _certified, _best),
+            }.items()
+            if r.get("ratio") is not None and r["ratio"] > 2.0
+        ),
         # r14 (verdict #1): the committed statistic moved to MIN over
         # clean samples (see commit_stat); this series keeps r11-r13's
         # lower-middle per key, so cross-round drift comparisons against

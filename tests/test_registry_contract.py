@@ -48,6 +48,38 @@ def test_oracle_entries_cover_queries():
             assert sql and sql.strip(), f"{name}: empty oracle SQL"
 
 
+def test_every_registered_query_has_a_committed_timing():
+    """r15 invariant (closes r14 verdict #2): every registered query has
+    at least one committed clean wall-clock number — a certified floor in
+    BENCH_QUIET.json or BENCH_BULK.json, or a committed headline/tail
+    entry in some BENCH_r*.json.  A newly-registered query fails this
+    until it is benched; `python tools/bulk_bench.py <name>` is the one
+    command that fixes it (quiet window required)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    covered: set[str] = set()
+    for name in ("BENCH_QUIET.json", "BENCH_BULK.json"):
+        path = os.path.join(root, name)
+        if os.path.exists(path):
+            covered |= {
+                k
+                for k, r in json.load(open(path)).get("keys", {}).items()
+                if r.get("certified")
+            }
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        parsed = json.load(open(path)).get("parsed") or {}
+        for section in ("queries", "tail_queries"):
+            covered |= set((parsed.get(section) or {}).keys())
+    missing = sorted(set(_QUERIES) - covered)
+    assert not missing, (
+        f"{len(missing)} registered queries have no committed timing "
+        f"(run tools/bulk_bench.py on them in a quiet window): {missing}"
+    )
+
+
 def test_lrv_rotation_is_a_total_order():
     """r11 verdict #4: the least-recently-verified ordering the driver
     samples from must be EXACTLY predictable — sorted by (last driver-
