@@ -23,12 +23,26 @@ from arrow_experiments_spark.tables import table
 
 
 def drop_table_and_location(spark: SparkSession, table_name: str) -> None:
-    """Drop a managed table AND its warehouse directory.  A killed earlier
-    run can leave the table's location on disk while the fresh session's
-    catalog has no such table — then ``DROP TABLE IF EXISTS`` is a no-op
-    and the next ``saveAsTable`` raises ``LOCATION_ALREADY_EXISTS``.  One
-    leftover directory must never be able to fail a rerun."""
+    """Drop a managed table AND its orphaned warehouse directory.  A
+    killed earlier run can leave the table's location on disk while the
+    fresh session's catalog has no such table — then ``DROP TABLE IF
+    EXISTS`` is a no-op and the next ``saveAsTable`` raises
+    ``LOCATION_ALREADY_EXISTS``.  One leftover directory must never be
+    able to fail a rerun.
+
+    The location is cleared only when the table was ABSENT from the
+    catalog (a true orphan): when it exists, DROP TABLE already handles
+    the location per the table's own type — deleting it for a managed
+    table, preserving it for an external one — and an unconditional
+    rmtree would violate the external-table contract.  Qualified names
+    (``db.table``) resolve to ``<warehouse>/<db>.db/<table>``, which
+    this default-database helper does not model — callers use simple
+    names; the guard keeps a qualified call safe (drop only, no rmtree).
+    """
+    existed = spark.catalog.tableExists(table_name)
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if existed or "." in table_name:
+        return
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     loc = Path(urlparse(warehouse).path or warehouse) / table_name.lower()
     if loc.exists():

@@ -590,19 +590,29 @@ def drift_anchors(
     for name in ("BENCH_QUIET.json", "BENCH_BULK.json"):
         try:
             with open(os.path.join(base, name)) as fh:
-                for k, r in json.load(fh).get("keys", {}).items():
-                    if r.get("certified"):
-                        certified.setdefault(k, float(r["sec"]))
+                rec = json.load(fh)
         except (OSError, ValueError):
-            pass
+            continue
+        keys = rec.get("keys", {}) if isinstance(rec, dict) else {}
+        for k, r in keys.items():
+            if (
+                isinstance(r, dict)
+                and r.get("certified")
+                and isinstance(r.get("sec"), (int, float))
+            ):
+                certified.setdefault(k, float(r["sec"]))
     best: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(base, "BENCH_r*.json"))):
         try:
-            parsed = json.load(open(path)).get("parsed") or {}
+            rec = json.load(open(path))
         except (OSError, ValueError):
             continue
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if not isinstance(parsed, dict):
+            continue
         for section in ("queries", "tail_queries"):
-            for k, v in (parsed.get(section) or {}).items():
+            sec = parsed.get(section)
+            for k, v in (sec.items() if isinstance(sec, dict) else ()):
                 if isinstance(v, (int, float)):
                     best[k] = min(best.get(k, float("inf")), float(v))
     return certified, best
@@ -646,10 +656,13 @@ def accrue_certified(
     - when the current run certifies slower than the kept floor, the
       carry is fresh (carried_runs resets to 0) and the current result
       is recorded alongside;
-    - when the current run FAILS (or drops) a previously-certified key,
-      the carry records the failing current result and survives at most
-      ``stale_limit`` consecutive carries — a permanently-regressed key
-      must not stay certified forever at a stale floor;
+    - when the current run MEASURED a previously-certified key and
+      FAILED it, the carry records the failing result and survives at
+      most ``stale_limit`` consecutive measured failures — a permanently-
+      regressed key must not stay certified forever at a stale floor.
+      A key the current run did not measure at all carries UNCHANGED
+      (no counter increment): targeted single-key runs must not expire
+      the floors of keys they never touched;
     - an uncertified prior record is kept visible only if the current
       run did not re-measure the key.
 
@@ -674,14 +687,17 @@ def accrue_certified(
             continue  # else: new run set a lower floor — keep it
         kept = dict(old)
         kept["carried_from_prior_run"] = True
-        kept["carried_runs"] = old.get("carried_runs", 0) + 1
-        kept["current_run"] = None if new is None else {
-            "sec": new["sec"], "quality": new.get("quality"),
-            "spread": new.get("spread"), "certified": False,
-        }
-        if kept["carried_runs"] > stale_limit:
-            kept["certified"] = False
-            kept["stale_floor"] = True
+        if new is None:  # not measured this run: carry without aging
+            kept["current_run"] = None
+        else:
+            kept["carried_runs"] = old.get("carried_runs", 0) + 1
+            kept["current_run"] = {
+                "sec": new["sec"], "quality": new.get("quality"),
+                "spread": new.get("spread"), "certified": False,
+            }
+            if kept["carried_runs"] > stale_limit:
+                kept["certified"] = False
+                kept["stale_floor"] = True
         keys[k] = kept
     return keys
 
@@ -1195,9 +1211,19 @@ def main() -> None:
 
     gather_meds: dict[str, list] = {}
 
+    # keys needing a per-leg re-warm (r15 — rationale at the warm-pass
+    # note below): count = untimed executions immediately before every
+    # recorded sample
+    _pre_warm = {"events_session_window": 2}
+
     def measure_inleg(name: str):
         import statistics
 
+        # per-leg re-warm (r15, see the _pre_warm note below): applied
+        # HERE so every recorded sample — pass legs, contended re-runs,
+        # floor_watch extras — is steady-state, not just the pass loop's
+        for _ in range(_pre_warm.get(name, 0)):
+            measure(name)
         with bw.window() as w:
             v = measure(name)
         # latency diagnostics (r13): per-leg gather medians accumulate
@@ -1235,8 +1261,9 @@ def main() -> None:
     # pass restarts the decay slope (an r15 certify run with a 6-deep
     # initial warm still spread [0.47, 1.14]).  The fix that matches the
     # steady-state declaration is PER-LEG: re-warm the key immediately
-    # before each recorded sample (2 untimed executions, ~1.2 s/pass).
-    _pre_warm = {"events_session_window": 2}
+    # before each recorded sample (2 untimed executions, ~1.2 s/pass —
+    # applied inside measure_inleg so contended re-runs and floor_watch
+    # extras are covered too).
     for name in items:
         measure(name)
     passes: list[dict[str, float]] = []
@@ -1249,8 +1276,6 @@ def main() -> None:
         il: dict[str, list[float]] = {}
         last = qual.probe()
         for name in order:
-            for _ in range(_pre_warm.get(name, 0)):  # see r15 note above
-                measure(name)
             p[name], il[name] = measure_inleg(name)
             nxt = qual.probe()
             br[name] = (last, nxt)
@@ -1452,6 +1477,10 @@ def main() -> None:
     # stdout line stays COMPACT — {metric, value, unit, queries, sf} only —
     # and everything diagnostic goes to BENCH_DETAIL.json next to bench.py.
     _certified, _best = drift_anchors()
+    _vs_floor_all = {
+        **vs_floor(timings, _certified, _best),
+        **vs_floor(tail, _certified, _best),
+    }
     detail = {
         "spread": spread,
         "total_excludes": sorted(total_excludes),
@@ -1460,18 +1489,12 @@ def main() -> None:
         # falling back to best-ever committed only for never-certified
         # keys, for headline AND tail keys, so the 2x adjudication reads
         # one field instead of reconstructing the anchor per round
-        "vs_certified_floor": {
-            **vs_floor(timings, _certified, _best),
-            **vs_floor(tail, _certified, _best),
-        },
+        "vs_certified_floor": _vs_floor_all,
         # keys whose committed value breached the 2x drift gate vs their
         # anchor this run — the adjudication's one-glance field
         "drift_breaches": sorted(
             k
-            for k, r in {
-                **vs_floor(timings, _certified, _best),
-                **vs_floor(tail, _certified, _best),
-            }.items()
+            for k, r in _vs_floor_all.items()
             if r.get("ratio") is not None and r["ratio"] > 2.0
         ),
         # r14 (verdict #1): the committed statistic moved to MIN over

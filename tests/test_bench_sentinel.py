@@ -319,9 +319,12 @@ def test_accrue_certified_ledger_semantics():
     out = run({"a": fail}, {"a": carried})
     assert out["a"]["certified"] is False and out["a"]["stale_floor"]
 
-    # dropped key (not re-measured): carried with current_run=None
-    out = run({}, {"a": cert})
+    # dropped key (not re-measured): carried with current_run=None and
+    # the staleness counter UNTOUCHED — a targeted single-key run must
+    # not age (and eventually expire) floors of keys it never measured
+    out = run({}, {"a": dict(cert, carried_runs=3)})
     assert out["a"]["certified"] and out["a"]["current_run"] is None
+    assert out["a"]["carried_runs"] == 3
 
     # uncertified prior record: visible when dropped, replaced when re-run
     uncert = {"sec": 1.0, "certified": False}

@@ -55,24 +55,16 @@ def test_every_registered_query_has_a_committed_timing():
     entry in some BENCH_r*.json.  A newly-registered query fails this
     until it is benched; `python tools/bulk_bench.py <name>` is the one
     command that fixes it (quiet window required)."""
-    import glob
-    import json
     import os
+    import sys
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    covered: set[str] = set()
-    for name in ("BENCH_QUIET.json", "BENCH_BULK.json"):
-        path = os.path.join(root, name)
-        if os.path.exists(path):
-            covered |= {
-                k
-                for k, r in json.load(open(path)).get("keys", {}).items()
-                if r.get("certified")
-            }
-    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
-        parsed = json.load(open(path)).get("parsed") or {}
-        for section in ("queries", "tail_queries"):
-            covered |= set((parsed.get(section) or {}).keys())
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import bench
+
+    certified, best = bench.drift_anchors(root)
+    covered = set(certified) | set(best)
     missing = sorted(set(_QUERIES) - covered)
     assert not missing, (
         f"{len(missing)} registered queries have no committed timing "

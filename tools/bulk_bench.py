@@ -40,7 +40,6 @@ Writes BENCH_BULK.json and prints one JSON summary line.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import statistics
@@ -67,28 +66,14 @@ WARM_PASSES = int(os.environ.get("BULK_WARM_PASSES", "3"))
 
 
 def benched_keys() -> set[str]:
-    """Every key with a committed wall-clock number: headline + tail
-    sections of all BENCH_r*.json, plus BENCH_QUIET/BENCH_BULK certified
-    floors."""
-    seen: set[str] = set()
-    for path in glob.glob(str(_REPO / "BENCH_r*.json")):
-        try:
-            parsed = json.load(open(path)).get("parsed") or {}
-        except (OSError, ValueError):
-            continue
-        for section in ("queries", "tail_queries"):
-            seen |= set((parsed.get(section) or {}).keys())
-    for name in ("BENCH_QUIET.json", "BENCH_BULK.json"):
-        p = _REPO / name
-        if p.exists():
-            try:
-                rec = json.load(open(p))
-            except (OSError, ValueError):
-                continue
-            seen |= {
-                k for k, r in rec.get("keys", {}).items() if r.get("certified")
-            }
-    return seen
+    """Every key with a committed wall-clock number: certified floors
+    (BENCH_QUIET/BENCH_BULK) plus headline + tail sections of all
+    BENCH_r*.json — exactly the two maps bench.drift_anchors reads, so
+    the 'is this key benched?' definition lives in one place."""
+    import bench
+
+    certified, best = bench.drift_anchors(str(_REPO))
+    return set(certified) | set(best)
 
 
 def main() -> None:
