@@ -45,8 +45,32 @@ def drop_table_and_location(spark: SparkSession, table_name: str) -> None:
         return
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     loc = Path(urlparse(warehouse).path or warehouse) / table_name.lower()
-    if loc.exists():
+    if loc.exists() and not _location_in_catalog(spark, loc):
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def _location_in_catalog(spark: SparkSession, loc: Path) -> bool:
+    """ADVICE r15: a directory at ``<warehouse>/<name>`` is not
+    necessarily an orphan — it could be the declared LOCATION of a
+    *differently-named* external table.  True when any current-database
+    table's storage location resolves to ``loc`` (live catalog state:
+    must not be rmtree'd; the next ``saveAsTable`` then fails loudly
+    with LOCATION_ALREADY_EXISTS, which is correct — the caller's name
+    genuinely collides with someone else's storage).  Runs only on the
+    already-rare orphan path over the handful of tables a bench session
+    registers, so cost is immaterial."""
+    target = loc.resolve()
+    for t in spark.catalog.listTables():
+        try:
+            rows = spark.sql(f"DESCRIBE TABLE EXTENDED `{t.name}`").collect()
+        except Exception:
+            continue  # a table we cannot describe cannot vouch for loc
+        for r in rows:
+            if r.col_name == "Location" and r.data_type:
+                p = Path(urlparse(r.data_type).path or r.data_type)
+                if p.resolve() == target:
+                    return True
+    return False
 
 
 def write_bucketed(

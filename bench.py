@@ -643,6 +643,22 @@ def vs_floor(
     return out
 
 
+def drift_gate_rc(breaches: list[str], env=None) -> int:
+    """r15 verdict #7: the 2x-vs-certified-floor clause, machine-enforced
+    per run (the way explain_audit exits nonzero on plan violations)
+    instead of judge-enforced per round.  Returns the process exit code:
+    2 when any key breached, 0 otherwise.  The compact stdout JSON line
+    and BENCH_DETAIL.json are always written BEFORE this gate runs, so a
+    breach never costs the round its committed numbers — it only makes
+    the run loudly red.  ``SPARK_GRAFT_DRIFT_GATE=0`` disables the
+    nonzero exit (the breach list still prints) for harnesses that must
+    not see a failing status."""
+    env = os.environ if env is None else env
+    if breaches and env.get("SPARK_GRAFT_DRIFT_GATE", "1") != "0":
+        return 2
+    return 0
+
+
 def accrue_certified(
     keys: dict[str, dict],
     prev: dict[str, dict],
@@ -678,11 +694,23 @@ def accrue_certified(
             if new["sec"] > old["sec"]:
                 kept = dict(old)
                 kept["carried_from_prior_run"] = True
-                kept["carried_runs"] = 0
+                if new["sec"] > 2.0 * old["sec"]:
+                    # ADVICE r15: a certified result beyond the 2x drift
+                    # band is evidence the floor no longer tracks
+                    # reality — it AGES the carry like a measured
+                    # failure instead of refreshing it, so a key that
+                    # only ever re-certifies at arbitrarily slower
+                    # values still expires after stale_limit such runs.
+                    kept["carried_runs"] = old.get("carried_runs", 0) + 1
+                else:
+                    kept["carried_runs"] = 0
                 kept["current_run"] = {
                     "sec": new["sec"], "quality": new.get("quality"),
                     "spread": new.get("spread"), "certified": True,
                 }
+                if kept["carried_runs"] > stale_limit:
+                    kept["certified"] = False
+                    kept["stale_floor"] = True
                 keys[k] = kept
             continue  # else: new run set a lower floor — keep it
         kept = dict(old)
@@ -797,6 +825,14 @@ def qualified_legs(qual, leg_fns, min_clean: int = 2, bw=None):
     return min(g["sec"] for g in legs), "contended", legs
 
 
+# x4 band factor: committed aggregate GiB/s must reach this share of the
+# paired 4-stream probe ceiling (r16; calibration series in SCALE.md —
+# quiet-window x4 runs measure 1.2-1.5x the userspace probe because the
+# serve path is mmap splice, so 0.95 still leaves headroom while a
+# phase-halved run falls clearly below)
+_X4_BAND = float(os.environ.get("SPARK_GRAFT_X4_BAND", "0.95"))
+
+
 def _bench_replay_100m(
     spark,
     qual: "WindowQualifier | None" = None,
@@ -872,9 +908,25 @@ def _bench_replay_100m(
         # barrier-synchronized subprocesses — measures the threaded
         # server's GIL-released mmap-splice sendall path under 4
         # concurrent 3 GiB streams, fetch phase only.
-        wall, got = _concurrent_fetch(url, 4)
-        x4 = round(wall, 3)
-        assert got == [rows] * 4
+        #
+        # r15 verdict Wrong #3 (third consecutive self-exclusion): the
+        # x4 key was measured ONCE per run and wore the single-stream
+        # key's quality tag, whose loopback band compares single-stream
+        # throughput to a single-stream ceiling — a 4-stream aggregate
+        # can never window-qualify through that proxy.  The r16
+        # protocol gives x4 its own legs: two recorded attempts
+        # (min committed, both in the spread), its own SAME-SHAPE
+        # ceiling (_loopback_gibs_nstream — 4 concurrent streams,
+        # threaded sender, subprocess receivers) probed adjacent to the
+        # attempts, a band vs that paired ceiling, and retries under
+        # the same sentinel+band rules as the single-stream key.
+        def one_x4() -> float:
+            wall, got = _concurrent_fetch(url, 4)
+            assert got == [rows] * 4
+            return round(wall, 3)
+
+        x4_ceilings = [_loopback_gibs_nstream()]
+        x4_attempts = [one_x4(), one_x4()]
 
         # third single-client attempt, warm + window-decorrelated
         # (VERDICT r6 #2: r6's two attempts both landed in one noise
@@ -917,10 +969,48 @@ def _bench_replay_100m(
                     quality = "below_band"
                 else:
                     quality = "contended"
+
+        # x4 qualification against its OWN paired ceiling (see the x4
+        # note above): aggregate effective GiB/s vs the most recent
+        # 4-stream probe.  The band factor is calibrated to the splice
+        # path: the server replays mmap'd bytes while the probe's
+        # sender pushes from userspace, so a clean x4 run typically
+        # EXCEEDS the probe ceiling (measured ~1.2-1.5x in quiet
+        # windows) — the band is about catching the runs that fall far
+        # below the paired probe, not about a 0.7 share of it.
+        payload_gib = rows * 4 * 8 / 1024**3
+        x4_quality = "clean"
+
+        def x4_ok() -> tuple[bool, bool]:
+            sentinel_ok = qual.window_ok() if qual is not None else True
+            band_ok = (
+                4 * payload_gib / min(x4_attempts)
+                >= _X4_BAND * x4_ceilings[-1]
+            )
+            return sentinel_ok, band_ok
+
+        x4_retries = 0
+        sentinel_ok, band_ok = x4_ok()
+        while not (sentinel_ok and band_ok) and x4_retries < 3:
+            _time.sleep(3)
+            x4_ceilings.append(_loopback_gibs_nstream())
+            x4_attempts.append(one_x4())
+            x4_retries += 1
+            sentinel_ok, band_ok = x4_ok()
+        if x4_retries:
+            if sentinel_ok and band_ok:
+                x4_quality = "rerun_clean"
+            elif sentinel_ok:
+                x4_quality = "below_band"
+            else:
+                x4_quality = "contended"
         return {
             "s1_replay_100m": min(attempts),
             "s1_replay_100m_attempts": attempts,
-            "s1_replay_100m_x4": x4,
+            "s1_replay_100m_x4": min(x4_attempts),
+            "s1_replay_100m_x4_attempts": x4_attempts,
+            "s1_replay_100m_x4_quality": x4_quality,
+            "s1_replay_100m_x4_ceilings": x4_ceilings,
             "s1_replay_100m_quality": quality,
         }
     finally:
@@ -1151,6 +1241,93 @@ def _loopback_gibs(n_bytes: int = 1 * 1024**3) -> float:
     return round(got / 1024**3 / dt, 2)
 
 
+_NSTREAM_RECV_CODE = (
+    "import socket, sys\n"
+    "n = int(sys.argv[2])\n"
+    "c = socket.socket()\n"
+    "c.connect(('127.0.0.1', int(sys.argv[1])))\n"
+    "print('READY', flush=True)\n"
+    "sys.stdin.readline()\n"
+    "got = 0\n"
+    "while got < n:\n"
+    "    b = c.recv(1 << 20)\n"
+    "    if not b:\n"
+    "        break\n"
+    "    got += len(b)\n"
+    "print(got, flush=True)\n"
+)
+
+
+def _loopback_gibs_nstream(
+    n_streams: int = 4, n_bytes_per: int = 1 * 1024**3
+) -> float:
+    """AGGREGATE localhost-socket bandwidth over ``n_streams`` concurrent
+    streams (GiB/s): one threaded sender process (sendall releases the
+    GIL — the real server's topology) feeding one RECEIVER SUBPROCESS
+    per stream (own GIL each — the real x4 clients' topology).  This is
+    the physical ceiling of the 4-concurrent-client replay, which the
+    single-stream ``_loopback_gibs`` ceiling cannot stand in for: on
+    this box 4 streams aggregate ~3-4x the single-stream number, and a
+    co-tenant phase moves the two DIFFERENTLY (r15 verdict Wrong #3 —
+    the x4 key could never window-qualify against single-stream
+    brackets).  Pairing the x4 measurement with ITS OWN same-shape
+    ceiling, probed adjacent to each attempt, is what makes the band
+    self-normalizing under box drift."""
+    import socket
+    import subprocess as _sp
+    import threading
+    import time as _time
+
+    chunk = bytearray(os.urandom(1 << 20))
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(n_streams)
+    port = srv.getsockname()[1]
+    procs = [
+        _sp.Popen(
+            [sys.executable, "-c", _NSTREAM_RECV_CODE,
+             str(port), str(n_bytes_per)],
+            stdin=_sp.PIPE, stdout=_sp.PIPE, text=True,
+        )
+        for _ in range(n_streams)
+    ]
+    try:
+        conns = []
+        for _ in range(n_streams):
+            conn, _addr = srv.accept()
+            conns.append(conn)
+        for p in procs:
+            assert p.stdout.readline().strip() == "READY"
+
+        def sender(conn) -> None:
+            sent = 0
+            while sent < n_bytes_per:
+                conn.sendall(chunk)
+                sent += len(chunk)
+            conn.close()
+
+        threads = [threading.Thread(target=sender, args=(c,)) for c in conns]
+        t0 = _time.perf_counter()
+        for p in procs:
+            p.stdin.write("go\n")
+            p.stdin.flush()
+        for t in threads:
+            t.start()
+        got = 0
+        for p in procs:
+            out, _ = p.communicate(timeout=120)
+            got += int(out.strip().splitlines()[-1])
+        dt = _time.perf_counter() - t0
+        for t in threads:
+            t.join()
+        return round(got / 1024**3 / dt, 2)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        srv.close()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -1346,7 +1523,10 @@ def main() -> None:
     timings["s1_replay_100m"] = r100["s1_replay_100m"]
     timings["s1_replay_100m_x4"] = r100["s1_replay_100m_x4"]
     quality["s1_replay_100m"] = r100["s1_replay_100m_quality"]
-    quality["s1_replay_100m_x4"] = r100["s1_replay_100m_quality"]
+    # r16 (r15 verdict Wrong #3): x4 wears ITS OWN quality tag, earned
+    # against its own 4-stream paired ceiling — no longer the
+    # single-stream tag by proxy
+    quality["s1_replay_100m_x4"] = r100["s1_replay_100m_x4_quality"]
     timings["s2_serve_42m_zstd"] = _bench_serve_42m(spark, qual=qual)
     quality["s2_serve_42m_zstd"] = (
         _SERVE_42M_QUALITY[-1] if _SERVE_42M_QUALITY else "clean"
@@ -1365,6 +1545,8 @@ def main() -> None:
     }
     attempts = r100["s1_replay_100m_attempts"]
     spread["s1_replay_100m"] = [min(attempts), max(attempts)]
+    x4_attempts = r100["s1_replay_100m_x4_attempts"]
+    spread["s1_replay_100m_x4"] = [min(x4_attempts), max(x4_attempts)]
 
     # r6 verdict #4: agg_count_distinct / window_running_sum per-pass
     # FLOORS rose 1.3-1.7× while the sentinel improved — re-measure with
@@ -1477,6 +1659,11 @@ def main() -> None:
     # stdout line stays COMPACT — {metric, value, unit, queries, sf} only —
     # and everything diagnostic goes to BENCH_DETAIL.json next to bench.py.
     _certified, _best = drift_anchors()
+    # ADVICE r15: the merge below would silently let a tail ratio shadow
+    # a headline ratio if a key ever appeared in both sections — they are
+    # disjoint by construction (tail = registry minus headline), so pin it
+    _overlap = set(timings) & set(tail)
+    assert not _overlap, f"headline/tail key overlap: {sorted(_overlap)}"
     _vs_floor_all = {
         **vs_floor(timings, _certified, _best),
         **vs_floor(tail, _certified, _best),
@@ -1638,6 +1825,12 @@ def main() -> None:
         # replay's ~3.1 GiB by its wall and compare
         "loopback_gibs": loopback_gibs,
         "s1_replay_100m_attempts": attempts,
+        # x4's own evidence (r16, verdict Wrong #3): every attempt and
+        # every paired 4-stream ceiling probe, so a certification or an
+        # adjudication can read the aggregate-GiB/s-vs-ceiling ratio
+        # per attempt without re-running
+        "s1_replay_100m_x4_attempts": x4_attempts,
+        "s1_replay_100m_x4_ceilings_gibs": r100["s1_replay_100m_x4_ceilings"],
         "s2_serve_42m_attempts": list(_SERVE_42M_ATTEMPTS),
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
@@ -1661,6 +1854,15 @@ def main() -> None:
         )
     )
     spark.stop()
+    rc = drift_gate_rc(detail["drift_breaches"])
+    if rc:
+        print(
+            "DRIFT BREACH: committed value >2x certified floor for "
+            f"{detail['drift_breaches']} (anchors in BENCH_DETAIL.json "
+            "vs_certified_floor; adjudicate per BASELINE.md protocol)",
+            file=sys.stderr,
+        )
+    sys.exit(rc)
 
 
 if __name__ == "__main__":

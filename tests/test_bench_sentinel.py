@@ -333,6 +333,60 @@ def test_accrue_certified_ledger_semantics():
     assert out["b"]["sec"] == 0.8 and out["b"]["certified"]
 
 
+def test_accrue_certified_ages_beyond_drift_band():
+    """ADVICE r15: a certified-but->2x-slower result is an AGING event,
+    not a fresh carry — otherwise a floor could be carried forever on
+    occasional certifications at arbitrarily slow values, and the
+    stale_limit would never bite.  Within the 2x band the carry still
+    resets (ordinary slower-but-certified churn)."""
+
+    cert = {"sec": 0.5, "certified": True}
+    beyond = {"sec": 1.2, "certified": True, "quality": "clean",
+              "spread": [1.2, 1.3]}
+
+    # >2x certified: floor kept, but the carry AGES like a failure
+    out = bench.accrue_certified({"a": dict(beyond)}, {"a": dict(cert)})
+    assert out["a"]["sec"] == 0.5 and out["a"]["certified"]
+    assert out["a"]["carried_runs"] == 1
+    assert out["a"]["current_run"]["certified"] is True
+
+    # ... and expires after stale_limit consecutive such runs
+    aged = dict(cert, carried_runs=3)
+    out = bench.accrue_certified({"a": dict(beyond)}, {"a": aged})
+    assert out["a"]["certified"] is False and out["a"]["stale_floor"]
+
+    # within the band (<=2x): carry resets as before
+    within = {"sec": 0.9, "certified": True}
+    out = bench.accrue_certified(
+        {"a": dict(within)}, {"a": dict(cert, carried_runs=2)}
+    )
+    assert out["a"]["certified"] and out["a"]["carried_runs"] == 0
+
+
+def test_drift_gate_rc_forced_breach():
+    """r15 verdict #7: the 2x drift clause is machine-enforced — a
+    synthetic breach makes the run exit nonzero; an empty breach list
+    (and the documented env escape hatch) exits clean."""
+    assert bench.drift_gate_rc([]) == 0
+    assert bench.drift_gate_rc(["dedup_exact"], env={}) == 2
+    assert (
+        bench.drift_gate_rc(
+            ["dedup_exact"], env={"SPARK_GRAFT_DRIFT_GATE": "0"}
+        )
+        == 0
+    )
+
+
+def test_loopback_nstream_probe_measures_aggregate():
+    """r16 (r15 verdict Wrong #3): the x4 replay qualifies against its
+    own same-shape ceiling — n concurrent streams, threaded sender,
+    one receiver subprocess per stream.  Small volume here: the test
+    pins the mechanics (all bytes arrive, a sane positive rate), not
+    the box's absolute bandwidth."""
+    gibs = bench._loopback_gibs_nstream(n_streams=2, n_bytes_per=32 << 20)
+    assert gibs > 0.01, gibs
+
+
 def test_bw_floor_env_read_at_construction(monkeypatch):
     """r13 ADVICE: the env floors must be read when the sentinel is
     BUILT, not when bench is imported — sweep tools set the env var

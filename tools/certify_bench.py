@@ -115,9 +115,14 @@ def main() -> None:
         # of bench — e.g. after fixing a post-processing bug
         stdout = open(reuse).read()
     else:
+        # SPARK_GRAFT_DRIFT_GATE=0: bench.py exits nonzero on a >2x
+        # drift breach (r15 verdict #7), but certification IS the
+        # adjudication/remediation path for a breach — gating it on the
+        # breach being absent would deadlock exactly when it is needed.
         proc = subprocess.run(
             [sys.executable, str(_REPO / "bench.py")],
             capture_output=True, text=True, cwd=str(_REPO),
+            env={**os.environ, "SPARK_GRAFT_DRIFT_GATE": "0"},
         )
         if proc.returncode != 0:
             print(json.dumps({
