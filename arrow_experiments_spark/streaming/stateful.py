@@ -145,6 +145,7 @@ def run_user_stats(
     query_name: str = "stateful_user_stats",
     stage_dir: str | None = None,
     api: str = "applyInPandasWithState",
+    max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Drive the stateful operator over the events table as a stream and
     return the final per-user state.
@@ -155,7 +156,11 @@ def run_user_stats(
     per file.  Pass ``stage_dir`` (a SHARED-storage path on a cluster;
     tests use a tmp dir) to first re-split the table into ``n_files``
     files and exercise true multi-micro-batch state evolution even when
-    the source is a single file.
+    the source is a single file.  ``max_files_per_trigger`` is the
+    operational batch-size knob a production deployment tunes (r16): on
+    a directory-layout table it trades per-trigger fixed cost (state
+    store load/commit per partition) against batch memory — the decade
+    sweep uses it to separate volume scaling from trigger-count scaling.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -168,13 +173,15 @@ def run_user_stats(
         )
 
     if stage_dir is None:
-        stream = project(events_stream(spark, sf_dir))
+        stream = project(
+            events_stream(spark, sf_dir, max_files_per_trigger)
+        )
     else:
         src = project(table(spark, sf_dir, "events"))
         src.repartition(n_files).write.mode("overwrite").parquet(stage_dir)
         stream = (
             spark.readStream.schema(src.schema)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(stage_dir)
         )
     if api == "transformWithState":

@@ -20,6 +20,8 @@ The loader is dtype-driven so both layouts normalize to a microsecond
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -102,16 +104,28 @@ def events_stream(
     path = f"{sf_dir}/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(path).schema
-    # The testdata table is a bare file, not a directory; FileStreamSource
-    # requires a directory basePath, so stream the directory and glob-filter
-    # down to the one table.  A directory-per-table production layout streams
-    # the same way without the filter.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # Two source layouts stream differently (r16 — found by the decade
+    # sweep: the glob branch silently streams ZERO files when the table
+    # is a directory, because pathGlobFilter matches LEAF file names and
+    # a directory's part files are part-*.parquet, not events.parquet):
+    # - bare-file testdata (`events.parquet` IS a file): FileStreamSource
+    #   needs a directory basePath, so stream sf_dir glob-filtered down
+    #   to the one table file;
+    # - directory-per-table production layout: stream the table directory
+    #   itself, no filter — each part file is a micro-batch.
+    if os.path.isdir(path):
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(path)
+        )
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # Same dtype-drift absorption as table(): a future testdata drop with
     # e.g. int32 user_id must normalize at the loader, not surface as a
     # schema mismatch inside applyInPandasWithState.

@@ -111,6 +111,28 @@ def test_stateful_user_stats_multi_microbatch(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
 
 
+def test_events_stream_directory_layout(spark, tmp_path):
+    """r16 regression (found by the TPC-H decade sweep): when
+    ``<sf_dir>/events.parquet`` is a DIRECTORY of part files — the
+    production layout — the old glob branch streamed ZERO files, because
+    ``pathGlobFilter`` matches leaf names and part files are named
+    part-*.parquet.  A directory-layout copy of the table must stream
+    every row, one micro-batch per part file."""
+    from arrow_experiments_spark.tables import events_stream
+
+    sf_copy = tmp_path / "sf_dircopy"
+    sf_copy.mkdir()
+    src = table(spark, SF_DIR, "events")
+    src.repartition(3).write.mode("overwrite").parquet(
+        str(sf_copy / "events.parquet")
+    )
+    got = _run(
+        events_stream(spark, str(sf_copy)).select("event_id"),
+        spark, "t_dirlayout", "append",
+    )
+    assert got.count() == src.count()
+
+
 def test_stateful_user_stats_tws_multi_microbatch(spark, tmp_path):
     """Spark 4 transformWithStateInPandas form (StatefulProcessor +
     ValueState on RocksDB): same multi-micro-batch accumulation and the

@@ -135,11 +135,38 @@ def main() -> None:
             runs = [measure(name, sf_dir) for _ in range(2)]
             results[name][k] = [round(r, 2) for r in runs]
             print(f"x{k} {name} {results[name][k]}", flush=True)
+
+    # Trigger-knob leg (r16): the default stateful row scales BOTH the
+    # volume and the trigger count (x10 = 10 part files = 10 micro-
+    # batches, each touching the full 10x state), so its exponent folds
+    # per-trigger fixed cost (state store load/commit per partition)
+    # into the decade.  Batch size is an operational knob, not a data
+    # property — this leg re-runs the x10 corpus with all files in ONE
+    # trigger (max_files_per_trigger=FACTOR·n_files), isolating pure
+    # volume scaling against the 1x single-batch baseline.
+    from arrow_experiments_spark.streaming.stateful import run_user_stats
+
+    knob = "stateful_user_stats@one_trigger"
+    results[knob] = {1: results["stateful_user_stats"][1]}
+
+    def measure_one_trigger() -> float:
+        t0 = time.perf_counter()
+        run_user_stats(
+            spark, work, query_name="tds_one_trigger",
+            max_files_per_trigger=1024,
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    measure_one_trigger()  # warm
+    results[knob][FACTOR] = [round(measure_one_trigger(), 2) for _ in range(2)]
+    print(f"x{FACTOR} {knob} {results[knob][FACTOR]}", flush=True)
     spark.conf.set("spark.sql.shuffle.partitions", str(base_parts))
 
     rows = []
     out: dict[str, float] = {}
-    for name in QUERIES:
+    for name in [*QUERIES, knob]:
         t1 = min(results[name][1])
         t10 = min(results[name][FACTOR])
         exp = math.log(t10 / t1) / math.log(10)
