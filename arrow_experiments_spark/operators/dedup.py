@@ -521,23 +521,72 @@ def _candidate_edges(
 # fallback path on a normal corpus).
 _PROP_MAX_ROUNDS = 25
 
+# Small-graph fast path (r16 optimization): when the candidate edge set is
+# bounded — the same size-adaptive decision Spark itself makes for
+# broadcast joins — connected components are solved driver-side with
+# union-find instead of 3 Spark jobs per propagation round.  The limit is
+# an EDGE COUNT against the already-persisted edge frame (one cheap
+# aggregate), default 4M edges ≈ 64 MB of (long, long) — the same order
+# as a broadcast relation, far below driver memory.  Above the limit the
+# distributed propagation/contraction paths run unchanged, so the 100 TB
+# posture (no unbounded driver materialization) is preserved: the collect
+# is gated exactly like a broadcast build side.
+_DRIVER_EDGE_LIMIT_CONF = "spark.arrowExperimentsSpark.dedup.maxDriverEdges"
+_DRIVER_EDGE_LIMIT_DEFAULT = 4_000_000
+
+
+def _driver_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for every node appearing in ``edges``, where
+    cluster_id = min doc_id of the node's connected component — exactly
+    the fixpoint min-label propagation converges to.  Union-find with
+    path compression; roots keep the component minimum (union attaches
+    the larger root under the smaller), so find(x) is the min id."""
+    import pyarrow  # noqa: F401 — toArrow path
+
+    tbl = edges.toArrow()
+    src = tbl.column("src").to_pylist()
+    dst = tbl.column("dst").to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(src, dst):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    nodes = set(src)
+    nodes.update(dst)
+    rows = [(n, find(n)) for n in nodes]
+    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+
 
 @register(
     "dedup_clusters",
     "dedup",
     doc="duplicate clustering: connected components over the MinHash-LSH "
-    "candidate graph via iterative min-label propagation (cluster_id = min "
-    "doc_id in component). Each round is one shuffle join on doc_id; "
-    "convergence detected by the monotone sum-of-labels invariant. If the "
+    "candidate graph (cluster_id = min doc_id in component).  Strategy is "
+    "size-adaptive like a broadcast-join decision: a candidate graph "
+    "under maxDriverEdges (default 4M edges — broadcast-relation-sized) "
+    "is solved driver-side with union-find in one collect; a larger one "
+    "runs iterative min-label propagation (one shuffle join per round, "
+    "convergence by the monotone sum-of-labels invariant), and if the "
     "25-round cap is hit (component diameter > 25), falls back to "
     "large-star/small-star contraction (O(log n) rounds) — same output "
-    "contract, no user-visible failure mode. Component diameters in "
-    "near-dup graphs are small, so plain propagation is the common-case "
-    "win and the contraction path is the safety net.  Each round ends "
-    "with localCheckpoint (like _two_phase_components): persist caches "
-    "data but the logical plan still nests round over round, growing "
-    "driver-side planning time and compounding cache-size estimates "
-    "into PiB-scale artifacts; truncation keeps rounds O(1).",
+    "contract on every path, no user-visible failure mode.  Each "
+    "propagation round ends with localCheckpoint (like "
+    "_two_phase_components): persist caches data but the logical plan "
+    "still nests round over round, growing driver-side planning time "
+    "and compounding cache-size estimates into PiB-scale artifacts; "
+    "truncation keeps rounds O(1).",
     oracle=_CLUSTERS_ORACLE,
 )
 def dedup_clusters(
@@ -546,6 +595,38 @@ def dedup_clusters(
     from pyspark.sql.window import Window
 
     edges = _candidate_edges(spark, sf_dir, corpus=corpus)
+    # Size-adaptive strategy pick (r16): the edge frame is persisted, so
+    # counting it is one cheap aggregate (and the materialization it
+    # forces is work every path below needs anyway).  A bounded graph is
+    # solved driver-side (union-find — microseconds where each
+    # propagation round costs 3 scheduled jobs); an unbounded one takes
+    # the distributed loop below, unchanged.  Identical output by
+    # construction: both compute min-doc_id-per-component.
+    try:
+        edge_limit = int(
+            spark.conf.get(
+                _DRIVER_EDGE_LIMIT_CONF, str(_DRIVER_EDGE_LIMIT_DEFAULT)
+            )
+        )
+    except (TypeError, ValueError):
+        edge_limit = _DRIVER_EDGE_LIMIT_DEFAULT
+    if edges.count() <= edge_limit:
+        comp = _driver_components(spark, edges)
+        labels = (
+            table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .join(comp, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+        )
+        w = Window.partitionBy("cluster_id")
+        return labels.select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        )
     # Labels cover the full corpus, deliberately: a parquet-derived labels
     # side carries accurate size stats, so AQE broadcasts it in the
     # per-round join (no edge shuffle).  The tempting "restrict labels to

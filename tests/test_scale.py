@@ -282,18 +282,45 @@ def test_dedup_clusters_fallback_matches_converged(spark, monkeypatch):
     """Force the propagation cap to 0 so dedup_clusters takes the
     large-star/small-star fallback, and check the fallback output is
     identical to the converged propagation output on the same corpus —
-    the no-user-visible-failure contract."""
+    the no-user-visible-failure contract.  maxDriverEdges=0 disables the
+    r16 driver-side fast path so both arms actually run the distributed
+    code under test."""
     from arrow_experiments_spark.operators import dedup
 
     sf = "/root/testdata/sf0.001"
-    want = sorted(
+    spark.conf.set(dedup._DRIVER_EDGE_LIMIT_CONF, "0")
+    try:
+        want = sorted(
+            tuple(r) for r in dedup.dedup_clusters(spark, sf).collect()
+        )
+        monkeypatch.setattr(dedup, "_PROP_MAX_ROUNDS", 0)
+        got = sorted(
+            tuple(r) for r in dedup.dedup_clusters(spark, sf).collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.unset(dedup._DRIVER_EDGE_LIMIT_CONF)
+
+
+def test_dedup_clusters_driver_fast_path_matches_distributed(spark):
+    """The r16 size-adaptive fast path (edge set under maxDriverEdges →
+    driver-side union-find) must emit exactly the distributed
+    propagation loop's rows — same components, same min-doc_id labels,
+    same cluster sizes."""
+    from arrow_experiments_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    fast = sorted(
         tuple(r) for r in dedup.dedup_clusters(spark, sf).collect()
     )
-    monkeypatch.setattr(dedup, "_PROP_MAX_ROUNDS", 0)
-    got = sorted(
-        tuple(r) for r in dedup.dedup_clusters(spark, sf).collect()
-    )
-    assert got == want
+    spark.conf.set(dedup._DRIVER_EDGE_LIMIT_CONF, "0")
+    try:
+        slow = sorted(
+            tuple(r) for r in dedup.dedup_clusters(spark, sf).collect()
+        )
+    finally:
+        spark.conf.unset(dedup._DRIVER_EDGE_LIMIT_CONF)
+    assert fast == slow
 
 
 def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
