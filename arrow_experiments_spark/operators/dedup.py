@@ -495,12 +495,19 @@ _CLUSTERS_ORACLE = _COMP_CTES + """
 
 
 def _candidate_edges(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Symmetric distinct (src, dst) candidate edges from the MinHash-LSH
     band join: both (x,y) and (y,x) survive the <> filter, so one
-    propagation join covers both directions."""
-    bands = _minhash_bands(spark, sf_dir, corpus=corpus)
+    propagation join covers both directions.  ``corpus``/``sigs`` thread
+    an already-persisted shingle/signature frame through (the single-
+    tokenize-pass discipline — callers that also need shingles or
+    signatures for a verify stage share one pass instead of re-deriving
+    the chain)."""
+    bands = _minhash_bands(spark, sf_dir, corpus=corpus, sigs=sigs)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1331,11 +1338,11 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = (
-        _candidate_edges(spark, sf_dir)
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
-    )
+    # ONE tokenize+shingle pass (r16): the shingle frame feeds BOTH the
+    # candidate stage (via corpus= → _minhash_sigs consumes its sh
+    # column) and the exact verify below — previously the corpus was
+    # tokenized twice, once inside _candidate_edges and once here.  At
+    # 100 TB the scan+tokenize is the dominant cost of the verify path.
     sh = (
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -1347,6 +1354,11 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(shingles3(F.col("toks"))).alias("sh"),
         )
         .persist()
+    )
+    cand = (
+        _candidate_edges(spark, sf_dir, corpus=sh)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
     )
     a = sh.select(
         F.col("doc_id").alias("ida"),
@@ -1408,11 +1420,9 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = (
-        _candidate_edges(spark, sf_dir)
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
-    )
+    # ONE tokenize+shingle pass shared by the candidate stage and the
+    # containment verify (r16 — same single-scan fix as
+    # dedup_ngram_jaccard_lsh; the corpus was previously tokenized twice).
     sh = (
         table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
@@ -1422,6 +1432,11 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
         )
         .persist()
+    )
+    cand = (
+        _candidate_edges(spark, sf_dir, corpus=sh)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
     )
     a = sh.select(F.col("doc_id").alias("ida"), F.col("sh").alias("sha"))
     b = sh.select(F.col("doc_id").alias("idb"), F.col("sh").alias("shb"))
@@ -2074,9 +2089,13 @@ _AGREE_SQL = " + ".join(
     """,
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sigs= threads the one persisted signature pass into the candidate
+    # stage (r16) — previously _candidate_edges re-derived an identical
+    # signature lineage (deduped by the cache manager at execution time,
+    # but planned, persisted and tracked twice).
     sigs = _minhash_sigs(spark, sf_dir)
     cand = (
-        _candidate_edges(spark, sf_dir)
+        _candidate_edges(spark, sf_dir, sigs=sigs)
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
     )
