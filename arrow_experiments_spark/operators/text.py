@@ -1160,18 +1160,37 @@ def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_sigs,
     )
 
+    from arrow_experiments_spark.functions.text import shingles3, tokens
+
     docs = table(spark, sf_dir, "documents")
     is_delta = F.col("doc_id") % 10 == 0
-    # one hash projection shared by both sides of the exact gate
-    hashed = docs.select(
-        "doc_id", md5_str(F.col("text")).alias("content_hash"), "n_chars"
-    ).persist()
+    # ONE scan of the corpus (r16): content hash and tokens come out of
+    # the same persisted projection — previously the hash gate and the
+    # signature pass each re-read the documents table.  At 100 TB the
+    # corpus read is the dominant cost, so the gate pays it once.
+    par = spark.sparkContext.defaultParallelism
+    scan = (
+        docs.repartition(par)
+        .select(
+            "doc_id",
+            md5_str(F.col("text")).alias("content_hash"),
+            "n_chars",
+            tokens(F.col("text")).alias("toks"),
+        )
+        .persist()
+    )
+    hashed = scan.select("doc_id", "content_hash", "n_chars")
     delta = hashed.filter(is_delta)
     base_hashes = hashed.filter(~is_delta).select("content_hash").distinct()
     exact_novel = delta.join(base_hashes, "content_hash", "left_anti")
 
-    # one signature pass shared by the band join and the agreement verify
-    sigs = _minhash_sigs(spark, sf_dir)
+    # one signature pass shared by the band join and the agreement
+    # verify, derived from the same persisted scan (corpus= carries the
+    # shingle sets — no second tokenize)
+    sh = scan.select(
+        "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
+    ).persist()
+    sigs = _minhash_sigs(spark, sf_dir, corpus=sh)
     bands = _minhash_bands(spark, sf_dir, sigs=sigs)
     cand = (
         bands.alias("a")
@@ -1281,19 +1300,44 @@ def pipeline_curate_incremental_full(
         decontaminate_ngram_overlap,
     )
 
+    from arrow_experiments_spark.functions.text import shingles3, tokens
+
     docs = table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("source") != "src0")
     is_delta = F.col("doc_id") % 10 == 0
-    hashed = train.select(
-        "doc_id", md5_str(F.col("text")).alias("content_hash"), "n_chars"
-    ).persist()
+    is_train = F.col("source") != "src0"
+    # ONE scan of the corpus (r16): hash, tokens and source come out of a
+    # single persisted projection feeding the exact gate, the signature
+    # pass AND the decontamination stage — previously three separate
+    # reads (and two separate tokenize passes) of the documents table.
+    par = spark.sparkContext.defaultParallelism
+    scan = (
+        docs.repartition(par)
+        .select(
+            "doc_id",
+            "source",
+            md5_str(F.col("text")).alias("content_hash"),
+            "n_chars",
+            tokens(F.col("text")).alias("toks"),
+        )
+        .persist()
+    )
+    hashed = scan.filter(is_train).select("doc_id", "content_hash", "n_chars")
     delta = hashed.filter(is_delta)
     base_hashes = hashed.filter(~is_delta).select("content_hash").distinct()
     exact_novel = delta.join(base_hashes, "content_hash", "left_anti")
 
-    sigs = _minhash_sigs(spark, sf_dir)
+    sh = scan.select(
+        "doc_id",
+        "source",
+        F.array_distinct(shingles3(F.col("toks"))).alias("sh"),
+    ).persist()
+    # Signatures only for TRAINING docs: the band join below filters both
+    # sides to train (tbands), so src0 signatures were computed and then
+    # dropped — restricting the input is result-identical and removes the
+    # post-hoc train filter join.
+    sigs = _minhash_sigs(spark, sf_dir, corpus=sh.filter(is_train))
     bands = _minhash_bands(spark, sf_dir, sigs=sigs)
-    tbands = bands.join(train.select("doc_id"), "doc_id")
+    tbands = bands
     cand = (
         tbands.alias("a")
         .join(
@@ -1326,9 +1370,16 @@ def pipeline_curate_incremental_full(
         .distinct()
     )
     # the decontamination STAGE operator, composed verbatim (its eval
-    # side is the broadcast src0 inverted index)
+    # side is the broadcast src0 inverted index).  Its corpus is the
+    # shared scan RESTRICTED to src0 ∪ the delta training docs (r16):
+    # the composite only consults the contaminated set for delta rows
+    # (exact_novel ⊆ delta), so flagging base training docs was pure
+    # waste — at 100 TB this turns an all-corpus explode+join into a
+    # delta-bounded one, the same O(delta) posture as the other gates.
     contaminated = (
-        decontaminate_ngram_overlap(spark, sf_dir)
+        decontaminate_ngram_overlap(
+            spark, sf_dir, corpus=sh.filter(~is_train | is_delta)
+        )
         .select(F.col("train_id").alias("doc_id"))
         .distinct()
     )
