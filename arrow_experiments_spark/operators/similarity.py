@@ -771,46 +771,50 @@ def _recall_eval(spark: SparkSession, sf_dir: str, cell_col) -> DataFrame:
     cos = snap6(
         dot_kernel(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     )
+    # FUSED single pass (r16): the exact branch already scores every
+    # (probe, candidate) pair, and the approx branch is exactly the
+    # same-cell subset of those pairs — so score once, carry a same_cell
+    # flag, and rank both views with two windows over one shuffle
+    # (cell_rnk partitions by (query_id, same_cell): within the
+    # same_cell=true group it is precisely the approx branch's rank).
+    # The previous two-branch form scored the same-cell pairs twice and
+    # paid a second broadcast join plus an exact×approx equi-join; the
+    # brute-force probe×corpus bound — this is the sample-tuning op —
+    # is unchanged.  hit = same_cell AND cell_rnk <= 3 reproduces the
+    # old left-join membership row for row.
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("q_cell") == F.col("c_cell")).alias("same_cell"),
+            cos.alias("cos_sim"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    exact = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .select("*", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= 3)
-        .select("query_id", "neighbor_id")
+    w_cell = Window.partitionBy("query_id", "same_cell").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    approx = (
-        F.broadcast(q)
-        .join(
-            c,
-            (F.col("q_cell") == F.col("c_cell"))
-            & (F.col("query_id") != F.col("neighbor_id")),
+    hit = (
+        F.col("same_cell") & (F.row_number().over(w_cell) <= 3)
+    ).cast("long")
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).alias("rnk"),
+        hit.alias("hit"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.sum("hit").cast("bigint").alias("n_hits"),
+            (F.sum("hit").cast("double") / F.count("*")).alias("recall"),
         )
-        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
-        .select("*", F.row_number().over(w).alias("rnk"))
-        .filter(F.col("rnk") <= 3)
-        .select(
-            F.col("query_id").alias("a_query_id"),
-            F.col("neighbor_id").alias("a_neighbor_id"),
-            F.lit(1).alias("hit"),
-        )
-    )
-    joined = exact.join(
-        approx,
-        (F.col("query_id") == F.col("a_query_id"))
-        & (F.col("neighbor_id") == F.col("a_neighbor_id")),
-        "left",
-    )
-    return joined.groupBy("query_id").agg(
-        F.count("*").cast("bigint").alias("n_exact"),
-        F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("n_hits"),
-        (
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
-            / F.count("*")
-        ).alias("recall"),
     )
 
 
