@@ -1116,29 +1116,22 @@ def _emb_band_union_sql(bits: int = _EMB_LSH_BITS) -> str:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_experiments_spark.operators.similarity import (
         _nonzero_embeddings,
-        lsh_bucket_col,
+        lsh_cells_col,
     )
 
     emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding")
     # (vec_id, band, bucket) — buckets materialized once behind a persist
-    # barrier so the hyperplane dot-products aren't re-inlined per band
-    # reference (no CSE across HOF lambdas; see _minhash_bands).
+    # barrier.  All bands' cells come from the ONE Arrow-batched numpy
+    # kernel (r16): bit-identical to the per-band lsh_bucket_col folds,
+    # but vectorized over the batch instead of ~bands × bits × dim
+    # interpreted lambda evals per row (measured 4× on the banded stage
+    # at sf0.1; the gap widens with corpus size — guide §4.2).
     banded = emb.select(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        lsh_bucket_col(F.col("embedding"), band, _EMB_LSH_BITS).alias(
-                            "bucket"
-                        ),
-                    )
-                    for band in range(_EMB_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket").persist()
+        F.posexplode(
+            lsh_cells_col(F.col("embedding"), _EMB_LSH_BANDS, _EMB_LSH_BITS)
+        ).alias("band", "bucket"),
+    ).persist()
     # sample-only guard: the union-of-bucket-pairs output is unbounded in
     # dup density (SCALE.md: out-spills disk on the clone corpus where
     # the per-vector top-k sibling completes)
@@ -1231,28 +1224,20 @@ def _emb_inc_oracle(spark: SparkSession | None, sf_dir: str) -> str:
 def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_experiments_spark.operators.similarity import (
         _nonzero_embeddings,
-        lsh_bucket_col,
+        lsh_cells_col,
     )
 
     emb = _nonzero_embeddings(spark, sf_dir)
     bits = _emb_lsh_bits(spark, sf_dir)
     is_delta = F.col("vec_id") % 10 == 0
+    # all bands' cells from the ONE Arrow-batched kernel (r16, see
+    # dedup_embedding_cosine) — bit-identical to the per-band folds
     banded = emb.select(
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        lsh_bucket_col(
-                            F.col("embedding"), band, bits
-                        ).alias("bucket"),
-                    )
-                    for band in range(_EMB_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket").persist()
+        F.posexplode(
+            lsh_cells_col(F.col("embedding"), _EMB_LSH_BANDS, bits)
+        ).alias("band", "bucket"),
+    ).persist()
     # guard on the TRUE join mass — delta×base per cell, not all-pairs
     # (a 10% delta makes all-pairs overestimate ~5×)
     _guard_pair_mass(
@@ -1669,28 +1654,20 @@ def dedup_embedding_topk_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from arrow_experiments_spark.operators.similarity import (
         _nonzero_embeddings,
-        lsh_bucket_col,
+        lsh_cells_col,
     )
 
     emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding")
     bits = _emb_lsh_bits(spark, sf_dir)
+    # all bands' cells from the ONE Arrow-batched kernel (r16, see
+    # dedup_embedding_cosine) — bit-identical to the per-band folds
     banded = emb.select(
         "vec_id",
         "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band"),
-                        lsh_bucket_col(F.col("embedding"), band, bits).alias(
-                            "bucket"
-                        ),
-                    )
-                    for band in range(_EMB_LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "embedding", "bb.band", "bb.bucket")
+        F.posexplode(
+            lsh_cells_col(F.col("embedding"), _EMB_LSH_BANDS, bits)
+        ).alias("band", "bucket"),
+    )
     per_bucket = banded.groupBy("band", "bucket").applyInPandas(
         _bucket_topk_pdf, schema="vec_id long, nbr_id long, cos_sim double"
     )
