@@ -384,7 +384,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
         )
-        .agg(F.countDistinct("a.band_idx").alias("n_shared_bands"))
+        # count(*), not countDistinct(band_idx) (r16): the bands frame
+        # has exactly one row per (doc_id, band_idx), so a joined pair
+        # contributes at most one row per band — the band_idx values in
+        # a group are distinct by construction and the Expand-based
+        # distinct aggregate was pure overhead (A/B 1.92 vs 1.57 s at
+        # sf0.1, identical rows).  The oracle keeps COUNT(DISTINCT ...)
+        # as the declared semantics; this is the same number.
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
 
 
