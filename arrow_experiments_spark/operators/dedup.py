@@ -626,14 +626,18 @@ def dedup_clusters(
         edge_limit = _DRIVER_EDGE_LIMIT_DEFAULT
     if edges.count() <= edge_limit:
         comp = _driver_components(spark, edges)
-        labels = (
-            table(spark, sf_dir, "documents")
-            .select("doc_id")
-            .join(comp, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            )
+        # label base from the persisted corpus frame when one is threaded
+        # through (the composite funnel): keeps the single-scan contract
+        # — a fresh table() scan here would put a second ReadSchema into
+        # pipeline_curate_end_to_end's final plan
+        base = (
+            corpus.select("doc_id")
+            if corpus is not None
+            else table(spark, sf_dir, "documents").select("doc_id")
+        )
+        labels = base.join(comp, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         )
         w = Window.partitionBy("cluster_id")
         return labels.select(
