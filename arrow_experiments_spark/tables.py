@@ -20,7 +20,9 @@ The loader is dtype-driven so both layouts normalize to a microsecond
 
 from __future__ import annotations
 
+import hashlib
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,12 +88,63 @@ def _canonicalize(df: DataFrame, name: str) -> DataFrame:
     return df.select(*cols)
 
 
+# Per-session memo of the ANALYZED plan object (r16): every table() call
+# paid ~0.1 s of driver-side work — py4j chatter, file listing, footer
+# schema inference, canonicalize select construction — repeated for every
+# query build in a bench leg.  The memo holds the logical PLAN (a
+# DataFrame), never data: every action against it still scans the parquet
+# (the plan-cache analog of registering temp views once, which
+# register_temp_views already does for the SQL path).  Invalidation
+# mirrors _CURATE_CACHE in operators/dedup.py: a stat fingerprint
+# (size+mtime of every file, no Spark job) misses when the source
+# changed, and an unstatable source fails open (never cached).  The
+# session is held by WEAKREF and checked by identity, so a cached frame
+# can never outlive (or be served to a different) session even if CPython
+# reuses the object id.
+_TABLE_CACHE: dict[
+    tuple[int, str, str], tuple["weakref.ref[SparkSession]", DataFrame, str]
+] = {}
+
+
+def _table_fingerprint(path: str) -> str | None:
+    entries: list[str] = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isdir(path):
+        for dirpath, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                entries.append(
+                    f"{os.path.relpath(p, path)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    if not entries:
+        return None
+    return hashlib.sha256(";".join(sorted(entries)).encode()).hexdigest()
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        # runtime conf, set on every call (cheap) so callers that rely on
+        # it being live after table() keep that guarantee on cache hits
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return _canonicalize(_normalize_events_ts(spark.read.parquet(path)), name)
-    return _canonicalize(spark.read.parquet(path), name)
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    fp = _table_fingerprint(path)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        ref, df, prev_fp = hit
+        if ref() is spark and fp is not None and fp == prev_fp:
+            return df
+        _TABLE_CACHE.pop(key, None)
+    df = spark.read.parquet(path)
+    if name == "events":
+        df = _normalize_events_ts(df)
+    df = _canonicalize(df, name)
+    if fp is not None:
+        _TABLE_CACHE[key] = (weakref.ref(spark), df, fp)
+    return df
 
 
 def events_stream(

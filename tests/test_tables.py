@@ -92,3 +92,39 @@ def test_dtype_drift_absorbed(spark, tmp_path):
     assert got.schema["embedding"].dataType.simpleString() == "array<float>"
     assert got.schema["label"].dataType.simpleString() == "int"
     assert got.count() == 2
+
+
+def test_table_plan_memo_hit_and_invalidation(spark, tmp_path):
+    """The r16 per-session plan memo: a repeat table() call for an
+    unchanged source returns the SAME DataFrame object (plan reuse, no
+    re-listing); rewriting the source file invalidates the memo and the
+    rebuilt frame reads the NEW data — the memo can never serve stale
+    results after a testdata drop."""
+    import time as _time
+
+    from arrow_experiments_spark import tables
+
+    d = tmp_path / "memo"
+    d.mkdir()
+    path = str(d / "documents.parquet")
+    one = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["alpha"])})
+    pq.write_table(one, path)
+    a = table(spark, str(d), "documents")
+    b = table(spark, str(d), "documents")
+    assert a is b, "unchanged source must hit the plan memo"
+    assert [r.text for r in a.collect()] == ["alpha"]
+    # rewrite with different content (and a bumped mtime: the fingerprint
+    # is size+mtime_ns, and same-size same-instant rewrites are below its
+    # resolution on coarse filesystems)
+    _time.sleep(0.01)
+    two = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["alpha", "beta"])})
+    pq.write_table(two, path)
+    c = table(spark, str(d), "documents")
+    assert c is not a, "changed source must miss the memo"
+    assert sorted(r.text for r in c.collect()) == ["alpha", "beta"]
+    # the memo is keyed by session identity — a different session never
+    # sees this one's frames (weakref identity check)
+    key_sessions = {k[0] for k in tables._TABLE_CACHE}
+    assert id(spark) in key_sessions
