@@ -65,11 +65,22 @@ def md5_str(col: Column) -> Column:
     return F.md5(col.cast("binary"))
 
 
-def minhash_sig(shingle_arr: Column, seed: int) -> Column:
+def minhash_sig(shingle_arr: Column | str, seed: int) -> Column:
     """One MinHash signature: lexicographic min of salted md5 hex digests.
     Min over strings is engine-portable (no integer hashing semantics to
     match).  Oracle: ``list_min(list_transform(sh, s -> md5('{seed}:' || s)))``.
+
+    Pass the shingle column by NAME where possible: the string form
+    builds the expression with one JVM-side ``expr()`` parse instead of
+    ~10 py4j round-trips for the Column/lambda form (r16: the 8-sig
+    fan-out cost ~0.15 s of driver time per query build; measured
+    value-identical and optimized-plan-identical to the Column form).
     """
+    if isinstance(shingle_arr, str):
+        return F.expr(
+            f"array_min(transform({shingle_arr}, "
+            f"s -> md5(cast(concat('{seed}:', s) as binary))))"
+        )
     return F.array_min(
         F.transform(shingle_arr, lambda s: md5_str(F.concat(F.lit(f"{seed}:"), s)))
     )

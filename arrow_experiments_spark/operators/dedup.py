@@ -297,7 +297,7 @@ def _minhash_sigs(
         ).persist()
     sigs = sh.select(
         "doc_id",
-        *[minhash_sig(F.col("sh"), i).alias(f"s{i}") for i in range(_N_SIGS)],
+        *[minhash_sig("sh", i).alias(f"s{i}") for i in range(_N_SIGS)],
     ).persist()
     return sigs
 

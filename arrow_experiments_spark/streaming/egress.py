@@ -1715,7 +1715,7 @@ def incremental_neardup_sink(
                 sigs = sh.select(
                     "doc_id",
                     *[
-                        minhash_sig(F.col("sh"), i).alias(f"s{i}")
+                        minhash_sig("sh", i).alias(f"s{i}")
                         for i in range(_N_SIGS)
                     ],
                 ).persist()
