@@ -549,15 +549,13 @@ _DRIVER_EDGE_LIMIT_CONF = "spark.arrowExperimentsSpark.dedup.maxDriverEdges"
 _DRIVER_EDGE_LIMIT_DEFAULT = 4_000_000
 
 
-def _driver_components(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """(doc_id, cluster_id) for every node appearing in ``edges``, where
-    cluster_id = min doc_id of the node's connected component — exactly
-    the fixpoint min-label propagation converges to.  Union-find with
-    path compression; roots keep the component minimum (union attaches
-    the larger root under the smaller), so find(x) is the min id."""
-    import pyarrow  # noqa: F401 — toArrow path
-
-    tbl = edges.toArrow()
+def _driver_components(spark: SparkSession, tbl) -> DataFrame:
+    """(doc_id, cluster_id) for every node appearing in the collected
+    edge table (pyarrow, columns src/dst), where cluster_id = min doc_id
+    of the node's connected component — exactly the fixpoint min-label
+    propagation converges to.  Union-find with path compression; roots
+    keep the component minimum (union attaches the larger root under the
+    smaller), so find(x) is the min id."""
     src = tbl.column("src").to_pylist()
     dst = tbl.column("dst").to_pylist()
     parent: dict[int, int] = {}
@@ -609,13 +607,19 @@ def dedup_clusters(
     from pyspark.sql.window import Window
 
     edges = _candidate_edges(spark, sf_dir, corpus=corpus)
-    # Size-adaptive strategy pick (r16): the edge frame is persisted, so
-    # counting it is one cheap aggregate (and the materialization it
-    # forces is work every path below needs anyway).  A bounded graph is
-    # solved driver-side (union-find — microseconds where each
-    # propagation round costs 3 scheduled jobs); an unbounded one takes
-    # the distributed loop below, unchanged.  Identical output by
+    # Size-adaptive strategy pick (r16): a bounded graph is solved
+    # driver-side (union-find — microseconds where each propagation
+    # round costs 3 scheduled jobs); an unbounded one takes the
+    # distributed loop below, unchanged.  Identical output by
     # construction: both compute min-doc_id-per-component.
+    # ONE job decides AND delivers (r16 continuation): collecting
+    # limit(L+1) rows replaces the earlier count()-then-toArrow() pair —
+    # if at most L rows come back the whole edge set is already on the
+    # driver, and L+1 rows means "too big" exactly like count() > L did,
+    # with the limit short-circuiting the scan instead of aggregating
+    # it.  The driver-memory bound is unchanged: never more than L+1
+    # (long, long) rows are collected, the same broadcast-relation-order
+    # gate as before.
     try:
         edge_limit = int(
             spark.conf.get(
@@ -624,8 +628,9 @@ def dedup_clusters(
         )
     except (TypeError, ValueError):
         edge_limit = _DRIVER_EDGE_LIMIT_DEFAULT
-    if edges.count() <= edge_limit:
-        comp = _driver_components(spark, edges)
+    edge_tbl = edges.limit(edge_limit + 1).toArrow() if edge_limit > 0 else None
+    if edge_tbl is not None and edge_tbl.num_rows <= edge_limit:
+        comp = _driver_components(spark, edge_tbl)
         # label base from the persisted corpus frame when one is threaded
         # through (the composite funnel): keeps the single-scan contract
         # — a fresh table() scan here would put a second ReadSchema into
