@@ -77,12 +77,19 @@ def minhash_sig(shingle_arr: Column | str, seed: int) -> Column:
     value-identical and optimized-plan-identical to the Column form).
     """
     if isinstance(shingle_arr, str):
-        return F.expr(
-            f"array_min(transform({shingle_arr}, "
-            f"s -> md5(cast(concat('{seed}:', s) as binary))))"
-        )
+        return F.expr(minhash_sig_expr(shingle_arr, seed))
     return F.array_min(
         F.transform(shingle_arr, lambda s: md5_str(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_sig_expr(sh: str, seed: int) -> str:
+    """Spark-SQL string form of :func:`minhash_sig` (see its docstring);
+    used directly in selectExpr fan-outs so the whole 8-signature select
+    is ONE py4j call."""
+    return (
+        f"array_min(transform({sh}, "
+        f"s -> md5(cast(concat('{seed}:', s) as binary))))"
     )
 
 

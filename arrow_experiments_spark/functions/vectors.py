@@ -33,8 +33,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ in double precision, element order preserved."""
+def dot_expr(a: str, b: str) -> str:
+    """Spark-SQL string twin of :func:`dot` — canonically plan-identical
+    to the Column/lambda form (verified optimizedPlan().canonicalized()
+    equality), but ONE expression parse instead of ~30 py4j round-trips
+    of lambda construction (r16: driver plan-build time is a real cost —
+    every bench leg and every streaming micro-batch rebuilds the plan)."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    """Spark-SQL string twin of :func:`norm` (see :func:`dot_expr`)."""
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in double precision, element order preserved.
+
+    Pass both operands by NAME where possible: the string form parses
+    one JVM-side expression (see :func:`dot_expr`) where the
+    Column/lambda form pays ~30 py4j round-trips."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_expr(a, b))
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
@@ -61,11 +85,13 @@ def dot_kernel(a: Column, b: Column) -> Column:
     return _dot_pd(a, b)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(norm_expr(a))
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 

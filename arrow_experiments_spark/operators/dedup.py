@@ -20,7 +20,7 @@ from arrow_experiments_spark.functions.text import (
     SHINGLES3_SQL,
     TOKENS_SQL,
     md5_str,
-    minhash_sig,
+    minhash_sig_expr,
     minhash_sig_sql,
     shingles3,
     tokens,
@@ -295,9 +295,12 @@ def _minhash_sigs(
         sh = toks.select(
             "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
         ).persist()
-    sigs = sh.select(
+    # ONE selectExpr call for the whole 8-signature fan-out (r16): each
+    # expression string parses JVM-side; the per-Column alias/select
+    # chatter is gone (plan-identical to the Column form).
+    sigs = sh.selectExpr(
         "doc_id",
-        *[minhash_sig("sh", i).alias(f"s{i}") for i in range(_N_SIGS)],
+        *[f"{minhash_sig_expr('sh', i)} AS s{i}" for i in range(_N_SIGS)],
     ).persist()
     return sigs
 
@@ -316,18 +319,17 @@ def _minhash_bands(
     persisted signature pass)."""
     if sigs is None:
         sigs = _minhash_sigs(spark, sf_dir, corpus=corpus)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat(F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")).alias("band_val"),
-            )
-            for b in range(_N_BANDS)
-        ]
-    )
-    return sigs.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
-    )
+    # inline(array(named_struct(...))) in ONE selectExpr (r16): row- and
+    # type-identical to the previous explode(array(struct)) + field
+    # select, with one py4j call instead of ~500 of struct/alias
+    # construction — and the generated plan skips the struct
+    # build-then-extract pair entirely.
+    inline_expr = "inline(array(" + ",".join(
+        f"named_struct('band_idx', {b}, "
+        f"'band_val', concat(s{2 * b}, s{2 * b + 1}))"
+        for b in range(_N_BANDS)
+    ) + "))"
+    return sigs.selectExpr("doc_id", inline_expr)
 
 
 def _minhash_bands_sql(extra_cols: str = "") -> str:
@@ -1170,12 +1172,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair may collide in several bands
     )
     scored = emb.select(
-        "vec_id", "embedding", vnorm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", vnorm("embedding").alias("nrm")
     )
     sa = scored.alias("sa")
     sb = scored.alias("sb")
     cos = snap6(
-        dot(F.col("sa.embedding"), F.col("sb.embedding"))
+        dot("sa.embedding", "sb.embedding")
         / (F.col("sa.nrm") * F.col("sb.nrm"))
     )
     return (
@@ -1279,12 +1281,12 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     scored = emb.select(
-        "vec_id", "embedding", vnorm(F.col("embedding")).alias("nrm")
+        "vec_id", "embedding", vnorm("embedding").alias("nrm")
     )
     sa = scored.alias("sa")
     sb = scored.alias("sb")
     cos = snap6(
-        dot(F.col("sa.embedding"), F.col("sb.embedding"))
+        dot("sa.embedding", "sb.embedding")
         / (F.col("sa.nrm") * F.col("sb.nrm"))
     )
     near = (
@@ -1917,7 +1919,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _nonzero_embeddings(spark, sf_dir).select("vec_id", "embedding", "label")
     bits = _semdedup_cluster_bits(spark, sf_dir)
     sub = (
-        lsh_bucket_col(F.col("embedding"), 0, bits)
+        lsh_bucket_col("embedding", 0, bits)
         if bits > 0
         else F.lit(0)
     )
@@ -2092,25 +2094,25 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
     )
-    x = sigs.select(
-        F.col("doc_id").alias("ida"),
-        *[F.col(f"s{i}").alias(f"xa{i}") for i in range(_N_SIGS)],
+    x = sigs.selectExpr(
+        "doc_id AS ida", *[f"s{i} AS xa{i}" for i in range(_N_SIGS)]
     )
-    y = sigs.select(
-        F.col("doc_id").alias("idb"),
-        *[F.col(f"s{i}").alias(f"yb{i}") for i in range(_N_SIGS)],
+    y = sigs.selectExpr(
+        "doc_id AS idb", *[f"s{i} AS yb{i}" for i in range(_N_SIGS)]
     )
-    n_agree = sum(
-        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+    # string-built agreement sum (r16): same integer left-fold as the
+    # previous sum(F.when(...)) chain (0 + CASE + CASE ...), one parse
+    n_agree = "(0 + " + " + ".join(
+        f"(CASE WHEN xa{i} = yb{i} THEN 1 ELSE 0 END)"
         for i in range(_N_SIGS)
-    )
+    ) + ")"
     return (
         cand.join(x, "ida")
         .join(y, "idb")
-        .select(
-            F.col("ida").alias("doc_id_a"),
-            F.col("idb").alias("doc_id_b"),
-            n_agree.cast("bigint").alias("n_agree"),
-            (n_agree.cast("double") / _N_SIGS).alias("jaccard_est"),
+        .selectExpr(
+            "ida AS doc_id_a",
+            "idb AS doc_id_b",
+            f"CAST({n_agree} AS BIGINT) AS n_agree",
+            f"CAST({n_agree} AS DOUBLE) / {_N_SIGS} AS jaccard_est",
         )
     )

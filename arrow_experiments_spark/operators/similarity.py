@@ -43,7 +43,7 @@ _NZ_SQL = f"SELECT * FROM embeddings WHERE {norm_sql('embedding')} > 0"
 
 def _nonzero_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return emb.filter(norm(F.col("embedding")) > 0)
+    return emb.filter(norm("embedding") > 0)
 
 
 @register(
@@ -71,12 +71,12 @@ def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        norm(F.col("embedding")).alias("q_norm"),
+        norm("embedding").alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        norm(F.col("embedding")).alias("c_norm"),
+        norm("embedding").alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -118,13 +118,13 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
-        norm(F.col("embedding")).alias("q_norm"),
+        norm("embedding").alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
         F.col("embedding").alias("c_emb"),
-        norm(F.col("embedding")).alias("c_norm"),
+        norm("embedding").alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -137,7 +137,7 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -170,6 +170,15 @@ def _hyperplane_values(b: int) -> list[float]:
     ]
 
 
+def _hyperplane_expr(b: int) -> str:
+    """Spark-SQL array literal of member ``b``.  repr() of a Python
+    float is the shortest decimal that round-trips to the same double,
+    and Spark's D-suffixed literal parses with correctly-rounded
+    Double.parseDouble, so every element is bit-identical to the
+    F.lit form (verified canonicalized-plan equality)."""
+    return "array(" + ",".join(repr(v) + "D" for v in _hyperplane_values(b)) + ")"
+
+
 def _hyperplane(b: int):
     # A plain array literal, NOT a runtime transform(sequence(...)) chain:
     # the HOF form re-generated all 64 components per ROW in interpreted
@@ -178,7 +187,10 @@ def _hyperplane(b: int):
     # ~8 centroids x 192 lambda evals per row before any real work.  The
     # literal keeps zip_with/aggregate consumers unchanged and
     # bit-identical while shrinking the analyzed tree ~50x.
-    return F.lit(_hyperplane_values(b))
+    # One expr() parse, not F.lit(list) (r16): pyspark expands a list
+    # literal into 64 per-element py4j calls; the parsed array literal
+    # is the same Literal node (canonicalized-plan-identical).
+    return F.expr(_hyperplane_expr(b))
 
 
 def _hyperplane_sql(b: int) -> str:
@@ -200,11 +212,32 @@ def lsh_bucket_sql(emb: str, band: int = 0, bits: int = _LSH_BITS) -> str:
     return f"({expr})"
 
 
-def lsh_bucket_col(emb: F.Column, band: int = 0, bits: int = _LSH_BITS) -> F.Column:
+def lsh_bucket_expr(emb: str, band: int = 0, bits: int = _LSH_BITS) -> str:
+    """Spark-SQL string twin of :func:`lsh_bucket_col` — one expression
+    parse for the whole bits-deep sign fold (canonicalized-plan-identical
+    to the Column form; the Column form paid bits × ~100 py4j calls)."""
+    from arrow_experiments_spark.functions.vectors import dot_expr
+
+    out = "0"
+    for k in range(bits):
+        out = (
+            f"({out} + (CASE WHEN "
+            f"{dot_expr(emb, _hyperplane_expr(band * bits + k))} >= 0 "
+            f"THEN {1 << k} ELSE 0 END))"
+        )
+    return out
+
+
+def lsh_bucket_col(
+    emb: F.Column | str, band: int = 0, bits: int = _LSH_BITS
+) -> F.Column:
     """Sign-bit bucket of ``emb`` for one LSH band.  Bands use disjoint
     hyperplanes from the same deterministic LCG family, so adding bands
     (recall) or bits (precision / cell size) is a parameter change, not a
-    new codebook."""
+    new codebook.  Pass ``emb`` by NAME where possible (one JVM-side
+    expression parse — see :func:`lsh_bucket_expr`)."""
+    if isinstance(emb, str):
+        return F.expr(lsh_bucket_expr(emb, band, bits))
     out = F.lit(0)
     for k in range(bits):
         out = out + F.when(
@@ -283,7 +316,7 @@ def _bucket_sql(emb: str) -> str:
     return lsh_bucket_sql(emb, 0)
 
 
-def _bucket_col(emb: F.Column) -> F.Column:
+def _bucket_col(emb: F.Column | str) -> F.Column:
     return lsh_bucket_col(emb, 0)
 
 
@@ -460,8 +493,8 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _nonzero_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
-        _bucket_col(F.col("embedding")).alias("bucket"),
-        norm(F.col("embedding")).alias("nrm"),
+        _bucket_col("embedding").alias("bucket"),
+        norm("embedding").alias("nrm"),
     )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -486,7 +519,7 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -542,7 +575,7 @@ def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         ivf_cell_col(F.col("embedding"), k).alias("cell"),
-        norm(F.col("embedding")).alias("nrm"),
+        norm("embedding").alias("nrm"),
     )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -567,7 +600,7 @@ def ann_ivf_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+                dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
     )
@@ -662,7 +695,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         ivf_cell_col(F.col("embedding"), k).alias("cell"),
-        norm(F.col("embedding")).alias("nrm"),
+        norm("embedding").alias("nrm"),
     )
     q = (
         emb.filter(F.col("vec_id") < 10)
@@ -692,7 +725,7 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb"))
+                dot("q_emb", "c_emb")
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )
@@ -753,8 +786,8 @@ def _recall_eval(spark: SparkSession, sf_dir: str, cell_col) -> DataFrame:
     emb = _nonzero_embeddings(spark, sf_dir).select(
         "vec_id",
         "embedding",
-        cell_col(F.col("embedding")).alias("cell"),
-        norm(F.col("embedding")).alias("nrm"),
+        cell_col("embedding").alias("cell"),
+        norm("embedding").alias("nrm"),
     )
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -914,7 +947,7 @@ def ann_recall_eval_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         ivf_cell_col(F.col("embedding"), k).alias("cell"),
-        norm(F.col("embedding")).alias("nrm"),
+        norm("embedding").alias("nrm"),
     )
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -1200,7 +1233,7 @@ def _ivf_probes(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             ivf_cell_col(F.col("embedding"), k).alias("q_cell"),
             F.col("embedding").alias("q_emb"),
-            norm(F.col("embedding")).alias("q_norm"),
+            norm("embedding").alias("q_norm"),
         )
     )
 
@@ -1216,7 +1249,7 @@ def _ivf_probe_score(idx: DataFrame, probes: DataFrame) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         F.col("cell").alias("c_cell"),
         F.col("embedding").alias("c_emb"),
-        norm(F.col("embedding")).alias("c_norm"),
+        norm("embedding").alias("c_norm"),
     )
     scored = (
         F.broadcast(probes)
@@ -1229,7 +1262,7 @@ def _ivf_probe_score(idx: DataFrame, probes: DataFrame) -> DataFrame:
             "query_id",
             "neighbor_id",
             snap6(
-                dot(F.col("q_emb"), F.col("c_emb"))
+                dot("q_emb", "c_emb")
                 / (F.col("q_norm") * F.col("c_norm"))
             ).alias("cos_sim"),
         )

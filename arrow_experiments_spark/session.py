@@ -110,6 +110,15 @@ def build_session(
         # already IS the listing and a driver-side stat of local (or
         # manifest-known object-store) paths is microseconds each.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "16384")
+        # PySpark's DataFrame-debugging origin capture adds TWO py4j
+        # round-trips (PySparkCurrentOrigin set/clear) plus a Python
+        # stack walk to EVERY DataFrame API call — measured 40-60% of
+        # all plan-construction round-trips (r16: dedup_minhash_estimate
+        # build 2134 -> 818 calls with it off).  Driver-side planning
+        # cost is scale-independent, so this is production posture, not
+        # a local[32] tweak; the only loss is the call-site line in
+        # DataFrame error contexts (diagnostic only).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # testdata events.parquet uses TIMESTAMP(NANOS); see tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
@@ -122,7 +131,17 @@ def build_session(
     #   SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.parallelismFirst=false"
     for k, v in _env_extra_conf():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    sess = builder.getOrCreate()
+    # getOrCreate may return a pre-existing session (static conf above
+    # ignored), and the flag's Python-side cache may already be
+    # populated True — pin it False either way (see tune_session).
+    try:
+        import pyspark.errors.utils as _perr
+
+        _perr._enable_debugging_cache = False
+    except Exception:  # pragma: no cover — future pyspark layout change
+        pass
+    return sess
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -144,6 +163,19 @@ def tune_session(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.sources.parallelPartitionDiscovery.threshold", "16384"
     )
+    # Disable the per-API-call origin capture (see build_session).  The
+    # conf is STATIC — spark.conf.set on a live session throws
+    # CANNOT_MODIFY_STATIC_CONFIG — but its sole consumer is pyspark's
+    # Python-side is_debugging_enabled(), which reads it ONCE into a
+    # module-global cache.  For driver-owned sessions set that cache
+    # directly (guarded: private attr, best-effort across pyspark
+    # versions — on a layout change the capture just stays on).
+    try:
+        import pyspark.errors.utils as _perr
+
+        _perr._enable_debugging_cache = False
+    except Exception:  # pragma: no cover — future pyspark layout change
+        pass
     # same escape hatch as build_session (r12 ADVICE: the A/B-a-conf-
     # without-a-code-edit workflow must cover driver-owned sessions).
     # Static/core confs cannot be set on a live session — the builder

@@ -1534,7 +1534,7 @@ def incremental_neardup_sink(
 
     from arrow_experiments_spark.functions.text import (
         md5_str,
-        minhash_sig,
+        minhash_sig_expr,
         shingles3,
         tokens,
     )
@@ -1589,27 +1589,17 @@ def incremental_neardup_sink(
 
     def band_rows(frame: DataFrame, keep_sigs: bool) -> DataFrame:
         """(doc_id, band_idx, band_val[, s0..s7]) exploded from a frame
-        carrying doc_id + signature columns."""
-        bexpr = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.concat(
-                        F.col(f"s{2 * b}"), F.col(f"s{2 * b + 1}")
-                    ).alias("band_val"),
-                )
-                for b in range(_N_BANDS)
-            ]
-        )
+        carrying doc_id + signature columns.  inline(array(named_struct))
+        in ONE selectExpr (r16): row-identical to the former
+        explode(array(struct)) + field select, one py4j call per
+        micro-batch instead of ~500 of struct construction."""
+        inline_expr = "inline(array(" + ",".join(
+            f"named_struct('band_idx', {b}, "
+            f"'band_val', concat(s{2 * b}, s{2 * b + 1}))"
+            for b in range(_N_BANDS)
+        ) + "))"
         extra = sig_cols if keep_sigs else []
-        return frame.select(
-            "doc_id", *extra, F.explode(bexpr).alias("_b")
-        ).select(
-            "doc_id",
-            F.col("_b.band_idx").alias("band_idx"),
-            F.col("_b.band_val").alias("band_val"),
-            *extra,
-        )
+        return frame.selectExpr("doc_id", inline_expr, *extra)
 
     hash_bucket = F.pmod(
         F.xxhash64(md5_str(F.col("text"))), F.lit(n_buckets)
@@ -1712,10 +1702,10 @@ def incremental_neardup_sink(
                         F.broadcast(contaminated), "doc_id", "left_anti"
                     ).persist()
                     pinned.append(sh)
-                sigs = sh.select(
+                sigs = sh.selectExpr(
                     "doc_id",
                     *[
-                        minhash_sig("sh", i).alias(f"s{i}")
+                        f"{minhash_sig_expr('sh', i)} AS s{i}"
                         for i in range(_N_SIGS)
                     ],
                 ).persist()
@@ -1726,9 +1716,9 @@ def incremental_neardup_sink(
                     F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
                     for i in range(_N_SIGS)
                 )
-                xa = sigs.select(
+                xa = sigs.selectExpr(
                     "doc_id",
-                    *[F.col(f"s{i}").alias(f"xa{i}") for i in range(_N_SIGS)],
+                    *[f"s{i} AS xa{i}" for i in range(_N_SIGS)],
                 )
                 drops = None
                 # cross-batch: probe the committed band index, verify by
@@ -2146,7 +2136,7 @@ def incremental_embedding_dedup_sink(
                 fresh = (
                     batch_df.filter(
                         F.col("embedding").isNotNull()
-                        & (norm(F.col("embedding")) > 0)
+                        & (norm("embedding") > 0)
                     )
                     .withColumn("_rn", F.row_number().over(w_id))
                     .filter(F.col("_rn") == 1)
@@ -2249,10 +2239,10 @@ def incremental_embedding_dedup_sink(
                             F.col("embedding").alias("_idx_emb"),
                         ).dropDuplicates(["_idx_vec"])
                         cos = snap6(
-                            dot(F.col("embedding"), F.col("_idx_emb"))
+                            dot("embedding", "_idx_emb")
                             / (
-                                norm(F.col("embedding"))
-                                * norm(F.col("_idx_emb"))
+                                norm("embedding")
+                                * norm("_idx_emb")
                             )
                         )
                         drops = (
@@ -2291,8 +2281,8 @@ def incremental_embedding_dedup_sink(
                     .distinct()
                 )
                 cos_ab = snap6(
-                    dot(F.col("_ea"), F.col("_eb"))
-                    / (norm(F.col("_ea")) * norm(F.col("_eb")))
+                    dot("_ea", "_eb")
+                    / (norm("_ea") * norm("_eb"))
                 )
                 in_drops = (
                     pairs.join(
