@@ -451,7 +451,17 @@ def ivf_cell_col(emb: F.Column, k: int = _IVF_K) -> F.Column:
         # np.argmin takes the FIRST minimum — list_position's tie rule
         return pd.Series(np.argmin(dists, axis=1).astype("int32"))
 
-    return _cell(emb)
+    # coalesce to a sentinel the kernel can never emit (argmin is always
+    # 0..k-1 for the non-null inputs every caller feeds it): a pandas_udf
+    # output is nullable, so when the cell becomes an equi-join key the
+    # optimizer infers IsNotNull(cell) and pushes it BELOW the projection
+    # — and ExtractPythonUDFs does not CSE across the filter/project
+    # split, so the kernel ran TWICE over the corpus (one full extra
+    # Arrow boundary pass, visible as back-to-back ArrowEvalPython nodes
+    # in five ANN plans).  The non-nullable coalesce constant-folds the
+    # inferred filter away; values are untouched (guide §4: one Python
+    # boundary crossing, not two).
+    return F.coalesce(_cell(emb), F.lit(-1))
 
 
 def ivf_cell_sql(emb: str, k: int = _IVF_K) -> str:

@@ -831,3 +831,31 @@ def test_auto_ivf_oracle_green_above_threshold(spark, tmp_path):
         assert res.spark_rows >= 10, res.spark_rows
     finally:
         con.close()
+
+
+def test_ivf_cell_kernel_evaluates_once_per_join_side(spark):
+    """r16 optimization guardrail: a pandas_udf output is nullable, so
+    when the IVF cell becomes an equi-join key the optimizer infers
+    IsNotNull(cell) and pushes it below the projection — and because
+    ExtractPythonUDFs does not CSE across that filter/project split, the
+    cell kernel used to run TWICE over the corpus (back-to-back
+    ArrowEvalPython nodes in five ANN plans).  ivf_cell_col now wraps the
+    kernel in a non-nullable coalesce(cell, -1) (a value the argmin can
+    never emit), which constant-folds the inferred filter away.  Pin it:
+    exactly one kernel evaluation per join side, and the sentinel never
+    leaks into results."""
+    import re
+
+    from arrow_experiments_spark.registry import all_queries
+
+    qs = all_queries()
+    # codebook has two celled sides (probe + corpus), multiprobe one
+    for name, sides in (("ann_ivf_codebook", 2), ("ann_ivf_multiprobe", 1)):
+        df = qs[name].build(spark, SF_DIR_T2)
+        plan = _plan(df)
+        assert len(re.findall(r"_cell\(embedding", plan)) == sides, name
+    cells = (
+        qs["ann_ivf_codebook"].build(spark, SF_DIR_T2)
+        .select("query_id").limit(1).collect()
+    )
+    assert cells, "celled join produced no rows on the fixture corpus"
