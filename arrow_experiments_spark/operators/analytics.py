@@ -192,11 +192,14 @@ _TFIDF_TOP_K = 3
     "text",
     doc=f"top-{_TFIDF_TOP_K} TF-IDF terms per document, inverted-index "
     "shape: explode tokens, per-(doc, term) counts, document frequency "
-    "from the same grouped stream, equi-join back on term (high "
-    "cardinality — scales), score = tf * (N / df) with a broadcast "
-    "one-row corpus count.  The idf is the raw N/df ratio, not log(N/df): "
-    "division is IEEE-exact in both engines while transcendental log is "
-    "not guaranteed bit-identical; ranking is unchanged (monotone map).",
+    "as a COUNT window over the same grouped stream keyed on term (high "
+    "cardinality — scales; same clustering a groupBy+self-join on term "
+    "would need, minus the join and minus the second tokenize pass the "
+    "un-CSE'd self-join subtree costs), score = tf * (N / df) with a "
+    "broadcast one-row corpus count.  The idf is the raw N/df ratio, not "
+    "log(N/df): division is IEEE-exact in both engines while "
+    "transcendental log is not guaranteed bit-identical; ranking is "
+    "unchanged (monotone map).",
     oracle=f"""
         WITH t AS (
             SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
@@ -225,10 +228,17 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df as a window over the tf stream, not groupBy(term)+self-join:
+    # the join form re-derives the whole scan→tokenize→explode→groupBy
+    # subtree on the dfreq side (no CSE across the self-join — measured
+    # ReadSchema 3 → 2, Exchange 14 → 10 at sf0.1, row-identical), and
+    # the count-per-term window needs exactly the clustering on term the
+    # join's probe-side shuffle paid anyway.  At 100 TB the saved pass
+    # is a full corpus re-tokenize.
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    wdf = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

@@ -552,12 +552,19 @@ _DRIVER_EDGE_LIMIT_DEFAULT = 4_000_000
 
 
 def _driver_components(spark: SparkSession, tbl) -> DataFrame:
-    """(doc_id, cluster_id) for every node appearing in the collected
-    edge table (pyarrow, columns src/dst), where cluster_id = min doc_id
-    of the node's connected component — exactly the fixpoint min-label
-    propagation converges to.  Union-find with path compression; roots
-    keep the component minimum (union attaches the larger root under the
-    smaller), so find(x) is the min id."""
+    """(doc_id, cluster_id, cluster_size) for every node appearing in
+    the collected edge table (pyarrow, columns src/dst), where
+    cluster_id = min doc_id of the node's connected component — exactly
+    the fixpoint min-label propagation converges to.  Union-find with
+    path compression; roots keep the component minimum (union attaches
+    the larger root under the smaller), so find(x) is the min id.
+
+    cluster_size is counted here too (r16): every doc OUTSIDE the edge
+    set is its own singleton (size 1 by construction), and every doc
+    inside it belongs to a component whose full membership is exactly
+    the collected nodes — so the driver knows every cluster's size for
+    free, and the fast path needs NO count-over-window (which cost a
+    full-corpus exchange + sort on cluster_id in every consumer)."""
     src = tbl.column("src").to_pylist()
     dst = tbl.column("dst").to_pylist()
     parent: dict[int, int] = {}
@@ -579,8 +586,14 @@ def _driver_components(spark: SparkSession, tbl) -> DataFrame:
                 parent[rs] = rd
     nodes = set(src)
     nodes.update(dst)
-    rows = [(n, find(n)) for n in nodes]
-    return spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    roots = {n: find(n) for n in nodes}
+    sizes: dict[int, int] = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    rows = [(n, r, sizes[r]) for n, r in roots.items()]
+    return spark.createDataFrame(
+        rows, "doc_id long, cluster_id long, cluster_size long"
+    )
 
 
 @register(
@@ -642,15 +655,19 @@ def dedup_clusters(
             if corpus is not None
             else table(spark, sf_dir, "documents").select("doc_id")
         )
-        labels = base.join(comp, "doc_id", "left").select(
+        # cluster_size comes from the driver union-find itself (every
+        # edge-component's membership is exactly the collected nodes;
+        # everything else is a singleton), so the fast path emits sizes
+        # by coalesce instead of a count-over-window — removing a
+        # full-corpus Exchange+Sort on cluster_id from this plan AND
+        # from every consumer (dedup_keep_canonical, the curate
+        # composites).  Measured row-identical at sf0.1.
+        return base.join(comp, "doc_id", "left").select(
             "doc_id",
             F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-        )
-        w = Window.partitionBy("cluster_id")
-        return labels.select(
-            "doc_id",
-            "cluster_id",
-            F.count(F.lit(1)).over(w).alias("cluster_size"),
+            F.coalesce("cluster_size", F.lit(1).cast("bigint")).alias(
+                "cluster_size"
+            ),
         )
     # Labels cover the full corpus, deliberately: a parquet-derived labels
     # side carries accurate size stats, so AQE broadcasts it in the

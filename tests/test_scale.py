@@ -323,6 +323,22 @@ def test_dedup_clusters_driver_fast_path_matches_distributed(spark):
     assert fast == slow
 
 
+def test_dedup_clusters_fast_path_plan_has_no_window(spark):
+    """The fast path's cluster_size comes from the driver union-find
+    (r16): the plan must carry NO Window node — the count-over-window it
+    replaced cost a full-corpus Exchange+Sort on cluster_id in every
+    consumer.  Regression guard for the window-free shape."""
+    from arrow_experiments_spark.operators import dedup
+
+    plan = (
+        dedup.dedup_clusters(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+
+
 def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
     """Dynamic partition pruning: a fact table partitioned on the join
     key, joined to a filtered dimension, must plan a dynamicpruning
