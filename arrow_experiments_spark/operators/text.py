@@ -650,10 +650,13 @@ _SH_DISTINCT_SQL = f"list_distinct({SHINGLES3_SQL.format(t=_TOKS_SQL)})"
     "text",
     doc="C4-style passage-overlap signal: for each document, the fraction "
     "of its DISTINCT 3-word shingles that also occur in at least one "
-    "other document.  Two shuffles, both bounded: a groupBy on shingle "
-    "(document-frequency table — vocabulary-cubed in principle, Heaps-law "
-    "sublinear in practice, same posture as text_tfidf_top_terms' term "
-    "table) and a regroup on doc_id.  No pair emission at all — this is "
+    "other document.  Two shuffles, both bounded: a count window keyed "
+    "on shingle (document frequency — vocabulary-cubed in principle, "
+    "Heaps-law sublinear in practice, same posture as "
+    "text_tfidf_top_terms' term table, and the same clustering a "
+    "groupBy+join would shuffle for, minus the join and the second "
+    "consumption of the exploded shingle stream) and a regroup on "
+    "doc_id.  No pair emission at all — this is "
     "the per-document overlap SCORE, the cheap filter that runs before "
     "any pairwise near-dup join at 100 TB.  All counts are exact "
     "integers; the only double op is the final division (NULL for "
@@ -679,38 +682,46 @@ _SH_DISTINCT_SQL = f"list_distinct({SHINGLES3_SQL.format(t=_TOKS_SQL)})"
     """,
 )
 def text_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    # Two persist barriers (the dedup_minhash_lsh pattern): first after
-    # tokenization — otherwise each element_at inside the shingle lambda
-    # re-inlines the whole split/filter tokenizer (no CSE across HOF
-    # lambdas; measured 14.4 s → ~2 s on the shingle stage alone at 1×) —
-    # then after the explode, which feeds BOTH the document-frequency
-    # aggregate and the scoring join.  repartition first: one input split
-    # at test SF would serialize the chain; at 100 TB it's a no-op.
+    from pyspark.sql.window import Window
+
+    # ONE persist barrier after tokenization — otherwise each element_at
+    # inside the shingle lambda re-inlines the whole split/filter
+    # tokenizer (no CSE across HOF lambdas; measured 14.4 s → ~2 s on
+    # the shingle stage alone at 1×).  repartition first: one input
+    # split at test SF would serialize the chain; at 100 TB it's a
+    # no-op.  The exploded shingle stream is NOT persisted (r16): the
+    # document frequency is a count window keyed on sh, so the stream
+    # has a single consumer — the previous groupBy(sh)+join form read it
+    # twice (df aggregate + join probe) and needed a second cache; the
+    # window needs the same clustering on sh the join's probe-side
+    # shuffle paid anyway (identical skew posture), one pass, no join.
     par = spark.sparkContext.defaultParallelism
     toks = (
-        docs.repartition(par)
+        table(spark, sf_dir, "documents")
+        .repartition(par)
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .persist()
     )
     sh = toks.select(
         "doc_id",
         F.explode(F.array_distinct(shingles3(F.col("toks")))).alias("sh"),
-    ).persist()
-    df_tab = sh.groupBy("sh").agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    wdf = Window.partitionBy("sh")
     per = (
-        sh.join(df_tab, "sh")
+        sh.withColumn("n_docs", F.count(F.lit(1)).over(wdf))
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
             F.sum((F.col("n_docs") >= 2).cast("bigint"))
             .cast("bigint")
             .alias("n_shared"),
         )
     )
     # Left join back so shingle-less documents (<3 tokens) keep a row —
-    # they are exactly the ones a quality filter must still see.
-    return docs.select("doc_id").join(per, "doc_id", "left").select(
+    # they are exactly the ones a quality filter must still see.  The
+    # doc_id spine comes from the persisted toks frame, not a second
+    # parquet scan (ReadSchema 2 → 1).
+    return toks.select("doc_id").join(per, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_shingles"), F.lit(0).cast("bigint")).alias(
             "n_shingles"

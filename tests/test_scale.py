@@ -380,7 +380,10 @@ _PERSIST_FLOORS = {
     "dedup_minhash_lsh": 6,
     "dedup_ngram_jaccard_lsh": 11,
     "dedup_embedding_cosine": 2,
-    "text_shared_ngram_fraction": 4,
+    # r16: the sh persist is gone by design (df is a count window over
+    # the exploded stream — single consumer), leaving the toks HOF-CSE
+    # barrier read by the shingle chain and the doc_id spine
+    "text_shared_ngram_fraction": 2,
 }
 
 
