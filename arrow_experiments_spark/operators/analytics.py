@@ -171,11 +171,15 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
     active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
-    # (user_id, d) is distinct, so COUNT(*) after the join counts users.
+    # cohort_date = first active day = min(d) over the user's DISTINCT
+    # active days — a window over the active frame, not a groupBy on a
+    # second events scan joined back (r16: the un-CSE'd join subtree
+    # re-read the events table; ReadSchema 2 → 1, Exchange 8 → 6,
+    # row-identical).  (user_id, d) is distinct, so COUNT(*) counts users.
+    w = Window.partitionBy("user_id")
     return (
-        active.join(first, "user_id")
+        active.withColumn("cohort_date", F.min("d").over(w))
         .groupBy(
             F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff("d", "cohort_date").alias("day_offset"),
@@ -590,7 +594,13 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (2) nearest centroid: left-to-right double fold (bit-identical to
     # list_reduce seeded with the first element: 0.0 + x == x), snapped;
-    # argmin via a partial-aggregable struct-min, ties to smaller label
+    # argmin via a partial-aggregable struct-min, ties to smaller label.
+    # old_label and the embedding ride THROUGH the argmin groupBy
+    # (first() over k rows whose values are identical per vec_id), so no
+    # join back to the table is needed for either — the previous shape
+    # re-joined emb twice and re-derived the whole argmin subtree for
+    # its stats branch (no CSE), ReadSchema 7 / Exchange 28; this one is
+    # ReadSchema 2 / Exchange 10 with row-identical output (r16).
     sq = F.zip_with(
         F.col("embedding"),
         F.col("cent"),
@@ -599,39 +609,45 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = snap6(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
     best = (
         emb.crossJoin(cent_arr)  # k rows — AQE broadcasts, no hint needed
-        .select("vec_id", "c_label", d2.alias("d2"))
+        .select("vec_id", "label", "embedding", "c_label", d2.alias("d2"))
         .groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d2"), F.col("c_label"))).alias("m"))
-        .select("vec_id", F.col("m.c_label").alias("new_label"))
+        .agg(
+            F.min(F.struct(F.col("d2"), F.col("c_label"))).alias("m"),
+            F.first("label").alias("old_label"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            F.col("m.c_label").alias("new_label"),
+            (F.col("m.c_label") != F.col("old_label"))
+            .cast("bigint")
+            .alias("moved"),
+            "embedding",
+        )
     )
-    assigned = best.join(
-        emb.select("vec_id", F.col("label").alias("old_label")), "vec_id"
-    )
-    stats = assigned.groupBy("new_label").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
-        F.sum(
-            (F.col("new_label") != F.col("old_label")).cast("bigint")
-        ).alias("n_moved"),
-    )
-    # (3) exact centroid recompute over the new assignment
-    cells = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    # (3) exact centroid recompute over the new assignment.  n_vectors
+    # and n_moved are constant across a label's pos rows (every vector
+    # contributes exactly one cell per pos), so both fold into the SAME
+    # (new_label, pos) regroup — no separate stats branch, no final
+    # join, single consumption of the argmin stream.
+    cells = best.select(
+        "new_label", "moved", F.posexplode("embedding").alias("pos", "v")
     ).select(
-        "vec_id",
+        "new_label",
+        "moved",
         "pos",
         F.floor(F.col("v").cast("double") * _CENT_SCALE)
         .cast("bigint")
         .alias("sv"),
     )
-    newsums = (
-        assigned.join(cells, "vec_id")
-        .groupBy("new_label", "pos")
-        .agg(F.sum("sv").alias("s"), F.count(F.lit(1)).alias("n"))
+    out = cells.groupBy("new_label", "pos").agg(
+        F.sum("sv").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("moved").alias("nm"),
     )
-    return newsums.join(stats, "new_label").select(
+    return out.select(
         F.col("new_label").cast("int").alias("new_label"),
-        "n_vectors",
-        "n_moved",
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.col("nm").cast("bigint").alias("n_moved"),
         F.col("pos").cast("int").alias("pos"),
         (
             F.col("s").cast("double")

@@ -489,20 +489,28 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
-    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
-        (
-            F.lit(0.2)
-            * (
-                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-                / F.count("l_quantity")
-            )
-        ).alias("qty_threshold")
+    # per-part avg threshold as a window over ONE lineitem pass (r16):
+    # the groupBy+join-back form re-scanned lineitem for the aggregate
+    # subtree (no CSE across the self-join) and then shuffled the probe
+    # side by partkey anyway — the window pays that one clustering
+    # shuffle and nothing else (ReadSchema 3 → 2, Exchange 8 → 6,
+    # row-identical; exact same arithmetic, so the declared result is
+    # bit-equal).
+    w = Window.partitionBy("l_partkey")
+    li2 = li.withColumn(
+        "qty_threshold",
+        F.lit(0.2)
+        * (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count("l_quantity").over(w)
+        ),
     )
     return (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .join(per_part, li.l_partkey == F.col("ap_key"))
+        li2.join(part, li2.l_partkey == part.p_partkey)
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
