@@ -375,12 +375,13 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics",
     doc="hypertable-style rollup with gap-fill: hourly buckets per "
     "event_type (exact decimal sums), a generated per-key bucket grid "
-    "from first to last activity, left-joined so silent hours appear "
-    "with n_events=0, and a carry-forward column (last non-null sum) for "
-    "dashboard-style continuity.  The grid explode is bounded by "
-    "time-range/bucket-width per key — never by row count — and the fill "
-    "join is keyed on (key, bucket); at 100 TB the key becomes (entity, "
-    "day) so each partition's grid stays small.  Window origins: Spark "
+    "from first to last activity — each bucket row generates itself plus "
+    "the silent hours up to its lead, so gaps appear with n_events=0 "
+    "from ONE pass — and a carry-forward column (last non-null sum) for "
+    "dashboard-style continuity.  The gap explode is bounded by "
+    "time-range/bucket-width per key — never by row count; at 100 TB "
+    "the key becomes (entity, day) so each partition's grid stays "
+    "small.  Window origins: Spark "
     "buckets align to the epoch, DuckDB time_bucket to 2000-01-01 — both "
     "whole multiples of 1 hour, so boundaries agree exactly.",
     oracle="""
@@ -424,29 +425,46 @@ def events_rollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    bounds = hourly.groupBy("event_type").agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-    )
-    grid = bounds.select(
+    # gap rows generated from each bucket's lead (r16): every hourly row
+    # emits itself (pos 0) plus the silent buckets up to the key's next
+    # row, whose union is exactly the old lo..hi grid — the previous
+    # bounds-aggregate + grid-explode + left-join re-derived the whole
+    # scan+bucket-aggregate subtree for the grid side (no CSE;
+    # ReadSchema 2 → 1, Exchange 6 → 4, join nodes gone, row-identical).
+    # The lead window and the carry-forward window share one
+    # (event_type, bucket) clustering, so both run off a single
+    # exchange+sort.
+    wo = Window.partitionBy("event_type").orderBy("bucket")
+    gen = hourly.withColumn("next_b", F.lead("bucket").over(wo)).select(
         "event_type",
-        F.explode(
-            F.sequence("lo", "hi", F.expr("interval 1 hour"))
-        ).alias("bucket"),
+        "n_events",
+        "sum_value",
+        F.posexplode(
+            F.sequence(
+                "bucket",
+                F.coalesce(
+                    F.col("next_b") - F.expr("interval 1 hour"),
+                    F.col("bucket"),
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("pos", "bucket"),
     )
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(hourly, ["event_type", "bucket"], "left")
-        .select(
-            "event_type",
-            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
-            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
-            "sum_value",
-            F.last("sum_value", ignorenulls=True).over(w).alias("sum_value_ffill"),
-        )
+    real_sum = F.when(F.col("pos") == 0, F.col("sum_value"))
+    return gen.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.when(F.col("pos") == 0, F.col("n_events"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        real_sum.alias("sum_value"),
+        F.last(real_sum, ignorenulls=True).over(w).alias("sum_value_ffill"),
     )
 
 
@@ -664,8 +682,9 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "buckets.  Both moment sums stay exact (DECIMAL sum of the bucket "
     "decimals and of their squares — order-independent), so mean/var/z "
     "reduce to a fixed chain of IEEE double ops mirrored verbatim in the "
-    "oracle, snapped to 6 decimals.  Stats side is one tiny row per "
-    "event_type (AQE-broadcast); z is NULL when the variance degenerates.",
+    "oracle, snapped to 6 decimals.  Stats are windows keyed on "
+    "event_type over the bucket frame (state = #buckets per type); z is "
+    "NULL when the variance degenerates.",
     oracle="""
         WITH h AS (
             SELECT event_type,
@@ -705,10 +724,16 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", F.col("w.start").alias("bucket"), "sv", "n_events")
     )
-    s = h.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.sum("sv").cast("double").alias("sx"),
-        F.sum(F.col("sv") * F.col("sv")).cast("double").alias("sxx"),
+    # per-type moments as windows over the bucket frame (r16): the
+    # groupBy+join-back form re-derived the whole scan+bucket-aggregate
+    # subtree for the stats side (no CSE; ReadSchema 2 → 1, Exchange
+    # 8 → 4, join nodes gone, row-identical).  The decimal window sums
+    # stay exact — order-independent like the grouped sums they replace.
+    ws = Window.partitionBy("event_type")
+    h2 = (
+        h.withColumn("nb", F.count(F.lit(1)).over(ws))
+        .withColumn("sx", F.sum("sv").over(ws).cast("double"))
+        .withColumn("sxx", F.sum(F.col("sv") * F.col("sv")).over(ws).cast("double"))
     )
     mean = F.col("sx") / F.col("nb")
     var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("nb")) / F.col("nb")
@@ -718,7 +743,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sv").cast("double") - mean) / F.sqrt(var),
         )
     )
-    return h.join(s, "event_type").select(
+    return h2.select(
         "event_type",
         F.date_format(F.col("bucket").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
         .alias("bucket_start"),
@@ -789,10 +814,17 @@ def pipeline_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w_s"),
     )
-    t = c.agg(
-        F.sum("n_s").alias("n_total"), F.sum("w_s").alias("w_sum")
+    # corpus totals as sums over an unpartitioned window on the
+    # per-source frame (r16): the frame is rows = #sources (metadata
+    # scale — a single-partition window over it is bounded at any corpus
+    # size), while the previous agg-then-crossJoin re-derived the whole
+    # scan+groupBy subtree for the totals side (no CSE; ReadSchema
+    # 3 → 2, Exchange 10 → 6, row-identical).
+    wall = Window.partitionBy()
+    c2 = c.withColumn("n_total", F.sum("n_s").over(wall)).withColumn(
+        "w_sum", F.sum("w_s").over(wall)
     )
-    thr = c.crossJoin(F.broadcast(t)).select(
+    thr = c2.select(
         "source",
         F.floor(
             F.least(
