@@ -28,7 +28,7 @@ from arrow_experiments_spark.functions.text import (
 from arrow_experiments_spark.functions.vectors import cosine_sql, dot, norm_sql
 from arrow_experiments_spark.functions.vectors import norm as vnorm
 from arrow_experiments_spark.registry import register
-from arrow_experiments_spark.tables import table
+from arrow_experiments_spark.tables import table, widen_if_narrow
 
 _N_SIGS = 8  # MinHash signatures
 _N_BANDS = 4  # bands of r=2 signatures each
@@ -218,12 +218,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass  # stopped session / already-released frame
 
-    par = spark.sparkContext.defaultParallelism
     # persist barrier after tokenization: no CSE across HOF lambdas, see
     # _minhash_sigs
     toks = (
-        table(spark, sf_dir, "documents")
-        .repartition(par)
+        widen_if_narrow(
+            table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        )
         .select(
             "doc_id",
             "source",
@@ -282,13 +282,14 @@ def _minhash_sigs(
         # split/filter chain into each element_at inside the shingle lambda
         # (no CSE across higher-order-function lambdas — measured 5× on the
         # shingle stage alone).
-        # repartition first: the documents file is tiny at test SF (one input
-        # split → one task); the shuffle of raw text is cheap next to the
-        # tokenize/hash chain it parallelizes.  At 100 TB the source has
-        # thousands of splits and this is a no-op cost-wise (AQE coalesces).
-        par = spark.sparkContext.defaultParallelism
+        # widen first: the documents file is tiny at test SF (one input
+        # split → one task) and the shuffle of raw text is cheap next to
+        # the tokenize/hash chain it parallelizes; at 100 TB the source
+        # has thousands of splits and widen_if_narrow SKIPS the shuffle
+        # entirely (an unconditional repartition(n) would be a hard
+        # exchange AQE cannot remove — see tables.widen_if_narrow).
         toks = (
-            docs.repartition(par)
+            widen_if_narrow(docs, spark, sf_dir, "documents")
             .select("doc_id", tokens(F.col("text")).alias("toks"))
             .persist()
         )
@@ -431,8 +432,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 29× vs the pairwise plan at sf0.1; at 100 TB this is the only shape
     # that works (the pairwise join materializes O(block²) array pairs).
     docs = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        widen_if_narrow(
+            table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        )
         .select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
         .persist()
         .select(
@@ -878,10 +880,10 @@ def decontaminate_ngram_overlap(
     if corpus is not None:
         sh = corpus.select("doc_id", "source", "sh")
     else:
-        par = spark.sparkContext.defaultParallelism
         sh = (
-            table(spark, sf_dir, "documents")
-            .repartition(par)
+            widen_if_narrow(
+                table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+            )
             .select("doc_id", "source", tokens(F.col("text")).alias("toks"))
             .persist()
             .select(
@@ -1364,8 +1366,9 @@ def dedup_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenized twice, once inside _candidate_edges and once here.  At
     # 100 TB the scan+tokenize is the dominant cost of the verify path.
     sh = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        widen_if_narrow(
+            table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        )
         .select("doc_id", "lang", tokens(F.col("text")).alias("toks"))
         .persist()
         .select(
@@ -1444,8 +1447,9 @@ def dedup_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # containment verify (r16 — same single-scan fix as
     # dedup_ngram_jaccard_lsh; the corpus was previously tokenized twice).
     sh = (
-        table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        widen_if_narrow(
+            table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        )
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .persist()
         .select(

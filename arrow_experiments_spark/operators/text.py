@@ -19,7 +19,7 @@ from arrow_experiments_spark.functions.text import (
     tokens,
 )
 from arrow_experiments_spark.registry import register
-from arrow_experiments_spark.tables import table
+from arrow_experiments_spark.tables import table, widen_if_narrow
 
 _TOKS_SQL = TOKENS_SQL.format(col="text")
 
@@ -379,12 +379,12 @@ def _bigrams(toks: F.Column) -> F.Column:
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_experiments_spark.functions.text import shingles3
 
-    par = spark.sparkContext.defaultParallelism
     # persist barrier: three consumers below would each re-inline the
     # tokenize chain (no CSE across HOF lambdas)
     toks_df = (
-        table(spark, sf_dir, "documents")
-        .repartition(par)
+        widen_if_narrow(
+            table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        )
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .persist()
     )
@@ -687,18 +687,19 @@ def text_shared_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE persist barrier after tokenization — otherwise each element_at
     # inside the shingle lambda re-inlines the whole split/filter
     # tokenizer (no CSE across HOF lambdas; measured 14.4 s → ~2 s on
-    # the shingle stage alone at 1×).  repartition first: one input
-    # split at test SF would serialize the chain; at 100 TB it's a
-    # no-op.  The exploded shingle stream is NOT persisted (r16): the
+    # the shingle stage alone at 1×).  widen_if_narrow: the scan only
+    # repartitions when the source is too small to parallelize
+    # naturally (scale-adaptive — see tables.widen_if_narrow).
+    # The exploded shingle stream is NOT persisted (r16): the
     # document frequency is a count window keyed on sh, so the stream
     # has a single consumer — the previous groupBy(sh)+join form read it
     # twice (df aggregate + join probe) and needed a second cache; the
     # window needs the same clustering on sh the join's probe-side
     # shuffle paid anyway (identical skew posture), one pass, no join.
-    par = spark.sparkContext.defaultParallelism
     toks = (
-        table(spark, sf_dir, "documents")
-        .repartition(par)
+        widen_if_narrow(
+            table(spark, sf_dir, "documents"), spark, sf_dir, "documents"
+        )
         .select("doc_id", tokens(F.col("text")).alias("toks"))
         .persist()
     )
@@ -1179,9 +1180,8 @@ def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same persisted projection — previously the hash gate and the
     # signature pass each re-read the documents table.  At 100 TB the
     # corpus read is the dominant cost, so the gate pays it once.
-    par = spark.sparkContext.defaultParallelism
     scan = (
-        docs.repartition(par)
+        widen_if_narrow(docs, spark, sf_dir, "documents")
         .select(
             "doc_id",
             md5_str(F.col("text")).alias("content_hash"),
@@ -1320,9 +1320,8 @@ def pipeline_curate_incremental_full(
     # single persisted projection feeding the exact gate, the signature
     # pass AND the decontamination stage — previously three separate
     # reads (and two separate tokenize passes) of the documents table.
-    par = spark.sparkContext.defaultParallelism
     scan = (
-        docs.repartition(par)
+        widen_if_narrow(docs, spark, sf_dir, "documents")
         .select(
             "doc_id",
             "source",

@@ -124,6 +124,46 @@ def _table_fingerprint(path: str) -> str | None:
     return hashlib.sha256(";".join(sorted(entries)).encode()).hexdigest()
 
 
+# One parquet split's worth of bytes — Spark's maxPartitionBytes default.
+# Used only for the stat-based widening decision below; deliberately NOT
+# read from the session conf (the decision must not flip with local
+# tuning, and a conservative constant only ever errs toward the old
+# always-widen behavior).
+_WIDEN_SPLIT_BYTES = 128 << 20
+
+
+def widen_if_narrow(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Round-robin repartition ``df`` to defaultParallelism ONLY when its
+    source parquet is too small to yield that many natural input splits.
+
+    The HOF tokenize/shingle chains repartition their scan so a tiny
+    test-SF input (one split → one task) cannot serialize them — but an
+    unconditional ``repartition(defaultParallelism)`` is a constant tuned
+    for local mode: at 100 TB it would be a full shuffle of the raw text
+    down to #cores partitions (and ``repartition(n)`` is a hard
+    round-robin exchange — AQE does not remove it, and it pays
+    sortBeforeRepartition on every row).  The decision here derives from
+    input size (guide §2: scale-adaptive partitioning): stat the source
+    files (no Spark job — same discipline as the table-cache
+    fingerprint); a source under par × one-split bytes widens exactly as
+    before, anything bigger already scans wide and skips the shuffle.
+    Fail-open: an unstatable source widens (the old behavior)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    total = 0
+    if os.path.isfile(path):
+        total = os.stat(path).st_size
+    elif os.path.isdir(path):
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.stat(os.path.join(dirpath, f)).st_size
+    par = spark.sparkContext.defaultParallelism
+    if total and total >= par * _WIDEN_SPLIT_BYTES:
+        return df
+    return df.repartition(par)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":

@@ -128,3 +128,29 @@ def test_table_plan_memo_hit_and_invalidation(spark, tmp_path):
     # sees this one's frames (weakref identity check)
     key_sessions = {k[0] for k in tables._TABLE_CACHE}
     assert id(spark) in key_sessions
+
+
+def test_widen_if_narrow_is_size_adaptive(spark, monkeypatch):
+    """The tokenize-chain widening shuffle must be a function of source
+    size, not an unconditional repartition(defaultParallelism): a tiny
+    source widens (old behavior — one split must not serialize the HOF
+    chain), a source past par x split-bytes keeps its natural scan
+    partitioning (at 100 TB the skipped exchange is a full shuffle of
+    the raw corpus).  Rows are identical either way."""
+    from arrow_experiments_spark import tables
+
+    sf = "/root/testdata/sf0.001"
+    docs = tables.table(spark, sf, "documents")
+    par = spark.sparkContext.defaultParallelism
+
+    wide = tables.widen_if_narrow(docs, spark, sf, "documents")
+    assert "Repartition" in wide._jdf.queryExecution().logical().toString()
+    assert wide.rdd.getNumPartitions() == par
+
+    # pretend one split holds the whole source: no repartition planned
+    monkeypatch.setattr(tables, "_WIDEN_SPLIT_BYTES", 0)
+    narrow = tables.widen_if_narrow(docs, spark, sf, "documents")
+    assert "Repartition" not in narrow._jdf.queryExecution().logical().toString()
+    assert sorted(r.doc_id for r in narrow.collect()) == sorted(
+        r.doc_id for r in wide.collect()
+    )
