@@ -333,6 +333,31 @@ def _minhash_bands(
     return sigs.selectExpr("doc_id", inline_expr)
 
 
+def _minhash_bands_carrying_sigs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, s0..s{n-1}, band_idx, band_val): band rows that carry
+    their row's full signature vector, so a signature-agreement verify
+    can be computed ON the band-join collision row itself instead of
+    joining the sigs table back onto candidate pairs twice — the
+    payload is a fixed {_N_SIGS}-int vector per band row, while the
+    join-back shape paid four exchanges (sigs ×2 + candidate re-shuffles)
+    (r16, session 2)."""
+    inline_expr = "inline(array(" + ",".join(
+        f"named_struct('band_idx', {b}, "
+        f"'band_val', concat(s{2 * b}, s{2 * b + 1}))"
+        for b in range(_N_BANDS)
+    ) + "))"
+    return sigs.selectExpr(
+        "doc_id", *[f"s{i}" for i in range(_N_SIGS)], inline_expr
+    )
+
+
+# qualified a/b signature-agreement sum for carried-sigs band joins —
+# the same integer left-fold as the oracles' _AGREE_SQL
+_AGREE_AB_SQL = "(0 + " + " + ".join(
+    f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_N_SIGS)
+) + ")"
+
+
 def _minhash_bands_sql(extra_cols: str = "") -> str:
     """CTE chain sh_t → sigs → bands.  ``extra_cols`` (e.g. ", lang")
     widens sh_t for oracles that also need document attributes."""
@@ -2105,35 +2130,35 @@ _AGREE_SQL = " + ".join(
     """,
 )
 def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sigs= threads the one persisted signature pass into the candidate
-    # stage (r16) — previously _candidate_edges re-derived an identical
-    # signature lineage (deduped by the cache manager at execution time,
-    # but planned, persisted and tracked twice).
+    # The 8 signature ints RIDE THROUGH the band join (r16, session 2):
+    # the previous shape joined the sigs table back onto the candidate
+    # pairs twice (x on ida, y on idb) — four exchanges of sigs +
+    # candidates that a fixed 8-int payload per band row makes
+    # unnecessary.  The per-pair agreement is computed on the collision
+    # row itself; the distinct collapses multi-band collisions with a
+    # first() whose value is identical per pair (same signatures).
+    # Measured: Exchange 13 → 7, join nodes 12 → 4, min 0.861 → 0.668 s
+    # at sf0.1, row-identical; oracle keeps the declared cand→sigs-join
+    # CTE (same numbers).
     sigs = _minhash_sigs(spark, sf_dir)
-    cand = (
-        _candidate_edges(spark, sf_dir, sigs=sigs)
-        .filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("ida"), F.col("dst").alias("idb"))
+    bands = _minhash_bands_carrying_sigs(sigs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).selectExpr(
+        "a.doc_id AS ida", "b.doc_id AS idb", f"{_AGREE_AB_SQL} AS n_agree_i"
     )
-    x = sigs.selectExpr(
-        "doc_id AS ida", *[f"s{i} AS xa{i}" for i in range(_N_SIGS)]
-    )
-    y = sigs.selectExpr(
-        "doc_id AS idb", *[f"s{i} AS yb{i}" for i in range(_N_SIGS)]
-    )
-    # string-built agreement sum (r16): same integer left-fold as the
-    # previous sum(F.when(...)) chain (0 + CASE + CASE ...), one parse
-    n_agree = "(0 + " + " + ".join(
-        f"(CASE WHEN xa{i} = yb{i} THEN 1 ELSE 0 END)"
-        for i in range(_N_SIGS)
-    ) + ")"
     return (
-        cand.join(x, "ida")
-        .join(y, "idb")
+        joined.groupBy("ida", "idb")
+        .agg(F.first("n_agree_i").alias("n_agree_i"))
         .selectExpr(
             "ida AS doc_id_a",
             "idb AS doc_id_b",
-            f"CAST({n_agree} AS BIGINT) AS n_agree",
-            f"CAST({n_agree} AS DOUBLE) / {_N_SIGS} AS jaccard_est",
+            "CAST(n_agree_i AS BIGINT) AS n_agree",
+            f"CAST(n_agree_i AS DOUBLE) / {_N_SIGS} AS jaccard_est",
         )
     )

@@ -1167,8 +1167,8 @@ _NEARDUP_MIN_AGREE = 4  # ceil(0.5 * 8 sigs) — incremental_neardup_sink defaul
 def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from arrow_experiments_spark.functions.text import md5_str
     from arrow_experiments_spark.operators.dedup import (
-        _N_SIGS,
-        _minhash_bands,
+        _AGREE_AB_SQL,
+        _minhash_bands_carrying_sigs,
         _minhash_sigs,
     )
 
@@ -1202,8 +1202,15 @@ def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(shingles3(F.col("toks"))).alias("sh")
     ).persist()
     sigs = _minhash_sigs(spark, sf_dir, corpus=sh)
-    bands = _minhash_bands(spark, sf_dir, sigs=sigs)
-    cand = (
+    # signatures ride through the band join (r16, session 2 — see
+    # dedup_minhash_estimate): the agreement verify runs on the
+    # collision row itself, so the sigs-table join-back (x on did, y on
+    # bid — four exchanges) and the intermediate (did, bid) distinct
+    # both disappear; a pair passing the threshold in any collision row
+    # passes in all (same signatures), so distinct-on-did after the
+    # filter yields the identical near set.
+    bands = _minhash_bands_carrying_sigs(sigs)
+    near = (
         bands.alias("a")
         .join(
             bands.alias("b"),
@@ -1212,26 +1219,9 @@ def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") % 10 == 0)
             & (F.col("b.doc_id") % 10 != 0),
         )
-        .select(F.col("a.doc_id").alias("did"), F.col("b.doc_id").alias("bid"))
-        .distinct()
-    )
-    x = sigs.select(
-        F.col("doc_id").alias("did"),
-        *[F.col(f"s{i}").alias(f"xa{i}") for i in range(_N_SIGS)],
-    )
-    y = sigs.select(
-        F.col("doc_id").alias("bid"),
-        *[F.col(f"s{i}").alias(f"yb{i}") for i in range(_N_SIGS)],
-    )
-    n_agree = sum(
-        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
-        for i in range(_N_SIGS)
-    )
-    near = (
-        cand.join(x, "did")
-        .join(y, "bid")
-        .filter(n_agree >= _NEARDUP_MIN_AGREE)
-        .select(F.col("did").alias("doc_id"))
+        .selectExpr("a.doc_id AS doc_id", f"{_AGREE_AB_SQL} AS n_agree_i")
+        .filter(F.col("n_agree_i") >= _NEARDUP_MIN_AGREE)
+        .select("doc_id")
         .distinct()
     )
     return exact_novel.join(near, "doc_id", "left_anti").select(
@@ -1305,8 +1295,8 @@ def pipeline_curate_incremental_full(
 ) -> DataFrame:
     from arrow_experiments_spark.functions.text import md5_str
     from arrow_experiments_spark.operators.dedup import (
-        _N_SIGS,
-        _minhash_bands,
+        _AGREE_AB_SQL,
+        _minhash_bands_carrying_sigs,
         _minhash_sigs,
         decontaminate_ngram_overlap,
     )
@@ -1346,9 +1336,10 @@ def pipeline_curate_incremental_full(
     # dropped — restricting the input is result-identical and removes the
     # post-hoc train filter join.
     sigs = _minhash_sigs(spark, sf_dir, corpus=sh.filter(is_train))
-    bands = _minhash_bands(spark, sf_dir, sigs=sigs)
-    tbands = bands
-    cand = (
+    # signatures ride through the band join (r16, session 2 — see
+    # dedup_minhash_estimate / pipeline_neardup_incremental)
+    tbands = _minhash_bands_carrying_sigs(sigs)
+    near = (
         tbands.alias("a")
         .join(
             tbands.alias("b"),
@@ -1357,26 +1348,9 @@ def pipeline_curate_incremental_full(
             & (F.col("a.doc_id") % 10 == 0)
             & (F.col("b.doc_id") % 10 != 0),
         )
-        .select(F.col("a.doc_id").alias("did"), F.col("b.doc_id").alias("bid"))
-        .distinct()
-    )
-    x = sigs.select(
-        F.col("doc_id").alias("did"),
-        *[F.col(f"s{i}").alias(f"xa{i}") for i in range(_N_SIGS)],
-    )
-    y = sigs.select(
-        F.col("doc_id").alias("bid"),
-        *[F.col(f"s{i}").alias(f"yb{i}") for i in range(_N_SIGS)],
-    )
-    n_agree = sum(
-        F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
-        for i in range(_N_SIGS)
-    )
-    near = (
-        cand.join(x, "did")
-        .join(y, "bid")
-        .filter(n_agree >= _NEARDUP_MIN_AGREE)
-        .select(F.col("did").alias("doc_id"))
+        .selectExpr("a.doc_id AS doc_id", f"{_AGREE_AB_SQL} AS n_agree_i")
+        .filter(F.col("n_agree_i") >= _NEARDUP_MIN_AGREE)
+        .select("doc_id")
         .distinct()
     )
     # the decontamination STAGE operator, composed verbatim (its eval
