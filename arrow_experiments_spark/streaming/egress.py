@@ -1710,15 +1710,21 @@ def incremental_neardup_sink(
                     ],
                 ).persist()
                 pinned += [toks, sh, sigs]
-                dbands = band_rows(sigs, keep_sigs=False).persist()
+                # keep_sigs=True (r16, session 2 — the batch twins'
+                # carried-sigs shape): the delta's band rows carry their
+                # own 8-int signature vector, so BOTH verify legs below
+                # compute the agreement on the collision row itself —
+                # no sigs-table join-back (xa) and no pair-level
+                # distinct per leg (drops.distinct() at the survivors
+                # anti-join dedupes; a pair passing in any collision row
+                # passes in all, same signatures).  Three exchanges
+                # fewer per micro-batch; the persist widens by 8 ints
+                # per delta band row.
+                dbands = band_rows(sigs, keep_sigs=True).persist()
                 pinned.append(dbands)
                 n_agree = sum(
-                    F.when(F.col(f"xa{i}") == F.col(f"yb{i}"), 1).otherwise(0)
+                    F.when(F.col(f"s{i}") == F.col(f"yb{i}"), 1).otherwise(0)
                     for i in range(_N_SIGS)
-                )
-                xa = sigs.selectExpr(
-                    "doc_id",
-                    *[f"s{i} AS xa{i}" for i in range(_N_SIGS)],
                 )
                 drops = None
                 # cross-batch: probe the committed band index, verify by
@@ -1750,12 +1756,11 @@ def incremental_neardup_sink(
                         .select("band_idx", "band_val")
                     )
                     idx = idx.join(ok_bands, ["band_idx", "band_val"])
-                    cand = (
+                    drops = (
                         dbands.join(
                             idx.select(
                                 "band_idx",
                                 "band_val",
-                                F.col("doc_id").alias("_idx_doc"),
                                 *[
                                     F.col(f"s{i}").alias(f"yb{i}")
                                     for i in range(_N_SIGS)
@@ -1763,11 +1768,6 @@ def incremental_neardup_sink(
                             ),
                             ["band_idx", "band_val"],
                         )
-                        .select("doc_id", "_idx_doc", *[f"yb{i}" for i in range(_N_SIGS)])
-                        .distinct()
-                    )
-                    drops = (
-                        cand.join(xa, "doc_id")
                         .filter(n_agree >= min_agree)
                         .select("doc_id")
                     )
@@ -1783,7 +1783,11 @@ def incremental_neardup_sink(
                     .select("band_idx", "band_val")
                 )
                 dpairs_src = dbands.join(db_ok, ["band_idx", "band_val"])
-                pairs = (
+                in_agree = sum(
+                    F.when(F.col(f"a.s{i}") == F.col(f"b.s{i}"), 1).otherwise(0)
+                    for i in range(_N_SIGS)
+                )
+                in_drops = (
                     dpairs_src.alias("a")
                     .join(
                         dpairs_src.alias("b"),
@@ -1791,26 +1795,8 @@ def incremental_neardup_sink(
                         & (F.col("a.band_val") == F.col("b.band_val"))
                         & (F.col("a.doc_id") < F.col("b.doc_id")),
                     )
-                    .select(
-                        F.col("a.doc_id").alias("ida"),
-                        F.col("b.doc_id").alias("idb"),
-                    )
-                    .distinct()
-                )
-                in_drops = (
-                    pairs.join(xa.withColumnRenamed("doc_id", "ida"), "ida")
-                    .join(
-                        sigs.select(
-                            F.col("doc_id").alias("idb"),
-                            *[
-                                F.col(f"s{i}").alias(f"yb{i}")
-                                for i in range(_N_SIGS)
-                            ],
-                        ),
-                        "idb",
-                    )
-                    .filter(n_agree >= min_agree)
-                    .select(F.col("idb").alias("doc_id"))
+                    .filter(in_agree >= min_agree)
+                    .select(F.col("b.doc_id").alias("doc_id"))
                 )
                 drops = in_drops if drops is None else drops.unionByName(in_drops)
                 # persisted: BOTH legs' write phases build on survivors
