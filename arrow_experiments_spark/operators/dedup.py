@@ -535,6 +535,7 @@ def _candidate_edges(
     sf_dir: str,
     corpus: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Symmetric distinct (src, dst) candidate edges from the MinHash-LSH
     band join: both (x,y) and (y,x) survive the <> filter, so one
@@ -542,21 +543,27 @@ def _candidate_edges(
     an already-persisted shingle/signature frame through (the single-
     tokenize-pass discipline — callers that also need shingles or
     signatures for a verify stage share one pass instead of re-deriving
-    the chain)."""
+    the chain).
+
+    ``dedupe=False`` (r16, session 2) returns the RAW collision stream —
+    no distinct, no persist — for consumers that tolerate multi-band
+    duplicates (dedup_clusters' driver union-find, where union(s, d) is
+    idempotent): the fast path's collect then skips a full exchange and
+    a wasted cache fill.  Pair-emitting consumers (the jaccard verify,
+    the distributed propagation loop) need once-per-pair semantics and
+    must keep the default."""
     bands = _minhash_bands(spark, sf_dir, corpus=corpus, sigs=sigs)
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
-        .persist()
-    )
+    edges = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    if not dedupe:
+        return edges
+    return edges.distinct().persist()
 
 
 # Propagation-round cap before dedup_clusters hands off to the
@@ -567,9 +574,10 @@ _PROP_MAX_ROUNDS = 25
 # Small-graph fast path (r16 optimization): when the candidate edge set is
 # bounded — the same size-adaptive decision Spark itself makes for
 # broadcast joins — connected components are solved driver-side with
-# union-find instead of 3 Spark jobs per propagation round.  The limit is
-# an EDGE COUNT against the already-persisted edge frame (one cheap
-# aggregate), default 4M edges ≈ 64 MB of (long, long) — the same order
+# union-find instead of 3 Spark jobs per propagation round.  The limit
+# bounds the COLLECTED ROWS of the raw collision stream (session 2: the
+# fast path collects without the distinct, since union-find dedupes),
+# default 4M rows ≈ 64 MB of (long, long) — the same order
 # as a broadcast relation, far below driver memory.  Above the limit the
 # distributed propagation/contraction paths run unchanged, so the 100 TB
 # posture (no unbounded driver materialization) is preserved: the collect
@@ -648,7 +656,6 @@ def dedup_clusters(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
-    edges = _candidate_edges(spark, sf_dir, corpus=corpus)
     # Size-adaptive strategy pick (r16): a bounded graph is solved
     # driver-side (union-find — microseconds where each propagation
     # round costs 3 scheduled jobs); an unbounded one takes the
@@ -662,6 +669,15 @@ def dedup_clusters(
     # it.  The driver-memory bound is unchanged: never more than L+1
     # (long, long) rows are collected, the same broadcast-relation-order
     # gate as before.
+    # RAW collision stream for the collect (r16, session 2): union-find
+    # is idempotent under duplicate edges, so the fast path skips the
+    # distinct's full exchange AND the wasted persist fill (the
+    # collected rows are never re-read distributed).  The gate therefore
+    # bounds collision ROWS (≤ bands × duplicate pairs) — strictly more
+    # conservative than distinct-edge count, so a graph near the limit
+    # falls back to the distributed path a little earlier; both paths
+    # emit identical labels, so the strategy choice is invisible.
+    edges_raw = _candidate_edges(spark, sf_dir, corpus=corpus, dedupe=False)
     try:
         edge_limit = int(
             spark.conf.get(
@@ -670,7 +686,9 @@ def dedup_clusters(
         )
     except (TypeError, ValueError):
         edge_limit = _DRIVER_EDGE_LIMIT_DEFAULT
-    edge_tbl = edges.limit(edge_limit + 1).toArrow() if edge_limit > 0 else None
+    edge_tbl = (
+        edges_raw.limit(edge_limit + 1).toArrow() if edge_limit > 0 else None
+    )
     if edge_tbl is not None and edge_tbl.num_rows <= edge_limit:
         comp = _driver_components(spark, edge_tbl)
         # label base from the persisted corpus frame when one is threaded
@@ -696,6 +714,11 @@ def dedup_clusters(
                 "cluster_size"
             ),
         )
+    # Distributed path: the propagation loop re-reads the edge set every
+    # round, so HERE the once-per-pair distinct + persist earn their keep
+    # (multi-band duplicate edges would multiply every round's join
+    # output).
+    edges = edges_raw.distinct().persist()
     # Labels cover the full corpus, deliberately: a parquet-derived labels
     # side carries accurate size stats, so AQE broadcasts it in the
     # per-round join (no edge shuffle).  The tempting "restrict labels to
