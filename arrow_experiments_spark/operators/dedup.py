@@ -1316,9 +1316,13 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = _emb_lsh_bits(spark, sf_dir)
     is_delta = F.col("vec_id") % 10 == 0
     # all bands' cells from the ONE Arrow-batched kernel (r16, see
-    # dedup_embedding_cosine) — bit-identical to the per-band folds
+    # dedup_embedding_cosine) — bit-identical to the per-band folds.
+    # label rides along (session 2) so the final delta emit reads the
+    # banded CACHE instead of a fourth embeddings scan (ReadSchema
+    # 4 → 3, row-identical; +4 bytes × bands rows of cache width).
     banded = emb.select(
         "vec_id",
+        "label",
         F.posexplode(
             lsh_cells_col(F.col("embedding"), _EMB_LSH_BANDS, bits)
         ).alias("band", "bucket"),
@@ -1363,8 +1367,11 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("did")
         .distinct()
     )
+    # delta emit from the banded cache — every vector has a band-0 row,
+    # so this is exactly the delta id/label set without another scan
     return (
-        emb.filter(is_delta)
+        banded.filter(is_delta & (F.col("band") == 0))
+        .select("vec_id", "label")
         .join(near, F.col("vec_id") == F.col("did"), "left_anti")
         .select("vec_id", "label")
     )
