@@ -625,10 +625,24 @@ def _driver_components(spark: SparkSession, tbl) -> DataFrame:
     sizes: dict[int, int] = {}
     for r in roots.values():
         sizes[r] = sizes.get(r, 0) + 1
-    rows = [(n, r, sizes[r]) for n, r in roots.items()]
-    return spark.createDataFrame(
-        rows, "doc_id long, cluster_id long, cluster_size long"
+    # Arrow BOTH ways (r17; r16 verdict #7): the edges arrived via
+    # toArrow(), so hand the labels back as a pyarrow table too —
+    # createDataFrame(list-of-tuples) pickles every row through the py4j
+    # channel, while the Arrow path ships columnar buffers.  Bounded by
+    # the same maxDriverEdges gate either way; the resulting plan is the
+    # same LocalRelation.
+    import pyarrow as pa
+
+    labels = pa.table(
+        {
+            "doc_id": pa.array(list(roots.keys()), type=pa.int64()),
+            "cluster_id": pa.array(list(roots.values()), type=pa.int64()),
+            "cluster_size": pa.array(
+                [sizes[r] for r in roots.values()], type=pa.int64()
+            ),
+        }
     )
+    return spark.createDataFrame(labels)
 
 
 @register(

@@ -132,6 +132,39 @@ def _table_fingerprint(path: str) -> str | None:
 _WIDEN_SPLIT_BYTES = 128 << 20
 
 
+def _source_bytes(
+    spark: SparkSession, path: str
+) -> int | None:
+    """Total bytes of a source table's files, without a Spark job.
+
+    Local paths are os.stat'ed directly (the table-memo fingerprint
+    discipline).  Anything else — object-store URIs, ``file://`` URIs,
+    HDFS — goes through the path's own Hadoop FileSystem
+    (``getContentSummary``, the same driver-side listing a scan's file
+    index performs), so a 100 TB s3/gs corpus sizes correctly instead of
+    reading as 0 through ``os.stat``.  Returns None when no filesystem
+    can see the path."""
+    if os.path.isfile(path):
+        return os.stat(path).st_size
+    if os.path.isdir(path):
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.stat(os.path.join(dirpath, f)).st_size
+        return total or None
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark._jsc.hadoopConfiguration()  # type: ignore[union-attr]
+        )
+        if not fs.exists(hpath):
+            return None
+        return int(fs.getContentSummary(hpath).getLength())
+    except Exception:
+        return None
+
+
 def widen_if_narrow(
     df: DataFrame, spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:
@@ -145,23 +178,23 @@ def widen_if_narrow(
     down to #cores partitions (and ``repartition(n)`` is a hard
     round-robin exchange — AQE does not remove it, and it pays
     sortBeforeRepartition on every row).  The decision here derives from
-    input size (guide §2: scale-adaptive partitioning): stat the source
-    files (no Spark job — same discipline as the table-cache
-    fingerprint); a source under par × one-split bytes widens exactly as
-    before, anything bigger already scans wide and skips the shuffle.
-    Fail-open: an unstatable source widens (the old behavior)."""
+    input size (guide §2: scale-adaptive partitioning): size the source
+    via :func:`_source_bytes` (no Spark job; local stat fast path,
+    Hadoop FileSystem for everything else — r16 verdict #3: ``os.stat``
+    sees nothing on an object store, and failing open there would
+    silently reintroduce the full-corpus shuffle on exactly the corpora
+    that cannot afford it); a source under par × one-split bytes widens
+    exactly as before, anything bigger already scans wide and skips the
+    shuffle.  Fail CLOSED: a source no filesystem can size keeps its
+    natural partitioning — the safe direction, since skipping the widen
+    costs a tiny corpus some parallelism while a spurious widen costs a
+    huge one a full shuffle."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    total = 0
-    if os.path.isfile(path):
-        total = os.stat(path).st_size
-    elif os.path.isdir(path):
-        for dirpath, _dirs, files in os.walk(path):
-            for f in files:
-                total += os.stat(os.path.join(dirpath, f)).st_size
+    total = _source_bytes(spark, path)
     par = spark.sparkContext.defaultParallelism
-    if total and total >= par * _WIDEN_SPLIT_BYTES:
-        return df
-    return df.repartition(par)
+    if total is not None and total < par * _WIDEN_SPLIT_BYTES:
+        return df.repartition(par)
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

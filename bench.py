@@ -618,29 +618,128 @@ def drift_anchors(
     return certified, best
 
 
+# Core-count provenance default for floor records that predate r17:
+# every committed certification/bulk/bench run before round 17 was taken
+# at the driver's main config, local[32] (BENCH_QUIET/BULK/r01..r16 —
+# verified against their gitignored-nothing history; the one 8-core run,
+# BENCH_r16_c8.json, is excluded from anchors below by its own recorded
+# cpus).  New records carry an explicit "cpus" field.
+_FLOOR_DEFAULT_CPUS = 32
+
+
+def _rec_cpus(rec: dict, default: int = _FLOOR_DEFAULT_CPUS) -> int:
+    """Best-effort int cpus from a bench/ledger record's top level."""
+    try:
+        return int(rec.get("cpus") or default)
+    except (TypeError, ValueError):
+        return default
+
+
+def anchor_cpus(
+    base: str | None = None,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Per-key core-count provenance for the drift anchors (r16 verdict
+    #2: floors certified at 32 cores false-fire the 2x gate on any
+    well-scaling key in an 8-core run — agg_hll_sketch_exchange's genuine
+    8/32 ratio is 2.46).  Mirrors :func:`drift_anchors` precedence
+    exactly: QUIET wins over BULK per key; the best-ever map records the
+    cpus of the run that produced each key's winning minimum.  Records
+    without a cpus field default to ``_FLOOR_DEFAULT_CPUS``."""
+    base = base or os.path.dirname(os.path.abspath(__file__))
+    certified: dict[str, int] = {}
+    for name in ("BENCH_QUIET.json", "BENCH_BULK.json"):
+        try:
+            with open(os.path.join(base, name)) as fh:
+                rec = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rec, dict):
+            continue
+        file_cpus = _rec_cpus(rec)
+        keys = rec.get("keys", {})
+        for k, r in (keys.items() if isinstance(keys, dict) else ()):
+            if (
+                isinstance(r, dict)
+                and r.get("certified")
+                and isinstance(r.get("sec"), (int, float))
+            ):
+                certified.setdefault(k, _rec_cpus(r, file_cpus))
+    best_sec: dict[str, float] = {}
+    best_cpus: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(base, "BENCH_r*.json"))):
+        try:
+            rec = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        if not isinstance(parsed, dict):
+            continue
+        file_cpus = _rec_cpus(rec)
+        for section in ("queries", "tail_queries"):
+            sec = parsed.get(section)
+            for k, v in (sec.items() if isinstance(sec, dict) else ()):
+                if isinstance(v, (int, float)) and float(v) < best_sec.get(
+                    k, float("inf")
+                ):
+                    best_sec[k] = float(v)
+                    best_cpus[k] = file_cpus
+    return certified, best_cpus
+
+
 def vs_floor(
     vals: dict[str, float],
     certified: dict[str, float],
     best: dict[str, float],
+    run_cpus: int | None = None,
+    certified_cpus: dict[str, int] | None = None,
+    best_cpus: dict[str, int] | None = None,
 ) -> dict[str, dict]:
     """Each key's committed value vs its drift anchor: the certified
     floor when one exists, else best-ever committed, else no anchor
-    (first-ever timing — the next round's anchor is this value)."""
+    (first-ever timing — the next round's anchor is this value).
+
+    With ``run_cpus`` (plus the provenance maps from
+    :func:`anchor_cpus`), each anchored record also carries
+    ``anchor_cpus`` and ``cpus_match`` — the drift gate only fires on
+    same-cpus anchors (r16 verdict #2: a 32-core floor is not a valid
+    2x bound for an 8-core run on a key that actually scales)."""
     out: dict[str, dict] = {}
     for k, v in vals.items():
         if k in certified:
             anchor, src = certified[k], "certified"
+            a_cpus = (certified_cpus or {}).get(k, _FLOOR_DEFAULT_CPUS)
         elif k in best:
             anchor, src = best[k], "best_ever"
+            a_cpus = (best_cpus or {}).get(k, _FLOOR_DEFAULT_CPUS)
         else:
             out[k] = {"ratio": None, "anchor": "none"}
             continue
-        out[k] = {
+        rec = {
             "ratio": round(v / anchor, 3) if anchor > 0 else None,
             "anchor": src,
             "floor_sec": round(anchor, 3),
         }
+        if run_cpus is not None:
+            rec["anchor_cpus"] = a_cpus
+            rec["cpus_match"] = a_cpus == run_cpus
+        out[k] = rec
     return out
+
+
+def drift_breaches(vs_floor_all: dict[str, dict]) -> list[str]:
+    """Keys whose committed value breached the 2x drift gate vs their
+    anchor.  Only SAME-CPUS anchors gate (r16 verdict #2): a floor
+    certified at 32 cores is not a valid 2x bound for a lower-core run —
+    any well-scaling key (agg_hll_sketch_exchange's genuine 8/32 ratio is
+    2.46) would false-breach on a healthy engine.  Records without a
+    cpus_match field (legacy callers) gate as before."""
+    return sorted(
+        k
+        for k, r in vs_floor_all.items()
+        if r.get("ratio") is not None
+        and r["ratio"] > 2.0
+        and r.get("cpus_match", True)
+    )
 
 
 def drift_gate_rc(breaches: list[str], env=None) -> int:
@@ -1659,14 +1758,24 @@ def main() -> None:
     # stdout line stays COMPACT — {metric, value, unit, queries, sf} only —
     # and everything diagnostic goes to BENCH_DETAIL.json next to bench.py.
     _certified, _best = drift_anchors()
+    _cert_cpus, _best_cpus = anchor_cpus()
+    try:
+        _run_cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    except ValueError:
+        _run_cpus = 32
     # ADVICE r15: the merge below would silently let a tail ratio shadow
     # a headline ratio if a key ever appeared in both sections — they are
     # disjoint by construction (tail = registry minus headline), so pin it
     _overlap = set(timings) & set(tail)
     assert not _overlap, f"headline/tail key overlap: {sorted(_overlap)}"
+    _vs_kw = dict(
+        run_cpus=_run_cpus,
+        certified_cpus=_cert_cpus,
+        best_cpus=_best_cpus,
+    )
     _vs_floor_all = {
-        **vs_floor(timings, _certified, _best),
-        **vs_floor(tail, _certified, _best),
+        **vs_floor(timings, _certified, _best, **_vs_kw),
+        **vs_floor(tail, _certified, _best, **_vs_kw),
     }
     detail = {
         "spread": spread,
@@ -1678,12 +1787,11 @@ def main() -> None:
         # one field instead of reconstructing the anchor per round
         "vs_certified_floor": _vs_floor_all,
         # keys whose committed value breached the 2x drift gate vs their
-        # anchor this run — the adjudication's one-glance field
-        "drift_breaches": sorted(
-            k
-            for k, r in _vs_floor_all.items()
-            if r.get("ratio") is not None and r["ratio"] > 2.0
-        ),
+        # anchor this run — the adjudication's one-glance field (only
+        # same-cpus anchors gate; cross-cpus ratios stay visible in
+        # vs_certified_floor with cpus_match=false — see drift_breaches)
+        "drift_breaches": drift_breaches(_vs_floor_all),
+        "drift_gate_cpus": _run_cpus,
         # r14 (verdict #1): the committed statistic moved to MIN over
         # clean samples (see commit_stat); this series keeps r11-r13's
         # lower-middle per key, so cross-round drift comparisons against

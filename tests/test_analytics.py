@@ -168,6 +168,55 @@ def test_centroids_exact_mean(spark, tmp_path):
     assert got[(1, 1)] == (1, -0.5)
 
 
+def test_ivf_cell_sentinel_never_pairs_null_embeddings(spark, tmp_path):
+    """r16 verdict #4/#8: ivf_cell_col wraps its kernel in a
+    non-nullable coalesce(cell, -1) so the optimizer stops splitting the
+    Arrow kernel across an inferred IsNotNull — which also removes the
+    optimizer's own null guard from the join key.  The invariant that
+    makes the sentinel safe is that every registered caller feeds the
+    kernel through _nonzero_embeddings (norm > 0 — null-false, so null
+    and zero vectors never reach the kernel or the cell join).  Pin all
+    three halves so a future caller that skips the guard goes red:
+    (a) the guard drops NULL and all-zero embeddings; (b) a registered
+    celled ANN query over such a corpus never emits those rows on either
+    join side; (c) the kernel never emits the -1 sentinel for guarded
+    input, so sentinel rows cannot pair."""
+    from pyspark.sql import functions as F
+
+    from arrow_experiments_spark.operators.similarity import (
+        _nonzero_embeddings,
+        ann_ivf_codebook,
+        ivf_cell_col,
+    )
+
+    sf = _write_embeddings(
+        tmp_path,
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [1.0, 0.05], 0),
+            (11, [0.95, 0.05], 1),
+            (96, None, 1),        # NULL embedding: must never pair
+            (97, [0.0, 0.0], 1),  # zero vector: norm 0, same guard
+        ],
+    )
+    guarded = _nonzero_embeddings(spark, sf)
+    assert sorted(r.vec_id for r in guarded.collect()) == [1, 2, 3, 11]
+
+    rows = ann_ivf_codebook(spark, sf).collect()
+    assert rows, "celled query must still produce pairs for valid rows"
+    touched = {r.query_id for r in rows} | {r.neighbor_id for r in rows}
+    assert 96 not in touched and 97 not in touched
+
+    cells = [
+        r.cell
+        for r in guarded.select(
+            ivf_cell_col(F.col("embedding")).alias("cell")
+        ).collect()
+    ]
+    assert all(c is not None and c >= 0 for c in cells), cells
+
+
 def test_tfidf_ranks_rare_repeated_term_first(spark, tmp_path):
     sf = _write_documents(
         tmp_path,

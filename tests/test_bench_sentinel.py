@@ -363,6 +363,63 @@ def test_accrue_certified_ages_beyond_drift_band():
     assert out["a"]["certified"] and out["a"]["carried_runs"] == 0
 
 
+def test_drift_gate_is_core_count_aware(tmp_path):
+    """r16 verdict #2: certified floors carry cpus provenance, and the
+    2x gate only fires against SAME-cpus anchors — an 8-core run must
+    not breach on a 32-core floor for a key whose genuine 8/32 scaling
+    ratio approaches 2 (BENCH_r16_c8 false-fired rc 2 on
+    agg_hll_sketch_exchange at 2.97x a 32-core floor; its real scaling
+    ratio is 2.46).  A same-cpus breach still reds the run."""
+    import json
+
+    (tmp_path / "BENCH_QUIET.json").write_text(json.dumps({
+        "cpus": 32,
+        "keys": {
+            "a": {"sec": 0.5, "certified": True},          # file cpus: 32
+            "b": {"sec": 0.2, "cpus": 8, "certified": True},  # per-key wins
+        }
+    }))
+    # legacy file with NO cpus field anywhere: defaults to 32
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps({
+        "parsed": {"queries": {"c": 1.0}}
+    }))
+    # an 8-core committed run CAN own a best-ever min (fixed-overhead
+    # keys run faster at 8 cores); its provenance must ride along
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps({
+        "cpus": 8, "parsed": {"queries": {"d": 0.3}}
+    }))
+
+    certified, best = bench.drift_anchors(str(tmp_path))
+    cert_cpus, best_cpus = bench.anchor_cpus(str(tmp_path))
+    assert cert_cpus == {"a": 32, "b": 8}
+    assert best_cpus == {"c": 32, "d": 8}
+
+    # an 8-core run: "a"/"c" anchors are 32-core → never breach even at
+    # 3x; "b"/"d" anchors are 8-core → breach normally
+    vals = {"a": 1.5, "b": 0.9, "c": 9.0, "d": 0.31}
+    out = bench.vs_floor(vals, certified, best, run_cpus=8,
+                         certified_cpus=cert_cpus, best_cpus=best_cpus)
+    assert out["a"]["cpus_match"] is False and out["a"]["ratio"] == 3.0
+    assert out["b"]["cpus_match"] is True
+    assert out["c"]["cpus_match"] is False
+    assert out["d"]["cpus_match"] is True
+    assert bench.drift_breaches(out) == ["b"]
+
+    # the same values judged at 32 cores: now "a"/"c" gate and "b" does not
+    out32 = bench.vs_floor(vals, certified, best, run_cpus=32,
+                           certified_cpus=cert_cpus, best_cpus=best_cpus)
+    assert bench.drift_breaches(out32) == ["a", "c"]
+
+    # legacy records (no cpus_match field at all) gate as before
+    assert bench.drift_breaches(
+        {"x": {"ratio": 2.5, "anchor": "certified"}}
+    ) == ["x"]
+    # without run_cpus the vs_floor output shape is unchanged (pinned by
+    # test_drift_anchors_and_vs_floor); spot-check no cpus keys leak in
+    legacy = bench.vs_floor(vals, certified, best)
+    assert "cpus_match" not in legacy["a"]
+
+
 def test_drift_gate_rc_forced_breach():
     """r15 verdict #7: the 2x drift clause is machine-enforced — a
     synthetic breach makes the run exit nonzero; an empty breach list

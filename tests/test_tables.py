@@ -154,3 +154,83 @@ def test_widen_if_narrow_is_size_adaptive(spark, monkeypatch):
     assert sorted(r.doc_id for r in narrow.collect()) == sorted(
         r.doc_id for r in wide.collect()
     )
+
+
+def test_events_ts_predicate_pushes_down_on_us_layout(spark):
+    """r16 verdict #6: the ns→µs `timestampadd` rebuild would block
+    parquet predicate pushdown on ts — but _normalize_events_ts is
+    dtype-driven, and on the current µs TIMESTAMP_NTZ testdata it is a
+    no-op, so a ts predicate must reach PushedFilters at the scan.  The
+    ns branch keeps the rebuild (pushdown there is impossible without
+    rewriting the data: the stored column is a raw long).  This pins the
+    µs fast path so a future loader edit cannot silently reintroduce a
+    pushdown-blocking wrapper on the layout the driver actually ships."""
+    from pyspark.sql import functions as F
+
+    from arrow_experiments_spark import tables
+
+    ev = tables.table(spark, "/root/testdata/sf0.001", "events")
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    assert ts_type == "timestamp_ntz", ts_type
+    plan = (
+        ev.filter(
+            F.col("ts") >= F.lit("2024-01-02").cast("timestamp_ntz")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln
+    ]
+    assert pushed and "GreaterThanOrEqual(ts" in pushed[0], plan
+
+
+def test_widen_if_narrow_fails_closed_and_sizes_via_hadoop_fs(
+    spark, monkeypatch
+):
+    """r16 verdict #3: the old sizing used os.walk only, so an
+    object-store source read as 0 bytes and FAILED OPEN into the exact
+    full-corpus repartition the widen logic exists to avoid at scale.
+    Now: (a) a source NO filesystem can size takes the no-widen branch
+    (fail closed — losing test-scale parallelism is recoverable, a
+    100 TB round-robin shuffle is not), and (b) non-local URIs are sized
+    through the path's own Hadoop FileSystem, so a declared-large remote
+    source still takes the correct branch on real byte counts."""
+    from arrow_experiments_spark import tables
+
+    sf = "/root/testdata/sf0.001"
+    docs = tables.table(spark, sf, "documents")
+
+    # (a) unsizable source (no local stat, no Hadoop FS hit): fail closed
+    monkeypatch.setattr(tables, "_source_bytes", lambda *_a: None)
+    out = tables.widen_if_narrow(docs, spark, sf, "documents")
+    assert (
+        "Repartition"
+        not in out._jdf.queryExecution().logical().toString()
+    )
+    monkeypatch.undo()
+
+    # (b) a file:// URI bypasses the os.stat fast path and must size
+    # through the Hadoop FileSystem — same byte count as a direct stat
+    import os
+
+    local = os.path.join(sf, "documents.parquet")
+    via_fs = tables._source_bytes(spark, "file://" + local)
+    direct = tables._source_bytes(spark, local)
+    assert via_fs == direct and via_fs > 0
+
+    # ... and the widen decision through that branch matches the local
+    # one: tiny source → widen, past-threshold source → natural splits
+    par = spark.sparkContext.defaultParallelism
+    wide = tables.widen_if_narrow(docs, spark, "file://" + sf, "documents")
+    assert "Repartition" in wide._jdf.queryExecution().logical().toString()
+    monkeypatch.setattr(tables, "_WIDEN_SPLIT_BYTES", 0)
+    narrow = tables.widen_if_narrow(
+        docs, spark, "file://" + sf, "documents"
+    )
+    assert (
+        "Repartition"
+        not in narrow._jdf.queryExecution().logical().toString()
+    )
+    assert wide.rdd.getNumPartitions() == par

@@ -139,6 +139,13 @@ def main() -> None:
             samples[name].append((v, bool(clean)))
             last = nxt
 
+    # core-count provenance (r16 verdict #2): floors only anchor the
+    # drift gate for runs at the SAME cpus — record per key + top level.
+    try:
+        run_cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    except ValueError:
+        run_cpus = 32
+
     keys: dict[str, dict] = {}
     for k, ss in samples.items():
         vals = [v for v, _ in ss]
@@ -149,6 +156,7 @@ def main() -> None:
         committed = bench.commit_stat(clean_vals or vals)
         keys[k] = {
             "sec": committed,
+            "cpus": run_cpus,
             "quality": quality,
             "n_clean": len(clean_vals),
             "samples": [[round(v, 3), c] for v, c in ss],
@@ -182,6 +190,7 @@ def main() -> None:
         "certified": n_cert == len(keys),
         "n_certified": n_cert,
         "n_keys": len(keys),
+        "cpus": run_cpus,
         "sf": sf_dir,
         "wall_min": round((time.time() - t0) / 60, 1),
         "evidence": {

@@ -148,6 +148,15 @@ def main() -> None:
     spread: dict[str, list] = detail.get("spread", {})
     bests = best_ever()
 
+    # core-count provenance (r16 verdict #2): floors are only a valid
+    # drift anchor for runs at the SAME cpus — record it per key (so a
+    # floor carried through accrual keeps its provenance even if a later
+    # ledger mixes core counts) and at the top level.
+    try:
+        run_cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or 32)
+    except ValueError:
+        run_cpus = 32
+
     keys: dict[str, dict] = {}
     for k, v in bench_out["queries"].items():
         # a key with NO window evidence must not certify (refusing is the
@@ -160,6 +169,7 @@ def main() -> None:
         )
         keys[k] = {
             "sec": v,
+            "cpus": run_cpus,
             "quality": q,
             "spread": sp,
             "spread_ok": spread_ok,
@@ -196,6 +206,7 @@ def main() -> None:
         "certified": n_cert == len(keys),
         "n_certified": n_cert,
         "n_keys": len(keys),
+        "cpus": run_cpus,
         "sf": bench_out.get("sf"),
         "wall_min": round((time.time() - t0) / 60, 1),
         "evidence": {
