@@ -668,6 +668,30 @@ def _driver_components(spark: SparkSession, tbl) -> DataFrame:
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, corpus: DataFrame | None = None
 ) -> DataFrame:
+    df, _carried = _clusters_impl(spark, sf_dir, corpus, carry=None)
+    return df
+
+
+def _clusters_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame | None = None,
+    carry: list | None = None,
+) -> tuple[DataFrame, bool]:
+    """dedup_clusters' engine, with an optional carry-through (r17,
+    guide §2.4): ``carry`` is a list of aliased Columns evaluated
+    against the label base (the threaded corpus frame, or the documents
+    table).  On the DRIVER FAST PATH the carried columns ride the
+    LocalRelation broadcast join, so a consumer that needs per-doc
+    attributes next to the labels (dedup_keep_canonical's text_len
+    tie-break) skips its own join-back onto the corpus — at bench scale
+    that join-back was two exchanges + a join for columns the base scan
+    already held; at 100 TB it re-shuffles the corpus by doc_id for no
+    reason.  Returns ``(frame, carried)``: the distributed paths return
+    ``carried=False`` (the propagation loop's labels evolve per round —
+    widening every checkpoint with payload columns is exactly the
+    carry-wide-payloads anti-pattern r16 rejected), and the caller
+    joins the old way."""
     from pyspark.sql.window import Window
 
     # Size-adaptive strategy pick (r16): a bounded graph is solved
@@ -710,10 +734,9 @@ def dedup_clusters(
         # — a fresh table() scan here would put a second ReadSchema into
         # pipeline_curate_end_to_end's final plan
         base = (
-            corpus.select("doc_id")
-            if corpus is not None
-            else table(spark, sf_dir, "documents").select("doc_id")
-        )
+            corpus if corpus is not None else table(spark, sf_dir, "documents")
+        ).select("doc_id", *(carry or []))
+        carried = [c for c in base.columns if c != "doc_id"]
         # cluster_size comes from the driver union-find itself (every
         # edge-component's membership is exactly the collected nodes;
         # everything else is a singleton), so the fast path emits sizes
@@ -721,12 +744,16 @@ def dedup_clusters(
         # full-corpus Exchange+Sort on cluster_id from this plan AND
         # from every consumer (dedup_keep_canonical, the curate
         # composites).  Measured row-identical at sf0.1.
-        return base.join(comp, "doc_id", "left").select(
-            "doc_id",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            F.coalesce("cluster_size", F.lit(1).cast("bigint")).alias(
-                "cluster_size"
+        return (
+            base.join(comp, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+                F.coalesce("cluster_size", F.lit(1).cast("bigint")).alias(
+                    "cluster_size"
+                ),
+                *carried,
             ),
+            True,
         )
     # Distributed path: the propagation loop re-reads the edge set every
     # round, so HERE the once-per-pair distinct + persist earn their keep
@@ -800,8 +827,13 @@ def dedup_clusters(
             )
         )
     w = Window.partitionBy("cluster_id")
-    return labels.select(
-        "doc_id", "cluster_id", F.count(F.lit(1)).over(w).alias("cluster_size")
+    return (
+        labels.select(
+            "doc_id",
+            "cluster_id",
+            F.count(F.lit(1)).over(w).alias("cluster_size"),
+        ),
+        False,
     )
 
 
@@ -1374,6 +1406,13 @@ def dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot("sa.embedding", "sb.embedding")
         / (F.col("sa.nrm") * F.col("sb.nrm"))
     )
+    # The distinct on the near set STAYS (r17, examined and kept): the
+    # anti join below would tolerate duplicates, but without the
+    # distinct the right side carries one row per MATCHING NEIGHBOR —
+    # unbounded in dup density — instead of one per flagged doc, and
+    # the distinct's exchange is reused by the anti join anyway (A/B
+    # measured the dedup-free form consistently ~0.2 s SLOWER at sf0.1
+    # with identical exchange counts).
     near = (
         cand.join(sa, F.col("did") == F.col("sa.vec_id"))
         .join(sb, F.col("bid") == F.col("sb.vec_id"))
@@ -1642,19 +1681,33 @@ def dedup_keep_canonical(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
-    clusters = dedup_clusters(spark, sf_dir, corpus=corpus)
-    if corpus is not None:
-        docs = corpus.select("doc_id", "text_len")
-    else:
-        docs = table(spark, sf_dir, "documents").select(
-            "doc_id", F.length("text").alias("text_len")
-        )
+    # text_len (the canonical tie-break) rides THROUGH the cluster
+    # labeling on the driver fast path (r17, guide §2.4): the label base
+    # scan already holds it, so joining the labels back onto the corpus
+    # just to re-attach one column paid two doc_id exchanges + a join in
+    # this plan and in every composite consumer.  The distributed paths
+    # return carried=False (their labels evolve round over round —
+    # widening each checkpoint is the carry-wide-payloads anti-pattern)
+    # and keep the old join-back.
+    carry = [
+        F.col("text_len")
+        if corpus is not None
+        else F.length("text").alias("text_len")
+    ]
+    clusters, carried = _clusters_impl(spark, sf_dir, corpus, carry=carry)
+    if not carried:
+        if corpus is not None:
+            docs = corpus.select("doc_id", "text_len")
+        else:
+            docs = table(spark, sf_dir, "documents").select(
+                "doc_id", F.length("text").alias("text_len")
+            )
+        clusters = clusters.join(docs, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("text_len"), F.asc("doc_id")
     )
     return (
-        clusters.join(docs, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
+        clusters.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "cluster_id",

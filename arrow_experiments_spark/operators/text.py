@@ -1210,6 +1210,12 @@ def pipeline_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # passes in all (same signatures), so distinct-on-did after the
     # filter yields the identical near set.
     bands = _minhash_bands_carrying_sigs(sigs)
+    # The per-doc distinct STAYS (r17, examined and kept): the anti join
+    # tolerates duplicates, but without the distinct the near set is one
+    # row per COLLISION (bands × matching base docs — unbounded in dup
+    # density) instead of one per flagged delta doc, and the distinct's
+    # exchange is reused by the anti join anyway (A/B: timing wash at
+    # sf0.1, identical exchange counts, worse sort volume at scale).
     near = (
         bands.alias("a")
         .join(
@@ -1339,6 +1345,13 @@ def pipeline_curate_incremental_full(
     # signatures ride through the band join (r16, session 2 — see
     # dedup_minhash_estimate / pipeline_neardup_incremental)
     tbands = _minhash_bands_carrying_sigs(sigs)
+    # The per-doc distincts STAY (r17, examined and kept): the anti
+    # joins tolerate duplicates, but without them the near set is one
+    # row per collision (unbounded in dup density) and the contaminated
+    # set one per matching eval doc, instead of one per flagged doc —
+    # and each distinct's exchange is reused by its anti join anyway
+    # (A/B: timing wash at sf0.1, identical exchange counts, worse sort
+    # volume at scale).
     near = (
         tbands.alias("a")
         .join(

@@ -339,6 +339,34 @@ def test_dedup_clusters_fast_path_plan_has_no_window(spark):
     assert "Window" not in plan, plan
 
 
+def test_keep_canonical_fast_path_carries_text_len(spark):
+    """r17: on the driver fast path the text_len tie-break rides THROUGH
+    the cluster labeling (a carried column on the LocalRelation
+    broadcast join), so dedup_keep_canonical's plan has exactly ONE
+    parquet scan and no join-back onto the corpus — the old shape
+    re-shuffled the corpus by doc_id just to re-attach a column the
+    label base scan already held.  The distributed paths keep the
+    join-back (their labels evolve per round), and both paths must emit
+    identical rows."""
+    from arrow_experiments_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    fast_df = dedup.dedup_keep_canonical(spark, sf)
+    plan = fast_df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    fast = sorted(tuple(r) for r in fast_df.collect())
+
+    spark.conf.set(dedup._DRIVER_EDGE_LIMIT_CONF, "0")
+    try:
+        slow = sorted(
+            tuple(r)
+            for r in dedup.dedup_keep_canonical(spark, sf).collect()
+        )
+    finally:
+        spark.conf.unset(dedup._DRIVER_EDGE_LIMIT_CONF)
+    assert fast == slow
+
+
 def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path):
     """Dynamic partition pruning: a fact table partitioned on the join
     key, joined to a filtered dimension, must plan a dynamicpruning

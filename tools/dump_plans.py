@@ -25,7 +25,8 @@ from arrow_experiments_spark.registry import all_queries
 from arrow_experiments_spark.session import build_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = Path(_REPO) / "plans" / "r16"
+# round-parameterized output dir (r17): PLANS_ROUND=r17 python tools/...
+OUT_DIR = Path(_REPO) / "plans" / os.environ.get("PLANS_ROUND", "r17")
 
 
 def _normalize(plan: str) -> str:
