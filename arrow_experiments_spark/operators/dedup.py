@@ -132,7 +132,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cached corpus frames that only the bench's clearCache() ever
 # released).  Unpersist is correctness-neutral — a still-referenced old
 # frame just recomputes.
-_CURATE_CACHE: dict[tuple[int, str], tuple[DataFrame, str | None]] = {}
+_CURATE_CACHE: dict[
+    tuple[int, str], tuple[DataFrame, str | None, DataFrame | None]
+] = {}
 
 
 def _documents_fingerprint(sf_dir: str) -> str | None:
@@ -160,7 +162,9 @@ def _documents_fingerprint(sf_dir: str) -> str | None:
     return hashlib.sha256(";".join(sorted(entries)).encode()).hexdigest()
 
 
-def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_corpus(
+    spark: SparkSession, sf_dir: str, defer_materialize: bool = False
+) -> DataFrame:
     """ONE persisted scan of documents carrying everything the curation
     funnel consumes: per-doc quality scalars (token count, distinct
     ratio, stopword ratio), text length (the canonical tie-break), and
@@ -184,6 +188,19 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the already-persisted frame with zero Spark work — the warehouse
     steady state, and what keeps repeat funnel builds warm; a changed
     source releases the previous frame first and rebuilds.
+
+    ``defer_materialize=True`` (r17, VERDICT item 3 "fewer eager
+    materializations"): skip the ``count()`` job — the composite
+    funnel's FIRST eager action (the cluster edge collect) materializes
+    the cache anyway, so the count was a whole extra scheduled job on
+    the composite's critical path (~0.2 s of pure job overhead at
+    sf0.1).  The token-stage persist then CANNOT be released here
+    (unpersisting it before the corpus materializes would re-inline the
+    tokenizer into every downstream HOF lambda on the fill — the 5×
+    recompute the barrier exists to stop), so it is parked in the cache
+    entry and the caller MUST call :func:`release_curate_tokens` after
+    its first action.  Default callers keep the eager behavior
+    unchanged.
     """
     from arrow_experiments_spark.functions.text import EN_STOPWORDS
 
@@ -193,7 +210,7 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _documents_fingerprint(sf_dir)
     hit = _CURATE_CACHE.get(key)
     if hit is not None:
-        prev_frame, prev_fp = hit
+        prev_frame, prev_fp, prev_toks = hit
         still_cached = False
         if fp is not None and fp == prev_fp:
             # an external clearCache() (tests, bench hygiene) evicts the
@@ -215,6 +232,8 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         _CURATE_CACHE.pop(key, None)
         try:
             prev_frame.unpersist()
+            if prev_toks is not None:
+                prev_toks.unpersist()
         except Exception:
             pass  # stopped session / already-released frame
 
@@ -250,10 +269,63 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sr"),
         F.array_distinct(shingles3(F.col("toks"))).alias("sh"),
     ).persist()
-    corpus.count()  # materialize the cache, then drop the token stage
-    toks.unpersist()
-    _CURATE_CACHE[key] = (corpus, fp)
+    if defer_materialize:
+        # the caller's first eager action fills the cache; the token
+        # stage is parked for release_curate_tokens (unpersisting it NOW
+        # would re-inline the tokenizer 5x into the fill — see docstring)
+        _CURATE_CACHE[key] = (corpus, fp, toks)
+    else:
+        corpus.count()  # materialize the cache, then drop the token stage
+        toks.unpersist()
+        _CURATE_CACHE[key] = (corpus, fp, None)
     return corpus
+
+
+def _is_cache_materialized(spark: SparkSession, df: DataFrame) -> bool:
+    """True when ``df``'s persisted buffers are actually loaded (not
+    merely declared) — read from the JVM CacheManager; False on any
+    doubt, so callers fall back to an explicit materialize."""
+    try:
+        opt = (
+            spark._jsparkSession.sharedState()  # type: ignore[union-attr]
+            .cacheManager()
+            .lookupCachedData(df._jdf)
+        )
+        if opt.isEmpty():
+            return False
+        return bool(
+            opt.get()
+            .cachedRepresentation()
+            .cacheBuilder()
+            .isCachedColumnBuffersLoaded()
+        )
+    except Exception:
+        return False
+
+
+def release_curate_tokens(spark: SparkSession, sf_dir: str) -> None:
+    """Release the token-stage persist a ``defer_materialize=True``
+    :func:`curate_corpus` call parked (r17).  Safe at any point: if the
+    corpus cache is not yet materialized (e.g. the fast-path edge
+    collect was conf-disabled and no action ran), it is counted first —
+    restoring exactly the eager path's materialize-before-release
+    contract, never the 5× tokenizer re-inline."""
+    import os
+
+    key = (id(spark), os.path.abspath(sf_dir))
+    hit = _CURATE_CACHE.get(key)
+    if hit is None:
+        return
+    corpus, fp, toks = hit
+    if toks is None:
+        return
+    if not _is_cache_materialized(spark, corpus):
+        corpus.count()
+    try:
+        toks.unpersist()
+    except Exception:
+        pass
+    _CURATE_CACHE[key] = (corpus, fp, None)
 
 
 def _minhash_sigs(

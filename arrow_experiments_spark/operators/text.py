@@ -1468,6 +1468,7 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         curate_corpus,
         decontaminate_flags,
         dedup_keep_canonical,
+        release_curate_tokens,
     )
 
     # SINGLE-SCAN: one persisted (doc_id, source, text_len, n_tokens, dr,
@@ -1475,7 +1476,11 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonicalization and decontamination read the shared shingle sets —
     # instead of each stage re-reading and re-tokenizing the corpus (the
     # dominant cost at 100 TB; was 3× the single funnel pass).
-    corpus = curate_corpus(spark, sf_dir)
+    # defer_materialize (r17): the eager count() job is fused into the
+    # cluster edge collect below — the composite's first action fills
+    # the cache either way, so the separate count was one whole
+    # scheduled job of pure overhead on the critical path.
+    corpus = curate_corpus(spark, sf_dir, defer_materialize=True)
     scored = corpus.filter(F.col("source") != "src0").select(
         "doc_id", "source", "n_tokens", "dr", "sr"
     )
@@ -1485,6 +1490,10 @@ def pipeline_curate_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = dedup_keep_canonical(spark, sf_dir, corpus=corpus).select(
         F.col("kept_doc_id").alias("doc_id"), F.lit(1).alias("is_canon")
     )
+    # the edge collect inside keep_canonical materialized the corpus —
+    # release the parked token-stage persist (falls back to an explicit
+    # count if the collect was conf-disabled; see release_curate_tokens)
+    release_curate_tokens(spark, sf_dir)
     flagged = decontaminate_flags(spark, sf_dir, corpus=corpus).select(
         F.col("train_id").alias("doc_id"), F.lit(1).alias("is_flagged")
     )

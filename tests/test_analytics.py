@@ -1049,6 +1049,54 @@ def test_curate_corpus_cache_discipline(spark):
     spark.catalog.clearCache()
 
 
+def test_curate_corpus_deferred_materialize_discipline(spark):
+    """r17 (VERDICT item 3, fewer eager materializations): the composite
+    funnel defers the corpus count() — its first eager action fills the
+    cache — and releases the parked token persist afterwards.  Pin the
+    discipline: (a) the deferred build parks BOTH persists; (b) after an
+    action + release_curate_tokens exactly one cache entry survives,
+    same as the eager path; (c) release WITHOUT any prior action still
+    materializes the corpus first (the count fallback), never releasing
+    the HOF barrier under an unfilled cache; (d) rows identical to the
+    eager path."""
+    from arrow_experiments_spark.operators import dedup
+    from arrow_experiments_spark.operators.dedup import (
+        _is_cache_materialized,
+        curate_corpus,
+        release_curate_tokens,
+    )
+    from conftest import SF_DIR
+
+    spark.catalog.clearCache()
+    dedup._CURATE_CACHE.clear()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+
+    # (a)+(b): defer, act, release
+    c = curate_corpus(spark, SF_DIR, defer_materialize=True)
+    assert cm.cachedData().size() == 2  # corpus + parked token stage
+    n = c.count()  # the caller's "first eager action"
+    release_curate_tokens(spark, SF_DIR)
+    assert cm.cachedData().size() == 1
+    assert _is_cache_materialized(spark, c)
+
+    # (d): rows identical to the eager path
+    spark.catalog.clearCache()
+    dedup._CURATE_CACHE.clear()
+    eager = curate_corpus(spark, SF_DIR)
+    assert eager.count() == n
+
+    # (c): defer then release with NO action in between — the fallback
+    # count must leave a materialized corpus and one entry
+    spark.catalog.clearCache()
+    dedup._CURATE_CACHE.clear()
+    c2 = curate_corpus(spark, SF_DIR, defer_materialize=True)
+    release_curate_tokens(spark, SF_DIR)
+    assert cm.cachedData().size() == 1
+    assert _is_cache_materialized(spark, c2)
+    spark.catalog.clearCache()
+    dedup._CURATE_CACHE.clear()
+
+
 def test_curate_corpus_rebuilds_when_source_changes(spark, tmp_path):
     """The warm-reuse path must be fingerprint-guarded: rewriting the
     source corpus invalidates the cached frame and a rebuild reflects
